@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for the SparkEntry query battery.
+  *
+  * Oracle-exactness rules (driver hash-compares against DuckDB on the same
+  * parquet, see /root/repo/BASELINE.md t2):
+  *   - Per-row arithmetic stays in DOUBLE: IEEE-754 ops on identical inputs
+  *     are bit-identical across engines.
+  *   - Aggregation casts each row to DECIMAL(18,4) first: decimal addition is
+  *     exact and associative, so the sum is independent of partition/order —
+  *     the same value DuckDB computes single-threaded.
+  *   - Final results cast back to DOUBLE so output schemas are plain.
+  *   - Every query carries a total ORDER BY (deterministic row set).
+  */
+object Q {
+  /** Read one fixture table of the TPC-H-ish star schema (TESTDATA.md). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact, order-independent sum of a money-grade double expression.
+    *
+    * Scale 6 matters: fixture money columns carry exactly 2 decimals, so any
+    * product of up to three of them is an exact 6-decimal value. The double
+    * approximation is far closer to that lattice point than half a step, so
+    * the cast recovers it exactly in BOTH engines — no rounding-tie (HALF_UP
+    * vs binary) divergence, which scale 4 did exhibit.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(20, 6))).cast("double")
+
+  /** Deterministic average: exact decimal sum, one double division. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Oracle-side equivalents (DuckDB ANSI SQL). */
+  def oSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(20,6))) AS DOUBLE)"
+  def oAvg(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(20,6))) AS DOUBLE) / COUNT($e)"
+}

@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.C rows C1–C21 (scan/filter/project/joins/agg/window/sort).
+  *
+  * The reference's relational surface is "any SQL the backing store runs"
+  * (reference node.py:168-189 `Table.read_sql`, node.py:356-373
+  * `Table.execute_sql`, SQL nodes create.py:239-244); each query here
+  * exercises one operator class through the idiomatic Spark DataFrame API and
+  * is paired with a DuckDB oracle in [[oracle]].
+  */
+object RelationalQueries {
+  import Q._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C1/C4/C5/C14/C20 — TPC-H Q1 shape: scan→filter→hash agg→sort.
+    "q01_lineitem_agg" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    // C5 — TPC-H Q6 shape: BETWEEN + IN predicates pushed into the scan.
+    "q02_filter_revenue" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= to_timestamp(lit("1998-01-01")) &&
+          col("l_shipdate") <  to_timestamp(lit("2000-01-01")) &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24 &&
+          col("l_returnflag").isin("A", "N"))
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+             count(lit(1)).as("n_rows"))
+    },
+    // C6/C14 — 3-way shuffle equi-join, revenue per market segment.
+    "q03_join_revenue" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy("c_mktsegment")
+    },
+    // C7 — broadcast the small dims: supplier→nation→region star join.
+    "q04_broadcast_star" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("n_name")
+    },
+    // C8 — left outer join keeps customers without orders.
+    "q05_left_outer" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(countDistinct(col("c_custkey")).as("n_cust"),
+             count(col("o_orderkey")).as("n_orders"),
+             dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("c_mktsegment")
+    },
+    // C9 — left-semi: customers having an open order, per nation.
+    "q06_semi_join" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "O"),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"), min("c_custkey").as("min_custkey"))
+        .orderBy("c_nationkey")
+    },
+    // C9 — left-anti: customers with no orders at all (upsert kernel, A14).
+    "q07_anti_join" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), min("c_custkey").as("min_custkey"))
+        .orderBy("c_mktsegment")
+    },
+    // C10/C13 — theta self-join: unordered nation pairs within a region.
+    "q08_theta_pairs" -> { (s, dir) =>
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("k1"),
+        col("n_name").as("nation_a"), col("n_regionkey").as("r1"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("k2"),
+        col("n_name").as("nation_b"), col("n_regionkey").as("r2"))
+      n1.join(n2, col("r1") === col("r2") && col("k1") < col("k2"))
+        .join(broadcast(t(s, dir, "region")), col("r1") === col("r_regionkey"))
+        .select(col("r_name"), col("nation_a"), col("nation_b"))
+        .orderBy("r_name", "nation_a", "nation_b")
+    },
+    // C21 — global top-k (Catalyst → TakeOrderedAndProject, no full sort).
+    "q09_topk_orders" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+    // C17 — ranking window: each customer's single largest order.
+    "q10_window_top_order" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_lineitem_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${oSum("l_quantity")} AS sum_qty,
+         |  ${oSum("l_extendedprice")} AS sum_base_price,
+         |  ${oSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${oSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${oAvg("l_quantity")} AS avg_qty,
+         |  ${oAvg("l_extendedprice")} AS avg_price,
+         |  ${oAvg("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_revenue" ->
+      s"""SELECT ${oSum("l_extendedprice * l_discount")} AS revenue, COUNT(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '2000-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+         |  AND l_returnflag IN ('A', 'N')""".stripMargin,
+    "q03_join_revenue" ->
+      s"""SELECT c_mktsegment,
+         |  ${oSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q04_broadcast_star" ->
+      s"""SELECT n_name,
+         |  ${oSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q05_left_outer" ->
+      s"""SELECT c_mktsegment,
+         |  COUNT(DISTINCT c_custkey) AS n_cust,
+         |  COUNT(o_orderkey) AS n_orders,
+         |  ${oSum("o_totalprice")} AS total_price
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_cust, MIN(c_custkey) AS min_custkey
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust, MIN(c_custkey) AS min_custkey
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q08_theta_pairs" ->
+      """SELECT r_name, n1.n_name AS nation_a, n2.n_name AS nation_b
+        |FROM nation n1
+        |JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey
+        |               AND n1.n_nationkey < n2.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |ORDER BY r_name, nation_a, nation_b""".stripMargin,
+    "q09_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q10_window_top_order" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) sub
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+  )
+}

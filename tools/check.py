@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 gate: run Verify's dump through DuckDB.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Compares each <out>/<name> parquet against the DuckDB result of
+<out>/oracle_sql.json[name], with columns sorted by name and rows sorted by
+all columns (strict equality on values).
+"""
+import sys, os, glob, json
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def main(sf, out):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
+    n_ok = 0
+    names = sorted(set(list(oracle.keys()) + [os.path.basename(p) for p in glob.glob(f"{out}/*") if os.path.isdir(p)]))
+    for name in names:
+        spark_dir = os.path.join(out, name)
+        if not os.path.isdir(spark_dir):
+            print(f"FAIL {name}: no spark output"); continue
+        files = glob.glob(f"{spark_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: empty spark output dir"); continue
+        sdf = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        if name not in oracle:
+            print(f"WEAK {name}: rows-only check, rows={len(sdf)}")
+            n_ok += 1
+            continue
+        try:
+            odf = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); continue
+        def norm(df):
+            df = df.reindex(sorted(df.columns), axis=1)
+            for c in df.columns:
+                if str(df[c].dtype).startswith("datetime64[ns"):
+                    df[c] = df[c].astype("datetime64[us]")
+            if len(df):
+                df = df.sort_values(by=list(df.columns), ignore_index=True)
+            return df
+        s, o = norm(sdf), norm(odf)
+        if list(s.columns) != list(o.columns):
+            print(f"FAIL {name}: cols spark={list(s.columns)} oracle={list(o.columns)}"); continue
+        if len(s) != len(o):
+            print(f"FAIL {name}: rows spark={len(s)} oracle={len(o)}"); continue
+        try:
+            pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
+            print(f"OK   {name}: rows={len(s)}")
+            n_ok += 1
+        except AssertionError as e:
+            print(f"FAIL {name}: values differ\n{str(e)[:600]}")
+    print(f"== {n_ok}/{len(names)} pass")
+    return 0 if n_ok == len(names) else 1
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
