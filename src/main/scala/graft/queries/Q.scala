@@ -17,9 +17,18 @@ import org.apache.spark.sql.types.DecimalType
   *   - Every query carries a total ORDER BY (deterministic row set).
   */
 object Q {
-  /** Read one fixture table of the TPC-H-ish star schema (TESTDATA.md). */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Read one fixture table of the TPC-H-ish star schema (TESTDATA.md).
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default; `nanosAsLong` surfaces it as a LongType of epoch-nanoseconds,
+    * which is what the µs-exact time arithmetic wants anyway (`ts div 1000`
+    * ≡ DuckDB `epoch_us(ts)`).
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Exact, order-independent sum of a money-grade double expression.
     *

@@ -36,10 +36,15 @@ def main(sf, out):
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); continue
         def norm(df):
+            import datetime
             df = df.reindex(sorted(df.columns), axis=1)
             for c in df.columns:
-                if str(df[c].dtype).startswith("datetime64[ns"):
+                if str(df[c].dtype).startswith("datetime64"):
                     df[c] = df[c].astype("datetime64[us]")
+                elif df[c].dtype == object:
+                    vals = df[c].dropna()
+                    if len(vals) and all(isinstance(v, datetime.date) for v in vals):
+                        df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
             if len(df):
                 df = df.sort_values(by=list(df.columns), ignore_index=True)
             return df
