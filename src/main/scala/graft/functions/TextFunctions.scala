@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline column functions (SURVEY.md §2.D): tokenization, shingling,
+  * deterministic token hashing, and the MinHash parameter family.
+  *
+  * Everything here is a pure Catalyst expression tree (codegen'd, no UDFs),
+  * and every hash is derived from md5 so a SQL oracle can reproduce it
+  * bit-for-bit on any engine with an md5 function.
+  */
+object TextFunctions {
+  /** Whitespace tokenizer matching the fixture corpus (single-space text). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** n-token shingles: ["a b c", "b c d", ...]; empty array below n tokens. */
+  def shingles(tk: Column, n: Int = 3): Column =
+    when(size(tk) >= n,
+      transform(sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(tk, i + k + 1)): _*)))
+      .otherwise(array())
+
+  /** Deterministic 60-bit token hash: first 15 hex chars of md5.
+    * Oracle: CAST('0x' || substring(md5(t), 1, 15) AS BIGINT).
+    */
+  def tokenHash60(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** MinHash permutation family i -> (a_i, b_i); applied as
+    * (a_i * (h % 2^30) + b_i) % (2^31 - 1) — all intermediates < 2^61, so
+    * 64-bit integer math never overflows on any engine.
+    */
+  def minhashParams(k: Int): Seq[(Int, Long, Long)] =
+    (0 until k).map(i => (i, (1103515245L * (i + 1)) % 2147483647L, 12345L * (i + 1)))
+
+  /** Apply permutation (a,b) to a 60-bit token hash. */
+  def minhashPerm(h: Column, a: Column, b: Column): Column =
+    (a * (h % 1073741824L) + b) % 2147483647L
+
+  /** SQL fragment computing the same 60-bit token hash in DuckDB. */
+  def oTokenHash60(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
+}

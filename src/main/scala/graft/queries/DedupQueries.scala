@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators over `documents` / `embeddings` (SURVEY.md §2.D
+  * D1/D2 + the training-data-pipeline brief): exact hash dedup, exact n-gram
+  * Jaccard via inverted index, MinHash+LSH banding, SimHash, and
+  * embedding-cosine near-dup with label blocking.
+  *
+  * Scale notes (100 TB): every pipeline here is shuffle-based with a blocking
+  * key — shingle (inverted index), (band, signature) bucket, or label — so
+  * no O(n²) stage ever materializes; candidate generation is equi-join
+  * shaped and AQE-friendly.
+  */
+object DedupQueries {
+  import Q._
+
+  /** Distinct (doc_id, 3-shingle) pairs — the inverted-index input. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("shingle"))
+      .distinct()
+
+  /** Exact-Jaccard pairs over the shingle inverted index (no threshold). */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(s, dir)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shared = sh.select(col("doc_id").as("da"), col("shingle"))
+      .join(sh.select(col("doc_id").as("db"), col("shingle")), "shingle")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+    shared
+      .join(cnt.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
+      .join(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // D1 — exact dedup on a content hash.
+    "d01_dedup_exact" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("canonical_id"))
+        .orderBy("content_hash")
+    },
+    // D2a — exact 3-shingle Jaccard near-dup pairs via inverted index.
+    "d02_dedup_jaccard" -> { (s, dir) =>
+      jaccardPairs(s, dir)
+        .filter(col("jaccard") >= 0.5)
+        .select("da", "db", "shared", "jaccard")
+        .orderBy("da", "db")
+    },
+    // D2b — MinHash (k=16) + LSH (4 bands × 4 rows) with exact-Jaccard
+    // verification of the banding candidates.
+    "d03_dedup_minhash_lsh" -> { (s, dir) =>
+      val sh = shingleRows(s, dir)
+        .withColumn("h", tokenHash60(col("shingle")))
+      val params = {
+        import s.implicits._
+        minhashParams(16).toDF("i", "a", "b")
+      }
+      val sig = sh.crossJoin(broadcast(params))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(min(minhashPerm(col("h"), col("a"), col("b"))).as("mh"))
+      val bands = sig
+        .withColumn("band", expr("i div 4"))
+        .groupBy("doc_id", "band")
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+            x => x.getField("mh").cast("string"))).as("sig"))
+      val cand = bands.select(col("doc_id").as("da"), col("band"), col("sig"))
+        .join(bands.select(col("doc_id").as("db"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("n_bands"))
+      cand.join(jaccardPairs(s, dir).select("da", "db", "jaccard"), Seq("da", "db"))
+        .filter(col("jaccard") >= 0.5)
+        .select("da", "db", "n_bands", "jaccard")
+        .orderBy("da", "db")
+    },
+    // D2c — 60-bit SimHash over distinct tokens + Hamming distance to doc 0.
+    "d04_simhash" -> { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+        .withColumn("h", tokenHash60(col("tok")))
+      val masks = {
+        import s.implicits._
+        (0 until 60).map(j => (j, 1L << j)).toDF("j", "mask")
+      }
+      val sim = tok.crossJoin(broadcast(masks))
+        .groupBy("doc_id", "j", "mask")
+        .agg(sum(when(col("h").bitwiseAND(col("mask")) =!= 0, 1).otherwise(-1)).as("s"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("s") > 0, col("mask")).otherwise(0L)).as("simhash"))
+      val ref = sim.filter(col("doc_id") === 0)
+        .select(col("simhash").as("simhash0"))
+      sim.crossJoin(broadcast(ref))
+        .select(col("doc_id"), col("simhash"),
+          bit_count(col("simhash").bitwiseXOR(col("simhash0"))).as("hamming_to_doc0"))
+        .orderBy("doc_id")
+    },
+    // D2d — embedding-cosine near-dup pairs, blocked by label (the blocking
+    // key is what keeps this O(n²/k) instead of O(n²) at scale).
+    "d12_embed_neardup" -> { (s, dir) =>
+      val v = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"))
+        .withColumn("nrm", l2norm(col("embedding")))
+      val a = v.select(col("vec_id").as("va"), col("label"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = v.select(col("vec_id").as("vb"), col("label"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      a.join(b, Seq("label")).filter(col("va") < col("vb"))
+        .withColumn("cosine",
+          cosineWithNorms(dot(col("ea"), col("eb")), col("na"), col("nb")))
+        .filter(col("cosine") > 0.4)
+        .select("label", "va", "vb", "cosine")
+        .orderBy("label", "va", "vb")
+    }
+  )
+
+  private val shingleSql =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') tk,
+      |               unnest(range(len(string_split(text, ' ')) - 2)) AS i
+      |        FROM documents) raw)""".stripMargin
+
+  private val jaccardSql =
+    s"""WITH $shingleSql,
+       |cnt AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id da, b.doc_id db, COUNT(*) shared
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY da, db),
+       |jac AS (
+       |  SELECT da, db, shared,
+       |         CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) AS jaccard
+       |  FROM shared JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT sha256(text) AS content_hash, COUNT(*) AS n_copies,
+        |       MIN(doc_id) AS canonical_id
+        |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
+    "d02_dedup_jaccard" ->
+      s"""$jaccardSql
+         |SELECT da, db, shared, jaccard FROM jac
+         |WHERE jaccard >= 0.5 ORDER BY da, db""".stripMargin,
+    "d03_dedup_minhash_lsh" ->
+      s"""$jaccardSql,
+         |h AS (SELECT doc_id, ${oTokenHash60("shingle")} AS h FROM sh),
+         |params AS (
+         |  SELECT i, (1103515245 * (i + 1)) % 2147483647 AS a, 12345 * (i + 1) AS b
+         |  FROM (SELECT unnest(range(16)) AS i)),
+         |sig AS (
+         |  SELECT doc_id, i, MIN((a * (h % 1073741824) + b) % 2147483647) AS mh
+         |  FROM h CROSS JOIN params GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+         |  FROM sig GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT x.doc_id da, y.doc_id db, COUNT(*) n_bands
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |  GROUP BY da, db)
+         |SELECT cand.da AS da, cand.db AS db, n_bands, jaccard
+         |FROM cand JOIN jac ON cand.da = jac.da AND cand.db = jac.db
+         |WHERE jaccard >= 0.5 ORDER BY da, db""".stripMargin,
+    "d04_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |    FROM documents) raw),
+         |h AS (SELECT doc_id, ${oTokenHash60("tok")} AS h FROM tok),
+         |bits AS (
+         |  SELECT doc_id, j, (1::BIGINT << j) AS mask,
+         |         SUM(CASE WHEN (h & (1::BIGINT << j)) != 0 THEN 1 ELSE -1 END) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) js
+         |  GROUP BY doc_id, j),
+         |sim AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CASE WHEN s > 0 THEN mask ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT doc_id, sim.simhash AS simhash,
+         |       bit_count(xor(sim.simhash, ref.simhash0)) AS hamming_to_doc0
+         |FROM sim CROSS JOIN
+         |  (SELECT simhash AS simhash0 FROM sim WHERE doc_id = 0) ref
+         |ORDER BY doc_id""".stripMargin,
+    "d12_embed_neardup" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, embedding, ${oNorm("embedding")} AS nrm
+         |  FROM embeddings)
+         |SELECT a.label AS label, a.vec_id AS va, b.vec_id AS vb,
+         |       ${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+         |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.4
+         |ORDER BY label, va, vb""".stripMargin
+  )
+}

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search + multimodal plumbing (SURVEY.md §2.D D3/D5).
+  *
+  * d05 is the brute-force cosine-top-k baseline (broadcast the query set,
+  * scan the corpus once); d06 is the scale path — IVF-style partition
+  * pruning with deterministic centroids, so only 1/k of the corpus is
+  * scanned per query; d11 is the multimodal decode pipeline with a stubbed
+  * codec (container has no image/audio libs) but real Spark plumbing:
+  * binary column, typed mapPartitions batch, metadata schema.
+  */
+object VectorQueries {
+  import Q._
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", l2norm(col("embedding")))
+
+  /** Query set: the first 10 vectors. */
+  private def queriesSet(v: DataFrame): DataFrame =
+    v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // D3a — brute-force top-3 cosine neighbors for each of 10 query vectors.
+    "d05_knn_bruteforce" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val q = queriesSet(v)
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      v.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine",
+          cosineWithNorms(dot(col("embedding"), col("qe")), col("nrm"), col("qn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("q_id", "rank", "vec_id", "cosine")
+        .orderBy("q_id", "rank")
+    },
+    // D3b — IVF-style ANN: deterministic centroids (vec_id % 200 == 0),
+    // assign every vector to its nearest centroid, then search only the
+    // query's cell. At scale the cell assignment is the partition key.
+    "d06_knn_ivf" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val cent = v.filter(col("vec_id") % 200 === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+          col("nrm").as("cn"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("c_cos").desc, col("c_id"))
+      val assigned = v.crossJoin(broadcast(cent))
+        .withColumn("c_cos",
+          cosineWithNorms(dot(col("embedding"), col("ce")), col("nrm"), col("cn")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+          col("c_id").as("cell"))
+      val q = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("cell"))
+      val wTop = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      assigned.join(broadcast(q), "cell")
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine",
+          cosineWithNorms(dot(col("embedding"), col("qe")), col("nrm"), col("qn")))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 3)
+        .select("q_id", "cell", "rank", "vec_id", "cosine")
+        .orderBy("q_id", "rank")
+    },
+    // D5 — multimodal column plumbing: text → binary blob → typed
+    // mapPartitions "decode" batch → metadata row. The decode body is a
+    // deterministic STUB (no codecs in this container); schema, encoder,
+    // and partition-wise batch shape are the real thing.
+    "d11_multimodal_decode" -> { (s, dir) =>
+      import s.implicits._
+      val blobs = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        .as[(Long, Array[Byte])]
+      blobs.mapPartitions { it =>
+        it.map { case (id, blob) =>
+          // STUB decode: a real pipeline calls the image/audio codec here.
+          val n = blob.length
+          (id, n, 100 + n % 540, 100 + (n * 7) % 380, n / 100 + 1)
+        }
+      }.toDF("doc_id", "n_bytes", "width", "height", "n_frames")
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d05_knn_bruteforce" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding, ${oNorm("embedding")} AS nrm FROM embeddings),
+         |q AS (SELECT vec_id q_id, embedding qe, nrm qn FROM v WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q_id, vec_id,
+         |         ${oDot("v.embedding", "q.qe")} / (v.nrm * q.qn) AS cosine,
+         |         row_number() OVER (PARTITION BY q_id
+         |           ORDER BY ${oDot("v.embedding", "q.qe")} / (v.nrm * q.qn) DESC,
+         |                    vec_id) AS rank
+         |  FROM v CROSS JOIN q WHERE vec_id != q_id)
+         |SELECT q_id, rank, vec_id, cosine FROM scored
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "d06_knn_ivf" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, embedding, ${oNorm("embedding")} AS nrm FROM embeddings),
+         |cent AS (SELECT vec_id c_id, embedding ce, nrm cn FROM v WHERE vec_id % 200 = 0),
+         |assigned AS (
+         |  SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT v.vec_id, v.embedding, v.nrm, cent.c_id AS cell,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${oDot("v.embedding", "cent.ce")} / (v.nrm * cent.cn) DESC,
+         |                      cent.c_id) AS rn
+         |    FROM v CROSS JOIN cent) x WHERE rn = 1),
+         |q AS (SELECT vec_id q_id, embedding qe, nrm qn, cell
+         |      FROM assigned WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.q_id, a.cell, a.vec_id,
+         |         ${oDot("a.embedding", "q.qe")} / (a.nrm * q.qn) AS cosine,
+         |         row_number() OVER (PARTITION BY q.q_id
+         |           ORDER BY ${oDot("a.embedding", "q.qe")} / (a.nrm * q.qn) DESC,
+         |                    a.vec_id) AS rank
+         |  FROM assigned a JOIN q ON a.cell = q.cell WHERE a.vec_id != q.q_id)
+         |SELECT q_id, cell, rank, vec_id, cosine FROM scored
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "d11_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_bytes,
+        |  CAST(100 + length(text) % 540 AS INT) AS width,
+        |  CAST(100 + (length(text) * 7) % 380 AS INT) AS height,
+        |  CAST(length(text) // 100 + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
