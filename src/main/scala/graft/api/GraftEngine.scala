@@ -1,0 +1,56 @@
+package graft.api
+
+import java.nio.file.Paths
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.catalog.TableCatalog
+
+/** The engine a node execution programs against — the in-process Spark
+  * replacement for the reference's hosted platform (SURVEY.md §0, §3.1).
+  *
+  * One GraftEngine per node execution: it owns the versioned catalog
+  * handle, the node's State (with the execution time budget,
+  * node.py:465-480), and the set of opened table ports, and it flushes
+  * buffered writes at execution end (node.py:407-414).
+  */
+class GraftEngine(
+    val spark: SparkSession,
+    rootDir: String,
+    val nodeId: String = "default",
+    executionLimitMillis: Long = 10 * 60 * 1000L) {
+
+  val catalog = new TableCatalog(Paths.get(rootDir))
+  val state = new State(Paths.get(rootDir).resolve("_state"), nodeId,
+    System.currentTimeMillis(), executionLimitMillis)
+
+  private val opened = mutable.LinkedHashMap.empty[String, Table]
+  private var params: Map[String, Any] = Map.empty
+
+  /** Bind a table port (node.py:117-139). */
+  def table(name: String, mode: String = "r"): Table =
+    opened.getOrElseUpdate(name, new Table(this, name, mode))
+
+  /** Inject node parameters (graph.yml `parameters:` block, B10). */
+  def withParameters(p: Map[String, Any]): GraftEngine = { params = p; this }
+
+  /** Resolve a typed parameter (node.py:516-542). */
+  def parameter[A](p: Parameter[A]): A = p.resolve(params)
+
+  def parameters: Map[String, Any] = params
+
+  /** SQL over any set of catalog tables: register each active version as a
+    * temp view under its sqlName, then delegate to Spark SQL (A4/B2 —
+    * node.py:168-189, create.py:239-244).
+    */
+  def sql(query: String, tables: Seq[String] = Nil): DataFrame = {
+    val names = if (tables.nonEmpty) tables else opened.keys.toSeq
+    names.foreach(n => table(n).read.createOrReplaceTempView(table(n).sqlName))
+    spark.sql(query)
+  }
+
+  /** Execution end: flush every buffered write port (node.py:407-414). */
+  def endExecution(): Unit = opened.values.foreach(_.flush())
+}

@@ -1,0 +1,113 @@
+package graft.api
+
+import java.nio.file.{Files, Path}
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Per-node key→value state persisted across executions (reference
+  * node.py:417-505 — "a wrapper around a Table object" whose rows live in
+  * the backing store; here a JSON document in the catalog root, which keeps
+  * it human-inspectable and O(1)).
+  *
+  * Also carries run control: [[shouldContinue]] is the time-budget guard
+  * (reference node.py:465-480 — ~10-minute hard limit, default stop at 80%
+  * of the limit or 120 s before it, whichever is greater) and
+  * [[requestNewRun]] asks the scheduler for a follow-up execution
+  * (reference node.py:482-500).
+  */
+class State(stateDir: Path, nodeId: String,
+    executionStartMillis: Long = System.currentTimeMillis(),
+    executionLimitMillis: Long = 10 * 60 * 1000L) {
+
+  private val path = stateDir.resolve(s"$nodeId.json")
+  private var cache: Map[String, JValue] = loadFile()
+  private var newRunRequested: Option[NewRunRequest] = None
+
+  private def loadFile(): Map[String, JValue] =
+    if (!Files.exists(path)) Map.empty
+    else JsonMethods.parse(new String(Files.readAllBytes(path), StandardCharsets.UTF_8)) match {
+      case JObject(fields) => fields.toMap
+      case _ => Map.empty
+    }
+
+  private def persist(): Unit = {
+    Files.createDirectories(stateDir)
+    Files.write(path,
+      JsonMethods.compact(JsonMethods.render(JObject(cache.toList: _*)))
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def toJ(v: Any): JValue = v match {
+    case null => JNull
+    case s: String => JString(s)
+    case i: Int => JLong(i.toLong)
+    case l: Long => JLong(l)
+    case d: Double => JDouble(d)
+    case b: Boolean => JBool(b)
+    case t: Instant => JString(t.toString)
+    case seq: Seq[_] => JArray(seq.map(toJ).toList)
+    case m: Map[_, _] => JObject(m.toList.map { case (k, x) => k.toString -> toJ(x) })
+    case other => JString(other.toString)
+  }
+
+  private def fromJ(j: JValue): Any = j match {
+    case JString(s) => s
+    case JLong(l) => l
+    case JInt(i) => i.toLong
+    case JDouble(d) => d
+    case JBool(b) => b
+    case JNull => null
+    case JArray(xs) => xs.map(fromJ)
+    case JObject(fs) => fs.map { case (k, v) => k -> fromJ(v) }.toMap
+    case _ => null
+  }
+
+  /** node.py:423-431 set — store a value for this key. */
+  def set(key: String, value: Any): Unit = { cache += key -> toJ(value); persist() }
+
+  /** node.py:433-443 get — whole-state or per-key access. */
+  def get(key: String): Option[Any] = cache.get(key).map(fromJ)
+
+  def getValue(key: String, default: Any = null): Any =
+    get(key).getOrElse(default)
+
+  /** node.py:451-463 get_datetime — value parsed as a timestamp. */
+  def getDatetime(key: String): Option[Instant] = get(key).map {
+    case s: String => Instant.parse(s)
+    case l: Long => Instant.ofEpochMilli(l)
+    case other => Instant.parse(other.toString)
+  }
+
+  /** Remove a single key. */
+  def remove(key: String): Unit = { cache -= key; persist() }
+
+  /** node.py:502-505 reset — clear all state for this node. */
+  def reset(): Unit = { cache = Map.empty; persist() }
+
+  /** node.py:465-480 should_continue. */
+  def shouldContinue(pctOfLimit: Option[Double] = None,
+      secondsTillLimit: Option[Long] = None): Boolean = {
+    val elapsed = System.currentTimeMillis() - executionStartMillis
+    val stopAt = (pctOfLimit, secondsTillLimit) match {
+      case (Some(p), _) => (executionLimitMillis * p).toLong
+      case (None, Some(s)) => executionLimitMillis - s * 1000L
+      case (None, None) =>
+        // default: 80% of limit or 120 s before it, whichever is GREATER
+        math.max((executionLimitMillis * 0.8).toLong, executionLimitMillis - 120000L)
+    }
+    elapsed < stopAt
+  }
+
+  /** node.py:482-500 request_new_run. */
+  def requestNewRun(triggerDownstream: Boolean = true,
+      waitAtleastSeconds: Option[Long] = None): Unit =
+    newRunRequested = Some(NewRunRequest(triggerDownstream, waitAtleastSeconds))
+
+  /** Read by the graph runner after the node returns. */
+  def pendingNewRun: Option[NewRunRequest] = newRunRequested
+}
+
+case class NewRunRequest(triggerDownstream: Boolean, waitAtleastSeconds: Option[Long])

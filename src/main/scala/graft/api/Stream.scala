@@ -1,0 +1,85 @@
+package graft.api
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Stateful exactly-once cursor over a Table (reference node.py:18-81):
+  * consume each record at most once, in the total order of `orderBy`, with
+  * progress persisted across executions via node State.
+  *
+  * Semantics reproduced faithfully (SURVEY.md §7.4.1):
+  *   - the cursor is strictly-greater-than: `seek(v)` consumes records with
+  *     order value strictly above v (node.py:71-76), so a record sorting at
+  *     or below the cursor is never seen again — late data is dropped, by
+  *     design; ties on a non-unique orderBy can skip rows, which is exactly
+  *     why the monotonic-id schema role exists (node.py:286-294);
+  *   - records are marked consumed as they are yielded (node.py:40-52);
+  *   - `checkpoint` persists, `rollback` reverts to the last persisted
+  *     position (execution start or last checkpoint), `rewind` restarts
+  *     from the beginning (node.py:54-68).
+  *
+  * Scale: the plan is filter(orderBy > cursor) + orderBy — the filter
+  * reaches the parquet scan (min/max pruning skips fully-consumed files
+  * when versions are written sorted on the cursor column), and only one
+  * partition at a time is resident driver-side via toLocalIterator.
+  */
+class Stream(table: Table, val orderByField: String, state: State,
+    startingValue: Option[Any] = None) {
+
+  private val stateKey = s"stream::${table.name}::$orderByField"
+
+  /** In-memory consumption position; persisted only on checkpoint. */
+  private var cursor: Option[Any] = startingValue.orElse(loadPersisted())
+
+  private def loadPersisted(): Option[Any] =
+    state.get(stateKey).filter(_ != null)
+
+  private def plan() = {
+    val base = table.read
+    val filtered = cursor match {
+      case Some(v) => base.filter(col(orderByField) > lit(v))
+      case None => base
+    }
+    filtered.orderBy(col(orderByField).asc)
+  }
+
+  /** Iterate unconsumed records in order, advancing the in-memory cursor as
+    * each row is yielded (node.py:40-52).
+    */
+  def consumeRecords(): Iterator[Row] = {
+    import scala.jdk.CollectionConverters._
+    val it = plan().toLocalIterator().asScala
+    new Iterator[Row] {
+      def hasNext: Boolean = it.hasNext
+      def next(): Row = {
+        val r = it.next()
+        cursor = Some(r.getAs[Any](orderByField))
+        r
+      }
+    }
+  }
+
+  /** Persist consumption progress (node.py:54-58). */
+  def checkpoint(): Unit = cursor.foreach(v => state.set(stateKey, normalize(v)))
+
+  /** Revert to execution start / last checkpoint (node.py:60-63). */
+  def rollback(): Unit = cursor = loadPersisted()
+
+  /** Restart from the beginning of the stream (node.py:65-68). */
+  def rewind(): Unit = { cursor = None; state.remove(stateKey) }
+
+  /** Position the cursor: consume records strictly greater than `value`
+    * (node.py:70-76).
+    */
+  def seek(value: Any): Unit = cursor = Some(value)
+
+  /** Current position (for tests / introspection). */
+  def position: Option[Any] = cursor
+
+  /** JSON-persistable cursor value. */
+  private def normalize(v: Any): Any = v match {
+    case t: java.sql.Timestamp => t.toInstant.toString
+    case d: java.sql.Date => d.toString
+    case other => other
+  }
+}

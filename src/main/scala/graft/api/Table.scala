@@ -1,0 +1,264 @@
+package graft.api
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+import graft.catalog.TableCatalog
+
+/** Named, versioned table port (reference node.py:117-414).
+  *
+  * Storage: one parquet directory per version under the catalog root; the
+  * manifest's active pointer picks the readable version. Reads are plain
+  * `spark.read.parquet` on the active dir (full Catalyst pushdown/pruning);
+  * writes are buffered and flushed as parquet appends (node.py:306-307,
+  * :407-414); upsert/replace/truncate are copy-on-write into a fresh
+  * version + pointer swap, so readers of the old version are never torn.
+  *
+  * 100 TB note: every data operation is a Spark job over the version dir —
+  * nothing row-sized crosses the driver except explicit `readRecords`.
+  * Upsert rewrites the table (O(table) per call, SURVEY.md §7.4); the
+  * mitigation path at scale is partition-level rewrite on a bucketed
+  * layout, which the anti-join+union plan here already parallelizes.
+  */
+class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
+  import engine.spark
+  private val catalog: TableCatalog = engine.catalog
+  private val buffer = ArrayBuffer.empty[DataFrame]
+
+  val createdCol = "created_at"
+  val monotonicCol = "monotonic_id"
+
+  // --- introspection (node.py:232-267) ---
+
+  def manifest = catalog.loadOrCreate(name)
+
+  /** Temp-view name this table registers under for SQL (node.py:240-246). */
+  def sqlName: String = name
+
+  def hasActiveVersion: Boolean = manifest.activeVersion.isDefined
+
+  def exists: Boolean = hasActiveVersion && activeFiles.nonEmpty
+
+  def schema: Option[StructType] = activeDf.map(_.schema)
+
+  def recordCount: Option[Long] = activeDf.map(_.count())
+
+  private def activeFiles: Array[java.io.File] =
+    manifest.activeVersion.toArray.flatMap { vid =>
+      val d = catalog.versionDir(name, vid).toFile
+      if (d.exists) d.listFiles(f => f.getName.endsWith(".parquet")) else Array.empty[java.io.File]
+    }
+
+  private def activeDf: Option[DataFrame] =
+    manifest.activeVersion.filter(_ => activeFiles.nonEmpty)
+      .map(vid => spark.read.option("mergeSchema", "true")
+        .parquet(catalog.versionDir(name, vid).toString))
+
+  // --- read surface (node.py:141-189) ---
+
+  /** Full scan of the active version (node.py:156-166). */
+  def read: DataFrame =
+    activeDf.getOrElse(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], new StructType()))
+
+  /** Row-iterator form of read (node.py:141-154 "records"); stays lazy via
+    * toLocalIterator so only one partition is resident on the driver.
+    */
+  def readRecords: Iterator[Row] = {
+    import scala.jdk.CollectionConverters._
+    read.toLocalIterator().asScala
+  }
+
+  /** Arbitrary SQL over this table, referenced by its sqlName
+    * (node.py:168-189); opens the whole Spark SQL surface.
+    */
+  def readSql(sql: String): DataFrame = {
+    read.createOrReplaceTempView(sqlName)
+    spark.sql(sql)
+  }
+
+  // --- write surface (node.py:269-414) ---
+
+  /** Declare schema roles at version creation (node.py:269-297). */
+  def init(
+      schemaHints: Map[String, String] = Map.empty,
+      uniqueOn: Seq[String] = Nil,
+      addCreated: Boolean = false,
+      addMonotonicId: Boolean = false,
+      autoIndexes: Boolean = true): Table = {
+    catalog.updateMeta(name)(m => m.copy(
+      schemaHints = m.schemaHints ++ schemaHints,
+      uniqueOn = if (uniqueOn.nonEmpty) uniqueOn.toList else m.uniqueOn,
+      addCreated = addCreated || m.addCreated,
+      addMonotonicId = addMonotonicId || m.addMonotonicId,
+      autoIndexes = autoIndexes))
+    this
+  }
+
+  /** Buffered insert (node.py:299-316); data hits disk on [[flush]] or at
+    * execution end (GraftEngine.endExecution).
+    */
+  def append(df: DataFrame): Unit = buffer += df
+
+  /** Force buffered writes to the active version (node.py:407-414). */
+  def flush(): Unit = if (buffer.nonEmpty) {
+    val batch = buffer.reduce(_.unionByName(_, allowMissingColumns = true))
+    buffer.clear()
+    val isNew = manifest.activeVersion.isEmpty
+    val vid = manifest.activeVersion.getOrElse {
+      val (_, v) = catalog.createVersion(name)
+      catalog.setActive(name, Some(v), "create")
+      v
+    }
+    decorate(conform(batch)).write.mode(SaveMode.Append)
+      .parquet(catalog.versionDir(name, vid).toString)
+    if (!isNew) catalog.recordEvent(name, "update")
+  }
+
+  /** Insert-or-update on the unique key (node.py:318-334): anti-join the
+    * active version against incoming keys, union, write a new version
+    * (copy-on-write MERGE; last-writer-wins per key).
+    */
+  def upsert(df: DataFrame): Unit = {
+    flush()
+    val keys = manifest.meta.uniqueOn
+    require(keys.nonEmpty, s"upsert on '$name' requires unique_on (node.py:323)")
+    val incoming = decorate(conform(df.dropDuplicates(keys)))
+    val merged = activeDf match {
+      case Some(active) =>
+        val kept = active.join(incoming, keys, "left_anti")
+        incoming.unionByName(kept, allowMissingColumns = true)
+      case None => incoming
+    }
+    writeNewVersion(merged, if (hasActiveVersion) "update" else "create")
+  }
+
+  /** New version containing only these records (node.py:336-345 —
+    * "reset() then append(records)").
+    */
+  def replace(df: DataFrame): Unit = {
+    buffer.clear()
+    catalog.recordEvent(name, "reset")
+    writeNewVersion(decorate(df), "create")
+  }
+
+  /** Delete all rows, keep schema (node.py:347-354). */
+  def truncate(): Unit = {
+    buffer.clear()
+    val empty = activeDf match {
+      case Some(df) => df.limit(0)
+      case None => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], new StructType())
+    }
+    writeNewVersion(empty, "update")
+  }
+
+  /** Active pointer := fresh null version; old data stays on disk until
+    * GC'd per retention policy (node.py:399-405, :216-222).
+    */
+  def reset(): Unit = {
+    buffer.clear()
+    val (_, vid) = catalog.createVersion(name)
+    catalog.setActive(name, Some(vid), "reset")
+  }
+
+  /** Arbitrary DDL/DML scoped to this table (node.py:356-373); the parsed
+    * plan's root classifies create-vs-modify for event emission
+    * (node.py:360-362).
+    */
+  def executeSql(sql: String): DataFrame = {
+    if (hasActiveVersion) read.createOrReplaceTempView(sqlName)
+    val planClass = spark.sessionState.sqlParser.parsePlan(sql).getClass.getSimpleName
+    val result = spark.sql(sql)
+    if (planClass.toLowerCase.contains("create")) signalCreate()
+    else signalUpdate()
+    result
+  }
+
+  // --- version ops + signals (node.py:224-230, :375-397) ---
+
+  def createNewVersion(): String = catalog.createVersion(name)._2
+  def getActiveVersion: Option[String] = manifest.activeVersion
+  def setActiveVersion(vid: String): Unit = catalog.setActive(name, Some(vid), "update")
+  def signalCreate(): Unit = catalog.recordEvent(name, "create")
+  def signalUpdate(): Unit = catalog.recordEvent(name, "update")
+  def signalReset(): Unit = catalog.recordEvent(name, "reset")
+
+  /** Ordered exactly-once cursor over this table (node.py:191-214).
+    * Default ordering: the strictly-monotonic id role if declared, else the
+    * created role, else error (node.py:196-200).
+    */
+  def asStream(orderBy: String = null, startingValue: Option[Any] = None): Stream = {
+    val meta = manifest.meta
+    val ob = Option(orderBy).getOrElse {
+      if (meta.addMonotonicId) monotonicCol
+      else if (meta.addCreated) createdCol
+      else throw new IllegalArgumentException(
+        s"stream over '$name' needs order_by or a monotonic/created schema role (node.py:196-200)")
+    }
+    new Stream(this, ob, engine.state, startingValue)
+  }
+
+  // --- write-path helpers ---
+
+  /** Schema-on-write conformance (node.py:303-304 + SURVEY.md §7.4.3):
+    * cast columns shared with the active schema to the existing type
+    * (safe-widen policy), apply declared schema_hints, pass new columns
+    * through (read side merges schemas).
+    */
+  private def conform(df: DataFrame): DataFrame = {
+    val hinted = manifest.meta.schemaHints.foldLeft(df) { case (d, (c, ty)) =>
+      if (d.columns.contains(c)) d.withColumn(c, col(c).cast(ty)) else d
+    }
+    schema match {
+      case Some(existing) =>
+        existing.fields.foldLeft(hinted) { (d, f) =>
+          if (d.columns.contains(f.name) && !f.name.equals(monotonicCol))
+            d.withColumn(f.name, col(f.name).cast(f.dataType))
+          else d
+        }
+      case None => hinted
+    }
+  }
+
+  /** Auto-column decoration (node.py:286-294): created timestamp and the
+    * strictly-monotonic base32 id backed by the catalog high-water mark
+    * (monotonically_increasing_id alone is neither dense nor stable across
+    * executions — SURVEY.md §4.3).
+    */
+  private def decorate(df: DataFrame): DataFrame = {
+    val meta = manifest.meta
+    val withCreated =
+      if (meta.addCreated && !df.columns.contains(createdCol))
+        df.withColumn(createdCol, current_timestamp())
+      else df
+    if (meta.addMonotonicId && !withCreated.columns.contains(monotonicCol)) {
+      val n = withCreated.count()
+      val start = catalog.reserveIds(name, n)
+      val schema2 = withCreated.schema.add(monotonicCol, StringType)
+      val rdd = withCreated.rdd.zipWithIndex().map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ Table.base32(start + i + 1))
+      }
+      spark.createDataFrame(rdd, schema2)
+    } else withCreated
+  }
+
+  private def writeNewVersion(df: DataFrame, eventKind: String): Unit = {
+    val (_, vid) = catalog.createVersion(name)
+    df.write.mode(SaveMode.Overwrite).parquet(catalog.versionDir(name, vid).toString)
+    catalog.setActive(name, Some(vid), eventKind)
+  }
+}
+
+object Table {
+  /** 13-char zero-padded base32: lexicographic order == numeric order
+    * (node.py:291-294 "unique, strictly monotonically increasing base32
+    * string").
+    */
+  def base32(v: Long): String = {
+    val s = java.lang.Long.toString(v, 32)
+    "0" * (13 - s.length) + s
+  }
+}

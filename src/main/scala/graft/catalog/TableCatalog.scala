@@ -1,0 +1,150 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.charset.StandardCharsets
+
+import org.json4s._
+import org.json4s.jackson.Serialization
+
+/** One concrete materialization of a table (reference node.py:84-114):
+  * a parquet directory under the table dir, identified by `id`.
+  */
+case class VersionInfo(id: String, createdAt: Long)
+
+/** Catalog event log entry (reference node.py:387-397 signal_create/update/
+  * reset) — drives downstream node triggering in the graph runner.
+  */
+case class TableEvent(kind: String, versionId: String, at: Long)
+
+/** Schema-role metadata declared via Table.init (reference node.py:269-297):
+  * upsert key, per-field type hints, auto-created/auto-id columns, and the
+  * persisted high-water mark backing the strictly-monotonic id column.
+  */
+case class TableMeta(
+    uniqueOn: List[String] = Nil,
+    schemaHints: Map[String, String] = Map.empty,
+    addCreated: Boolean = false,
+    addMonotonicId: Boolean = false,
+    autoIndexes: Boolean = true,
+    highWaterMark: Long = 0L)
+
+/** Per-table manifest: active-version pointer + version/event history
+  * (reference node.py:87-89 — one-or-zero active versions per table).
+  */
+case class TableManifest(
+    name: String,
+    activeVersion: Option[String],
+    versions: List[VersionInfo],
+    events: List[TableEvent],
+    meta: TableMeta,
+    versionCounter: Long = 0L)
+
+/** Versioned parquet catalog — the engine-side replacement for the hosted
+  * platform's table store (SURVEY.md §1.1, §4.3).
+  *
+  * Layout: `<root>/<table>/manifest.json` + `<root>/<table>/<versionId>/`
+  * (parquet dir per version). All operations are metadata-only and O(1) in
+  * data size: at 100 TB the manifest stays a few KB — data never moves
+  * through the driver; only Spark jobs touch the version directories.
+  *
+  * Old versions stay on disk after reset/replace "until garbage collected
+  * according to the table's retention policy" (reference node.py:403-404);
+  * [[gc]] implements the retention sweep.
+  */
+class TableCatalog(val root: Path) {
+  private implicit val fmts: Formats = DefaultFormats
+
+  Files.createDirectories(root)
+
+  def tableDir(name: String): Path = root.resolve(name)
+  def versionDir(name: String, vid: String): Path = tableDir(name).resolve(vid)
+  private def manifestPath(name: String): Path = tableDir(name).resolve("manifest.json")
+
+  def exists(name: String): Boolean = Files.exists(manifestPath(name))
+
+  def load(name: String): Option[TableManifest] =
+    if (!exists(name)) None
+    else Some(Serialization.read[TableManifest](
+      new String(Files.readAllBytes(manifestPath(name)), StandardCharsets.UTF_8)))
+
+  def loadOrCreate(name: String): TableManifest = synchronized {
+    load(name).getOrElse {
+      val m = TableManifest(name, None, Nil, Nil, TableMeta())
+      save(m); m
+    }
+  }
+
+  def save(m: TableManifest): Unit = synchronized {
+    Files.createDirectories(tableDir(m.name))
+    val tmp = tableDir(m.name).resolve("manifest.json.tmp")
+    Files.write(tmp, Serialization.write(m).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(m.name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Mint a new (not-yet-active) version; returns (manifest, versionId). */
+  def createVersion(name: String): (TableManifest, String) = synchronized {
+    val m = loadOrCreate(name)
+    val vid = f"v${m.versionCounter + 1}%06d"
+    val m2 = m.copy(
+      versions = m.versions :+ VersionInfo(vid, System.currentTimeMillis()),
+      versionCounter = m.versionCounter + 1)
+    Files.createDirectories(versionDir(name, vid))
+    save(m2)
+    (m2, vid)
+  }
+
+  /** Swap the active pointer and append the triggering event. */
+  def setActive(name: String, vid: Option[String], eventKind: String): TableManifest =
+    synchronized {
+      val m = loadOrCreate(name)
+      val m2 = m.copy(
+        activeVersion = vid,
+        events = m.events :+ TableEvent(eventKind, vid.getOrElse(""), System.currentTimeMillis()))
+      save(m2); m2
+    }
+
+  def recordEvent(name: String, kind: String): TableManifest = synchronized {
+    val m = loadOrCreate(name)
+    val m2 = m.copy(events = m.events :+
+      TableEvent(kind, m.activeVersion.getOrElse(""), System.currentTimeMillis()))
+    save(m2); m2
+  }
+
+  def updateMeta(name: String)(f: TableMeta => TableMeta): TableManifest = synchronized {
+    val m = loadOrCreate(name)
+    val m2 = m.copy(meta = f(m.meta))
+    save(m2); m2
+  }
+
+  /** Reserve `n` monotonic ids; returns the first reserved value
+    * (exclusive high-water-mark semantics — reference node.py:291-294).
+    */
+  def reserveIds(name: String, n: Long): Long = synchronized {
+    val m = loadOrCreate(name)
+    val start = m.meta.highWaterMark
+    save(m.copy(meta = m.meta.copy(highWaterMark = start + n)))
+    start
+  }
+
+  /** Retention sweep: delete version dirs that are not active and older
+    * than `keepMillis` (reference node.py:403-404 "garbage collected
+    * according to the table's retention policy").
+    */
+  def gc(name: String, keepMillis: Long): Int = synchronized {
+    val m = loadOrCreate(name)
+    val cutoff = System.currentTimeMillis() - keepMillis
+    val (dead, live) = m.versions.partition(v =>
+      !m.activeVersion.contains(v.id) && v.createdAt < cutoff)
+    dead.foreach { v =>
+      val dir = versionDir(name, v.id)
+      if (Files.exists(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
+    save(m.copy(versions = live))
+    dead.size
+  }
+}

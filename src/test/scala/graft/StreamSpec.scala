@@ -1,0 +1,108 @@
+package graft
+
+import graft.api.GraftEngine
+
+/** Stream cursor laws (SURVEY.md §5.2.1/§7.4.1, reference node.py:18-81). */
+class StreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def engineWithEvents(n: Int): GraftEngine = {
+    val e = new GraftEngine(spark, freshRoot(), nodeId = "consumer")
+    val t = e.table("ev", "w")
+    t.append((1 to n).map(i => (i.toLong, s"e$i")).toDF("seq", "payload"))
+    t.flush()
+    e
+  }
+
+  test("consume yields all records in order; cursor advances per yielded row") {
+    val e = engineWithEvents(5)
+    val st = e.table("ev").asStream(orderBy = "seq")
+    val got = st.consumeRecords().map(_.getAs[Long]("seq")).toList
+    assert(got == List(1L, 2L, 3L, 4L, 5L))
+    assert(st.position == Some(5L))
+  }
+
+  test("exactly-once across executions via checkpoint") {
+    val e1 = engineWithEvents(5)
+    val root = e1.catalog.root.toString
+    val st1 = e1.table("ev").asStream(orderBy = "seq")
+    st1.consumeRecords().take(3).foreach(_ => ())
+    st1.checkpoint()
+    // new execution, same node + state dir
+    val e2 = new GraftEngine(spark, root, nodeId = "consumer")
+    val st2 = e2.table("ev").asStream(orderBy = "seq")
+    val got = st2.consumeRecords().map(_.getAs[Long]("seq")).toList
+    assert(got == List(4L, 5L))
+  }
+
+  test("uncheckpointed progress is lost on a new execution (rollback-on-crash)") {
+    val e1 = engineWithEvents(4)
+    val root = e1.catalog.root.toString
+    e1.table("ev").asStream(orderBy = "seq").consumeRecords()
+      .take(2).foreach(_ => ())  // no checkpoint
+    val e2 = new GraftEngine(spark, root, nodeId = "consumer")
+    val got = e2.table("ev").asStream(orderBy = "seq")
+      .consumeRecords().map(_.getAs[Long]("seq")).toList
+    assert(got == List(1L, 2L, 3L, 4L))
+  }
+
+  test("rollback reverts to last checkpoint inside one execution") {
+    val e = engineWithEvents(6)
+    val st = e.table("ev").asStream(orderBy = "seq")
+    st.consumeRecords().take(2).foreach(_ => ())
+    st.checkpoint()                                  // at 2
+    st.consumeRecords().take(2).foreach(_ => ())     // at 4, unpersisted
+    st.rollback()
+    val got = st.consumeRecords().map(_.getAs[Long]("seq")).toList
+    assert(got == List(3L, 4L, 5L, 6L))
+  }
+
+  test("rewind restarts from the beginning") {
+    val e = engineWithEvents(3)
+    val st = e.table("ev").asStream(orderBy = "seq")
+    st.consumeRecords().foreach(_ => ())
+    st.checkpoint()
+    st.rewind()
+    val got = st.consumeRecords().map(_.getAs[Long]("seq")).toList
+    assert(got == List(1L, 2L, 3L))
+  }
+
+  test("seek consumes strictly greater than the given value (node.py:71-76)") {
+    val e = engineWithEvents(5)
+    val st = e.table("ev").asStream(orderBy = "seq")
+    st.seek(3L)
+    val got = st.consumeRecords().map(_.getAs[Long]("seq")).toList
+    assert(got == List(4L, 5L))
+  }
+
+  test("late data below the cursor is never seen again (strictly-> semantics)") {
+    val e = engineWithEvents(3)
+    val t = e.table("ev")
+    val st = t.asStream(orderBy = "seq")
+    st.consumeRecords().foreach(_ => ())
+    st.checkpoint()
+    t.append(Seq((2L, "late"), (9L, "new")).toDF("seq", "payload")); t.flush()
+    val st2 = e.table("ev").asStream(orderBy = "seq")
+    val got = st2.consumeRecords().map(_.getAs[Long]("seq")).toList
+    assert(got == List(9L))   // seq=2 arrived late: dropped by design
+  }
+
+  test("default ordering resolves from schema roles, else errors (node.py:196-200)") {
+    val e = new GraftEngine(spark, freshRoot())
+    val bare = e.table("bare", "w")
+    bare.append(Seq((1L, "x")).toDF("id", "v")); bare.flush()
+    assertThrows[IllegalArgumentException] { bare.asStream() }
+    val auto = e.table("auto", "w").init(addMonotonicId = true)
+    auto.append(Seq((1L, "x")).toDF("id", "v")); auto.flush()
+    assert(auto.asStream().orderByField == "monotonic_id")
+  }
+
+  test("consume . rewind . consume == consume twice (idempotent restart)") {
+    val e = engineWithEvents(4)
+    val st = e.table("ev").asStream(orderBy = "seq")
+    val first = st.consumeRecords().map(_.getAs[Long]("seq")).toList
+    st.rewind()
+    val second = st.consumeRecords().map(_.getAs[Long]("seq")).toList
+    assert(first == second)
+  }
+}

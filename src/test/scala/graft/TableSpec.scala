@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftEngine
+
+/** Version + write semantics (SURVEY.md §1.3, reference node.py:299-414). */
+class TableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def engine() = new GraftEngine(spark, freshRoot())
+
+  test("append is buffered until flush, then readable") {
+    val e = engine()
+    val t = e.table("t1", "w")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(!t.exists)            // buffered, nothing on disk yet
+    t.flush()
+    assert(t.exists)
+    assert(t.read.count() == 2)
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    t.flush()
+    assert(t.read.count() == 3)  // append accumulates in the same version
+    assert(t.getActiveVersion == Some("v000001"))
+  }
+
+  test("endExecution flushes all buffered ports") {
+    val e = engine()
+    val t = e.table("t2", "w")
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    e.endExecution()
+    assert(t.read.count() == 1)
+  }
+
+  test("replace creates a new version with only the given records") {
+    val e = engine()
+    val t = e.table("t3", "w")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v")); t.flush()
+    val v1 = t.getActiveVersion.get
+    t.replace(Seq((9L, "z")).toDF("id", "v"))
+    assert(t.getActiveVersion.get != v1)
+    assert(t.read.as[(Long, String)].collect().toSet == Set((9L, "z")))
+    // old version data still on disk until GC (node.py:403-404)
+    assert(e.catalog.versionDir("t3", v1).toFile.exists)
+  }
+
+  test("truncate keeps schema, deletes rows") {
+    val e = engine()
+    val t = e.table("t4", "w")
+    t.append(Seq((1L, "a")).toDF("id", "v")); t.flush()
+    t.truncate()
+    assert(t.read.count() == 0)
+    assert(t.schema.get.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("reset points at a fresh null version") {
+    val e = engine()
+    val t = e.table("t5", "w")
+    t.append(Seq((1L, "a")).toDF("id", "v")); t.flush()
+    t.reset()
+    assert(t.hasActiveVersion)
+    assert(!t.exists)
+    assert(t.read.count() == 0)
+  }
+
+  test("upsert inserts new keys and updates existing ones (last-writer-wins)") {
+    val e = engine()
+    val t = e.table("t6", "w").init(uniqueOn = Seq("id"))
+    t.upsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.upsert(Seq((2L, "B2"), (3L, "c")).toDF("id", "v"))
+    val got = t.read.as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+  }
+
+  test("upsert is idempotent") {
+    val e = engine()
+    val t = e.table("t7", "w").init(uniqueOn = Seq("id"))
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    t.upsert(df); t.upsert(df)
+    assert(t.read.count() == 2)
+  }
+
+  test("upsert without unique_on fails") {
+    val e = engine()
+    val t = e.table("t8", "w")
+    assertThrows[IllegalArgumentException] {
+      t.upsert(Seq((1L, "a")).toDF("id", "v"))
+    }
+  }
+
+  test("schema conformance: later appends cast to first-write types and may add columns") {
+    val e = engine()
+    val t = e.table("t9", "w")
+    t.append(Seq((1L, 1.5)).toDF("id", "x")); t.flush()
+    t.append(Seq((2, 2, "extra")).toDF("id", "x", "note")); t.flush()  // int -> long, int -> double
+    val s = t.read.schema
+    assert(s("id").dataType.typeName == "long")
+    assert(s("x").dataType.typeName == "double")
+    assert(s.fieldNames.contains("note"))
+    assert(t.read.count() == 2)
+  }
+
+  test("schema_hints cast on write (node.py:283)") {
+    val e = engine()
+    val t = e.table("t10", "w").init(schemaHints = Map("id" -> "string"))
+    t.append(Seq((1, "a")).toDF("id", "v")); t.flush()
+    assert(t.read.schema("id").dataType.typeName == "string")
+  }
+
+  test("add_created and add_monotonic_id decorate writes; ids are strictly increasing base32 across batches") {
+    val e = engine()
+    val t = e.table("t11", "w").init(addCreated = true, addMonotonicId = true)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v")); t.flush()
+    t.append(Seq((3L, "c")).toDF("id", "v")); t.flush()
+    val rows = t.read.orderBy("id").collect()
+    assert(rows.forall(r => r.getAs[java.sql.Timestamp]("created_at") != null))
+    val ids = rows.map(_.getAs[String]("monotonic_id"))
+    assert(ids.length == 3 && ids.distinct.length == 3)
+    assert(ids.sorted.toSeq == ids.toSeq)  // lexicographic == insertion order
+    assert(ids.forall(_.length == 13))
+  }
+
+  test("events log create/update/reset for downstream triggering (node.py:387-397)") {
+    val e = engine()
+    val t = e.table("t12", "w")
+    t.append(Seq((1L, "a")).toDF("id", "v")); t.flush()   // create
+    t.append(Seq((2L, "b")).toDF("id", "v")); t.flush()   // update
+    t.reset()                                             // reset
+    val kinds = t.manifest.events.map(_.kind)
+    assert(kinds == List("create", "update", "reset"))
+  }
+
+  test("read_sql runs arbitrary SQL against the table's sqlName (node.py:168-189)") {
+    val e = engine()
+    val t = e.table("sales", "w")
+    t.append(Seq(("x", 10.0), ("x", 5.0), ("y", 1.0)).toDF("k", "amt")); t.flush()
+    val out = t.readSql("SELECT k, SUM(amt) AS s FROM sales GROUP BY k ORDER BY k")
+      .as[(String, Double)].collect().toSeq
+    assert(out == Seq(("x", 15.0), ("y", 1.0)))
+  }
+
+  test("gc removes non-active expired versions") {
+    val e = engine()
+    val t = e.table("t13", "w")
+    t.append(Seq((1L, "a")).toDF("id", "v")); t.flush()
+    val v1 = t.getActiveVersion.get
+    t.replace(Seq((2L, "b")).toDF("id", "v"))
+    val removed = e.catalog.gc("t13", keepMillis = -1000)  // everything non-active expires
+    assert(removed == 1)
+    assert(!e.catalog.versionDir("t13", v1).toFile.exists)
+    assert(t.read.count() == 1)
+  }
+}
