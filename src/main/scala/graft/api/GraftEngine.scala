@@ -28,10 +28,18 @@ class GraftEngine(
 
   private val opened = mutable.LinkedHashMap.empty[String, Table]
   private var params: Map[String, Any] = Map.empty
+  private var bindings: Map[String, String] = Map.empty
 
-  /** Bind a table port (node.py:117-139). */
-  def table(name: String, mode: String = "r"): Table =
-    opened.getOrElseUpdate(name, new Table(this, name, mode))
+  /** Bind a table port (node.py:117-139); the port name resolves through
+    * the node's graph bindings to a physical store (B8, edit.py:104-107).
+    */
+  def table(name: String, mode: String = "r"): Table = {
+    val store = bindings.getOrElse(name, name)
+    opened.getOrElseUpdate(store, new Table(this, store, mode))
+  }
+
+  /** Install port→store bindings from graph config (B8). */
+  def withBindings(b: Map[String, String]): GraftEngine = { bindings = b; this }
 
   /** Inject node parameters (graph.yml `parameters:` block, B10). */
   def withParameters(p: Map[String, Any]): GraftEngine = { params = p; this }

@@ -1,0 +1,147 @@
+package graft.graph
+
+import java.nio.file.{Files, Path}
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+
+/** One `functions:` entry (reference edit.py:101-200): a python/sql/
+  * subgraph node (`node_file`), webhook, or reusable component (`uses`).
+  */
+case class NodeConfig(
+    id: String,
+    title: Option[String],
+    nodeFile: Option[String],
+    webhook: Option[String],
+    uses: Option[String],
+    trigger: Option[String],
+    inputs: Map[String, String],
+    outputs: Map[String, String],
+    parameters: Map[String, Any]) {
+  def isSql: Boolean = nodeFile.exists(_.endsWith(".sql"))
+  def isSubgraph: Boolean = nodeFile.exists(_.endsWith("graph.yml"))
+  def isWebhook: Boolean = webhook.isDefined
+  /** All stores this node reads / writes. */
+  def inputStores: Set[String] = inputs.values.toSet
+  def outputStores: Set[String] =
+    outputs.values.toSet ++ webhook.toSet
+}
+
+/** One `stores:` entry (reference edit.py:128-154): `table:` or `stream:`. */
+case class StoreConfig(name: String, kind: String, id: Option[String], schema: Option[String])
+
+/** Parsed graph.yml (reference edit.py:19-232; shape per FIXTURES.md §1). */
+case class GraphConfig(
+    title: Option[String],
+    slug: Option[String],
+    exposes: Map[String, Seq[String]],
+    functions: Seq[NodeConfig],
+    stores: Seq[StoreConfig])
+
+/** graph.yml parser + subgraph flattener (reference lookup.py:213-250,
+  * create.py:126, edit.py:296-304 — nested graphs get id-prefixed and
+  * inlined into the parent DAG).
+  */
+object GraphLoader {
+  private val mapper = new ObjectMapper(new YAMLFactory())
+
+  /** 8-char base-36 node id (reference helpers.py:128-132). */
+  def newId(rng: scala.util.Random = new scala.util.Random()): String = {
+    val chars = "abcdefghijklmnopqrstuvwxyz0123456789"
+    (1 to 8).map(_ => chars(rng.nextInt(chars.length))).mkString
+  }
+
+  def parse(yaml: String): GraphConfig = {
+    val root = Option(mapper.readValue(yaml, classOf[java.util.Map[String, Object]]))
+      .map(_.asScala.toMap).getOrElse(Map.empty)
+
+    def str(m: Map[String, Any], k: String): Option[String] =
+      m.get(k).collect { case s: String => s; case other if other != null => other.toString }
+
+    def strMap(m: Map[String, Any], k: String): Map[String, String] =
+      m.get(k) match {
+        case Some(j: java.util.Map[_, _]) =>
+          j.asScala.map { case (a, b) => a.toString -> b.toString }.toMap
+        case _ => Map.empty
+      }
+
+    def anyMap(m: Map[String, Any], k: String): Map[String, Any] =
+      m.get(k) match {
+        case Some(j: java.util.Map[_, _]) =>
+          j.asScala.map { case (a, b) => a.toString -> (b: Any) }.toMap
+        case _ => Map.empty
+      }
+
+    // `functions:` is authoritative; accept legacy `nodes:` (lookup.py:128).
+    val fnList = root.get("functions").orElse(root.get("nodes")) match {
+      case Some(l: java.util.List[_]) =>
+        l.asScala.toSeq.collect { case m: java.util.Map[_, _] =>
+          val n = m.asScala.map { case (a, b) => a.toString -> (b: Any) }.toMap
+          NodeConfig(
+            id = str(n, "id").getOrElse(newId()),
+            title = str(n, "title"),
+            nodeFile = str(n, "node_file"),
+            webhook = str(n, "webhook"),
+            uses = str(n, "uses"),
+            trigger = str(n, "trigger"),
+            inputs = strMap(n, "inputs"),
+            outputs = strMap(n, "outputs"),
+            parameters = anyMap(n, "parameters"))
+        }
+      case _ => Seq.empty
+    }
+
+    val storeList = root.get("stores") match {
+      case Some(l: java.util.List[_]) =>
+        l.asScala.toSeq.collect { case m: java.util.Map[_, _] =>
+          val s = m.asScala.map { case (a, b) => a.toString -> (b: Any) }.toMap
+          val (name, kind) = str(s, "table") match {
+            case Some(t) => (t, "table")
+            case None => (str(s, "stream").getOrElse(
+              throw new IllegalArgumentException("store needs table: or stream:")), "stream")
+          }
+          StoreConfig(name, kind, str(s, "id"), str(s, "schema"))
+        }
+      case _ => Seq.empty
+    }
+
+    val exposes = root.get("exposes") match {
+      case Some(j: java.util.Map[_, _]) =>
+        j.asScala.toSeq.map { case (k, v) =>
+          k.toString -> (v match {
+            case l: java.util.List[_] => l.asScala.map(_.toString).toSeq
+            case other => Seq(other.toString)
+          })
+        }.toMap[String, Seq[String]]
+      case _ => Map.empty[String, Seq[String]]
+    }
+
+    GraphConfig(str(root, "title"), str(root, "slug"), exposes, fnList, storeList)
+  }
+
+  /** Load from disk and flatten subgraph nodes into the parent DAG: the
+    * child's nodes are inlined with `<subId>/`-prefixed ids, and its
+    * exposed ports are rebound to the parent's `inputs:`/`outputs:`
+    * bindings (reference edit.py:296-304, test_lookup.py:7-24).
+    */
+  def load(path: Path): GraphConfig = {
+    val cfg = parse(new String(Files.readAllBytes(path), StandardCharsets.UTF_8))
+    val (subs, plain) = cfg.functions.partition(_.isSubgraph)
+    val flattened = subs.flatMap { sub =>
+      val subPath = path.getParent.resolve(sub.nodeFile.get)
+      val child = load(subPath)
+      // ports exposed by the child resolve to the parent's bound stores
+      val rebind: Map[String, String] = sub.inputs ++ sub.outputs
+      child.functions.map { n =>
+        n.copy(
+          id = s"${sub.id}/${n.id}",
+          inputs = n.inputs.map { case (p, st) => p -> rebind.getOrElse(st, s"${sub.id}/$st") },
+          outputs = n.outputs.map { case (p, st) => p -> rebind.getOrElse(st, s"${sub.id}/$st") })
+      }
+    }
+    cfg.copy(functions = plain ++ flattened)
+  }
+}

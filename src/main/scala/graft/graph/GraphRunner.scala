@@ -1,0 +1,144 @@
+package graft.graph
+
+import java.nio.file.{Files, Path}
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+
+import graft.api.GraftEngine
+
+/** Event-driven executor for a parsed graph (SURVEY.md §3, reference
+  * trigger flow commands/trigger.py:18-56 + the implied server loop).
+  *
+  * Execution model: running a node flushes its writes, which appends
+  * create/update events to the written tables' manifests; any node whose
+  * input stores gained events since its last run becomes eligible, and the
+  * loop continues until quiescent (bounded by `maxSteps` to break
+  * write-your-own-input cycles — SURVEY.md §7.4.4). `should_continue` /
+  * `request_new_run` re-enqueue long nodes (node.py:465-500).
+  *
+  * Node bodies: SQL nodes are `.sql` files rendered with `{{ port }}` /
+  * `{{ params.x }}` templating then materialized to their single output
+  * store (create.py:239-244); Scala function nodes are registered in
+  * [[register]] under their `node_file` name — the engine-side equivalent
+  * of a python node body (create.py:229-237).
+  */
+class GraphRunner(
+    spark: SparkSession,
+    val graph: GraphConfig,
+    catalogRoot: String,
+    graphDir: Option[Path] = None) {
+
+  type NodeFn = GraftEngine => Unit
+
+  private val fns = mutable.Map.empty[String, NodeFn]
+  /** Per-node count of input events already processed. */
+  private val seenEvents = mutable.Map.empty[String, Long].withDefaultValue(0L)
+  private val pendingRerun = mutable.Set.empty[String]
+
+  def register(nodeFile: String, fn: NodeFn): GraphRunner = {
+    fns(nodeFile) = fn; this
+  }
+
+  private def node(id: String): NodeConfig =
+    graph.functions.find(_.id == id).getOrElse(
+      throw new IllegalArgumentException(s"no node '$id'"))
+
+  /** Engine scoped to one node: port names resolve through the node's
+    * `inputs:`/`outputs:` bindings to store names (B8, edit.py:104-107).
+    */
+  private def engineFor(n: NodeConfig): GraftEngine =
+    new GraftEngine(spark, catalogRoot, nodeId = n.id)
+      .withBindings(n.inputs ++ n.outputs)
+      .withParameters(n.parameters)
+
+  /** Sum of events on this node's input stores (its trigger signal). */
+  private def inputEventCount(n: NodeConfig): Long = {
+    val eng = new GraftEngine(spark, catalogRoot, nodeId = "_probe")
+    n.inputStores.toSeq.map(s => eng.catalog.loadOrCreate(s).events.size.toLong).sum
+  }
+
+  /** Run one node now (`patterns trigger`, B13). Returns the engine so
+    * callers can inspect state.
+    */
+  def runNode(id: String): GraftEngine = {
+    val n = node(id)
+    val eng = engineFor(n)
+    if (n.isWebhook) {
+      // webhook nodes only materialize their same-named append table (B5)
+      eng.table(n.webhook.get, "w")
+    } else if (n.isSql) {
+      val sqlPath = graphDir.map(_.resolve(n.nodeFile.get)).getOrElse(
+        throw new IllegalStateException("sql node needs graphDir"))
+      val sql = render(new String(Files.readAllBytes(sqlPath), StandardCharsets.UTF_8), n)
+      val out = n.outputs.values.headOption.getOrElse(
+        throw new IllegalArgumentException(s"sql node ${n.id} needs an output store"))
+      // register input ports as views under their PORT names, run, replace output
+      val result = {
+        n.inputs.foreach { case (port, store) =>
+          eng.table(store).read.createOrReplaceTempView(port)
+        }
+        spark.sql(sql)
+      }
+      eng.table(out, "w").replace(result)
+    } else {
+      val fn = n.nodeFile.flatMap(fns.get).getOrElse(
+        throw new IllegalArgumentException(
+          s"no function registered for node_file ${n.nodeFile}"))
+      fn(eng)
+      eng.endExecution()
+    }
+    seenEvents(n.id) = inputEventCount(n)
+    if (eng.state.pendingNewRun.isDefined) pendingRerun += n.id
+    eng
+  }
+
+  /** `{{ port }}` resolves to the bound store's temp view; `{{ params.x }}`
+    * to the node's parameter value (B2 templating, create.py:239-244).
+    */
+  private def render(template: String, n: NodeConfig): String =
+    "\\{\\{\\s*([A-Za-z0-9_.]+)\\s*\\}\\}".r.replaceAllIn(template, m => {
+      val ref = m.group(1)
+      if (ref.startsWith("params."))
+        n.parameters.get(ref.stripPrefix("params.")).map(_.toString).getOrElse(
+          throw new IllegalArgumentException(s"unbound template parameter $ref"))
+      else ref // port name == its registered view name
+    })
+
+  /** Trigger a node, then cascade: run every node whose inputs gained
+    * events, until quiescent or `maxSteps`.
+    */
+  def trigger(id: String, maxSteps: Int = 100): Unit = {
+    runNode(id)
+    cascade(maxSteps)
+  }
+
+  /** Run all eligible nodes until quiescent: sources (no inputs) run once,
+    * consumers run as their inputs change.
+    */
+  def runAll(maxSteps: Int = 100): Unit = {
+    graph.functions.filterNot(_.isWebhook).filter(_.inputs.isEmpty)
+      .foreach(n => runNode(n.id))
+    cascade(maxSteps)
+  }
+
+  private def cascade(maxSteps: Int): Unit = {
+    var steps = 0
+    var progressed = true
+    while (progressed && steps < maxSteps) {
+      progressed = false
+      val eligible = graph.functions.filterNot(_.isWebhook).filter { n =>
+        (n.inputs.nonEmpty && inputEventCount(n) > seenEvents(n.id)) ||
+          pendingRerun.contains(n.id)
+      }
+      eligible.foreach { n =>
+        pendingRerun -= n.id
+        runNode(n.id)
+        progressed = true
+        steps += 1
+      }
+    }
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+import graft.graph.{GraphLoader, GraphRunner}
+
+/** graph.yml semantics (SURVEY.md §2.B; golden yaml per FIXTURES.md §1). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val goldenYaml =
+    """title: graph
+      |slug: test-graph
+      |exposes:
+      |  outputs:
+      |    - output
+      |functions:
+      |  - node_file: node_1.py
+      |    id: ab234567
+      |    title: my node
+      |    trigger: 1 * * * *
+      |    inputs:  {node_in: hook}
+      |    outputs: {node_out: my_table}
+      |    parameters: {limit: 2}
+      |  - node_file: agg.sql
+      |    id: ab234569
+      |    inputs:  {src: my_table}
+      |    outputs: {out: agg_table}
+      |  - webhook: hook
+      |    id: ab234570
+      |stores:
+      |  - table: my_table
+      |    id: ab234568
+      |    schema: sc
+      |  - stream: s
+      |""".stripMargin
+
+  test("golden graph.yml parses every observed key (FIXTURES.md §1)") {
+    val g = GraphLoader.parse(goldenYaml)
+    assert(g.title == Some("graph") && g.slug == Some("test-graph"))
+    assert(g.exposes == Map("outputs" -> Seq("output")))
+    assert(g.functions.size == 3)
+    val n1 = g.functions.head
+    assert(n1.id == "ab234567" && n1.nodeFile == Some("node_1.py"))
+    assert(n1.trigger == Some("1 * * * *"))
+    assert(n1.inputs == Map("node_in" -> "hook"))
+    assert(n1.outputs == Map("node_out" -> "my_table"))
+    assert(n1.parameters == Map("limit" -> 2))
+    assert(g.functions(1).isSql)
+    assert(g.functions(2).isWebhook && g.functions(2).webhook == Some("hook"))
+    assert(g.stores.map(s => (s.name, s.kind)) ==
+      Seq(("my_table", "table"), ("s", "stream")))
+    assert(g.stores.head.schema == Some("sc"))
+  }
+
+  test("nodes without ids get 8-char base-36 ids stamped (helpers.py:128-132)") {
+    val g = GraphLoader.parse("functions:\n  - node_file: a.py\n")
+    assert(g.functions.head.id.matches("[a-z0-9]{8}"))
+  }
+
+  test("pipeline: function node -> sql node cascade, driven by table events") {
+    val dir = Files.createTempDirectory("graph-")
+    Files.write(dir.resolve("agg.sql"),
+      """SELECT k, SUM(v) AS total, {{ params.scale }} AS scale
+        |FROM {{ src }} GROUP BY k""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val yaml =
+      """functions:
+        |  - node_file: producer
+        |    id: aaaaaaaa
+        |    outputs: {out: raw}
+        |  - node_file: agg.sql
+        |    id: bbbbbbbb
+        |    inputs:  {src: raw}
+        |    outputs: {out: totals}
+        |    parameters: {scale: 7}
+        |stores:
+        |  - table: raw
+        |  - table: totals
+        |""".stripMargin
+    val g = GraphLoader.parse(yaml)
+    val runner = new GraphRunner(spark, g, freshRoot(), Some(dir))
+      .register("producer", eng => {
+        eng.table("out", "w").append(
+          Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("k", "v"))
+      })
+    runner.runAll()
+    // the sql node ran because `raw` gained a create event; re-run is idempotent
+    val totals = runner.runNode("bbbbbbbb")
+    val out = totals.table("totals").read.orderBy("k")
+      .as[(String, Long, Int)].collect().toSeq
+    assert(out == Seq(("a", 3L, 7), ("b", 5L, 7)))
+  }
+
+  test("trigger cascades downstream only when inputs gain events") {
+    val dir = Files.createTempDirectory("graph-")
+    Files.write(dir.resolve("pass.sql"),
+      "SELECT * FROM {{ src }}".getBytes(StandardCharsets.UTF_8))
+    val yaml =
+      """functions:
+        |  - node_file: producer
+        |    id: aaaaaaaa
+        |    outputs: {out: t_raw}
+        |  - node_file: pass.sql
+        |    id: bbbbbbbb
+        |    inputs:  {src: t_raw}
+        |    outputs: {out: t_copy}
+        |""".stripMargin
+    val root = freshRoot()
+    val runner = new GraphRunner(spark, GraphLoader.parse(yaml), root, Some(dir))
+      .register("producer", eng =>
+        eng.table("out", "w").append(Seq((1L, "x")).toDF("id", "v")))
+    runner.trigger("aaaaaaaa")
+    val probe = new graft.api.GraftEngine(spark, root, "probe")
+    assert(probe.table("t_copy").read.count() == 1)
+  }
+
+  test("subgraph nodes flatten into the parent DAG with rebound ports") {
+    val dir = Files.createTempDirectory("graph-")
+    val subDir = dir.resolve("sub"); Files.createDirectories(subDir)
+    Files.write(subDir.resolve("graph.yml"),
+      """functions:
+        |  - node_file: inner
+        |    id: cccccccc
+        |    inputs:  {in: sub_in}
+        |    outputs: {out: sub_out}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("graph.yml"),
+      """functions:
+        |  - node_file: sub/graph.yml
+        |    id: dddddddd
+        |    inputs:  {sub_in: parent_raw}
+        |    outputs: {sub_out: parent_out}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val g = GraphLoader.load(dir.resolve("graph.yml"))
+    assert(g.functions.size == 1)
+    val inner = g.functions.head
+    assert(inner.id == "dddddddd/cccccccc")
+    assert(inner.inputs == Map("in" -> "parent_raw"))
+    assert(inner.outputs == Map("out" -> "parent_out"))
+  }
+}
