@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -19,23 +19,48 @@ import graft.functions.VectorFunctions._
 object DedupQueries {
   import Q._
 
-  /** Distinct (doc_id, 3-shingle) pairs — the inverted-index input. */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+  /** Per-doc distinct shingle SET, computed map-side (array_distinct on the
+    * shingle array — no global distinct shuffle). Persisted: the
+    * higher-order shingling expression is interpreted (not codegen'd), so
+    * every downstream consumer must read the materialized arrays, not
+    * re-evaluate the chain; Spark's CacheManager dedups the entry across
+    * queries by canonical plan.
+    */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("shingle"))
-      .distinct()
+      .select(col("doc_id"),
+        array_distinct(shingles(tokens(col("text")))).as("sh_arr"))
+      .persist()
 
-  /** Exact-Jaccard pairs over the shingle inverted index (no threshold). */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(s, dir)
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+  /** Exact-Jaccard pairs over the shingle inverted index (no threshold).
+    *
+    * Shape notes for 100x scale: the per-doc shingle SET is built map-side
+    * (array_distinct — no global distinct shuffle); the index self-join
+    * shuffles the exploded rows once and Catalyst reuses the exchange for
+    * both sides; per-doc set sizes join as broadcasts (|docs| rows). The
+    * only wide stage is the groupBy(da, db) over co-occurrence pairs —
+    * inherent to exact Jaccard.
+    *
+    * `docFilter`: restrict the quadratic stage to a candidate doc set — the
+    * LSH verify path scores O(candidates), not O(corpus²).
+    */
+  private def jaccardPairs(s: SparkSession, dir: String,
+      docFilter: Option[DataFrame] = None): DataFrame = {
+    val base = docShingles(s, dir)
+    val docsSh = docFilter match {
+      case Some(docs) => base.join(broadcast(docs), "doc_id")
+      case None => base
+    }
+    val cnt = docsSh.select(col("doc_id"), size(col("sh_arr")).as("n_sh"))
+    val sh = docsSh.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
     val shared = sh.select(col("doc_id").as("da"), col("shingle"))
+      .hint("shuffle_hash") // equi-join on a hot key: hash beats sorting both sides
       .join(sh.select(col("doc_id").as("db"), col("shingle")), "shingle")
       .filter(col("da") < col("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("shared"))
     shared
-      .join(cnt.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
-      .join(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+      .join(broadcast(cnt.select(col("doc_id").as("da"), col("n_sh").as("na"))), "da")
+      .join(broadcast(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb"))), "db")
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
   }
@@ -58,27 +83,35 @@ object DedupQueries {
     // D2b — MinHash (k=16) + LSH (4 bands × 4 rows) with exact-Jaccard
     // verification of the banding candidates.
     "d03_dedup_minhash_lsh" -> { (s, dir) =>
-      val sh = shingleRows(s, dir)
+      val params = minhashParams(16)
+      // One pass: all 16 permutations as columns of the shingle-hash row,
+      // then a single shuffle with 16 element-wise mins — no 16x row
+      // explosion (this is the shape that survives a 100x corpus).
+      val sh = docShingles(s, dir)
+        .select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
         .withColumn("h", tokenHash60(col("shingle")))
-      val params = {
-        import s.implicits._
-        minhashParams(16).toDF("i", "a", "b")
-      }
-      val sig = sh.crossJoin(broadcast(params))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(min(minhashPerm(col("h"), col("a"), col("b"))).as("mh"))
-      val bands = sig
-        .withColumn("band", expr("i div 4"))
-        .groupBy("doc_id", "band")
-        .agg(concat_ws(",",
-          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-            x => x.getField("mh").cast("string"))).as("sig"))
+      val perms = sh.select(
+        col("doc_id") +: params.map { case (i, a, b) =>
+          minhashPerm(col("h"), lit(a), lit(b)).as(s"mh$i")
+        }: _*)
+      val sig = perms.groupBy("doc_id")
+        .agg(params.map { case (i, _, _) => min(s"mh$i").as(s"mh$i") }.head,
+          params.tail.map { case (i, _, _) => min(s"mh$i").as(s"mh$i") }: _*)
+      val bands = sig.select(col("doc_id"),
+        expr("stack(4, " + (0 until 4).map { b =>
+          val cols = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
+          s"$b, concat_ws(',', $cols)"
+        }.mkString(", ") + ") AS (band, sig)"))
       val cand = bands.select(col("doc_id").as("da"), col("band"), col("sig"))
         .join(bands.select(col("doc_id").as("db"), col("band"), col("sig")),
           Seq("band", "sig"))
         .filter(col("da") < col("db"))
         .groupBy("da", "db").agg(count(lit(1)).as("n_bands"))
-      cand.join(jaccardPairs(s, dir).select("da", "db", "jaccard"), Seq("da", "db"))
+        .persist() // tiny; avoids recomputing the banding pipeline 3x below
+      val candDocs = cand.select(col("da").as("doc_id"))
+        .union(cand.select(col("db").as("doc_id"))).distinct()
+      cand.join(jaccardPairs(s, dir, Some(candDocs)).select("da", "db", "jaccard"),
+          Seq("da", "db"))
         .filter(col("jaccard") >= 0.5)
         .select("da", "db", "n_bands", "jaccard")
         .orderBy("da", "db")
@@ -107,6 +140,7 @@ object DedupQueries {
     // D2d — embedding-cosine near-dup pairs, blocked by label (the blocking
     // key is what keeps this O(n²/k) instead of O(n²) at scale).
     "d12_embed_neardup" -> { (s, dir) =>
+      graft.functions.FloatDotProduct.register(s)
       val v = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding"))
         .withColumn("nrm", l2norm(col("embedding")))

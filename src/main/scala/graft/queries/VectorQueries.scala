@@ -18,10 +18,12 @@ import graft.functions.VectorFunctions._
 object VectorQueries {
   import Q._
 
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.FloatDotProduct.register(s)
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"))
       .withColumn("nrm", l2norm(col("embedding")))
+  }
 
   /** Query set: the first 10 vectors. */
   private def queriesSet(v: DataFrame): DataFrame =
