@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured Streaming surface (SURVEY.md §2.C streaming note + §7.6).
+  *
+  * The reference's own model is exactly-once incremental BATCH consumption
+  * (engine Stream, graft.api.Stream) — these pipelines are the
+  * Spark-native continuous counterpart for users who want push-style
+  * processing over the same catalog layout: a table's version directory is
+  * a valid file-stream source, so `readStream.parquet(versionDir)` tails
+  * appends made by Table.append/flush.
+  */
+object StreamingPipelines {
+
+  /** Tail a catalog version directory (or any parquet dir) as a stream.
+    * `schemaDdl` is required by Structured Streaming for file sources.
+    */
+  def tailParquet(spark: SparkSession, dir: String, schemaDdl: String): DataFrame =
+    spark.readStream.schema(schemaDdl).parquet(dir)
+
+  /** Event-time tumbling-window aggregation with a watermark: the canonical
+    * readStream → withWatermark → window → agg shape. `tsCol` must be a
+    * TimestampType column.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, windowDur: String,
+      watermarkDelay: String, keyCol: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n"), col("total"))
+
+  /** Per-key running session state via mapGroupsWithState: keeps a count +
+    * last-seen timestamp per key with a processing-time timeout — the
+    * custom-state rung the built-in windowed aggs can't express.
+    */
+  case class SessionState(count: Long, lastTs: Long)
+  case class SessionUpdate(key: Long, count: Long, lastTs: Long, expired: Boolean)
+
+  def sessionize(events: Dataset[(Long, Timestamp)],
+      timeoutMs: Long = 0L): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    // timeoutMs > 0 enables processing-time session expiry; note the engine
+    // then schedules timeout-check batches continuously, so tests that rely
+    // on processAllAvailable settling should pass 0 (NoTimeout).
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_._1)
+      .mapGroupsWithState(timeoutConf) {
+        (key: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(key, s.count, s.lastTs, expired = true)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0L))
+            val batch = rows.toSeq
+            val next = SessionState(
+              prev.count + batch.size,
+              math.max(prev.lastTs, batch.map(_._2.getTime).max))
+            state.update(next)
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            SessionUpdate(key, next.count, next.lastTs, expired = false)
+          }
+      }
+  }
+
+  /** Materialize a streaming frame into an in-memory sink for tests /
+    * interactive inspection; production sinks are writeStream.parquet on a
+    * new catalog version dir.
+    */
+  def toMemorySink(df: DataFrame, name: String, complete: Boolean): StreamingQuery =
+    df.writeStream.format("memory").queryName(name)
+      .outputMode(if (complete) OutputMode.Complete else OutputMode.Update)
+      .start()
+}

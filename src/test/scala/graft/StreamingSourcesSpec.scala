@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.api.{GraftEngine, Webhook}
+import graft.sources.Sources
+import graft.streaming.StreamingPipelines
+
+/** C2 sources, Structured Streaming pipelines, webhook surface. */
+class StreamingSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv and json sources round-trip with explicit and inferred schemas") {
+    val dir = Files.createTempDirectory("src-")
+    Files.write(dir.resolve("d.csv"),
+      "id,name,score\n1,a,1.5\n2,b,2.5\n".getBytes(StandardCharsets.UTF_8))
+    val csv = Sources.csv(spark, dir.resolve("d.csv").toString,
+      Some("id BIGINT, name STRING, score DOUBLE"))
+    assert(csv.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "a", 1.5), (2L, "b", 2.5)))
+    Files.write(dir.resolve("d.json"),
+      """{"id":1,"tags":["x","y"]}
+        |{"id":2,"tags":[]}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val json = Sources.json(spark, dir.resolve("d.json").toString)
+    assert(json.select(sum(size(col("tags")))).as[Long].head() == 2L)
+  }
+
+  test("streaming windowed aggregation with watermark over a memory stream") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, Double)]
+    val df = ms.toDF().toDF("ts", "user_id", "value")
+    val agg = StreamingPipelines.windowedCounts(df, "ts", "10 minutes",
+      "5 minutes", "user_id")
+    val q = StreamingPipelines.toMemorySink(agg, "win_counts", complete = true)
+    try {
+      ms.addData(
+        (Timestamp.valueOf("2024-01-01 00:01:00"), 1L, 10.0),
+        (Timestamp.valueOf("2024-01-01 00:05:00"), 1L, 5.0),
+        (Timestamp.valueOf("2024-01-01 00:12:00"), 2L, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("win_counts")
+        .select("user_id", "n", "total").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(out == Set((1L, 2L, 15.0), (2L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("tailParquet streams appends from a catalog version dir") {
+    val e = new GraftEngine(spark, freshRoot())
+    val t = e.table("feed", "w")
+    t.append(Seq((1L, "a")).toDF("id", "v")); t.flush()
+    val dir = e.catalog.versionDir("feed", t.getActiveVersion.get).toString
+    val stream = StreamingPipelines.tailParquet(spark, dir, "id BIGINT, v STRING")
+    assert(stream.isStreaming)
+    val q = StreamingPipelines.toMemorySink(
+      stream.groupBy().count(), "feed_counts", complete = true)
+    try {
+      q.processAllAvailable()
+      assert(spark.table("feed_counts").as[Long].head() == 1L)
+      t.append(Seq((2L, "b")).toDF("id", "v")); t.flush()
+      q.processAllAvailable()
+      assert(spark.table("feed_counts").as[Long].head() == 2L)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState sessionization accumulates per-key state") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp)]
+    val out = StreamingPipelines.sessionize(ms.toDS())
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      ms.addData((1L, Timestamp.valueOf("2024-01-01 00:00:01")),
+        (1L, Timestamp.valueOf("2024-01-01 00:00:05")),
+        (2L, Timestamp.valueOf("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+      ms.addData((1L, Timestamp.valueOf("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .groupBy("key").agg(max("count").as("count"))
+        .as[(Long, Long)].collect().toMap
+      assert(rows == Map(1L -> 3L, 2L -> 1L))
+    } finally q.stop()
+  }
+
+  test("webhook ingest + respond_to_request append keyed rows (A30)") {
+    val e = new GraftEngine(spark, freshRoot())
+    Webhook.ingest(e, "hook", "req-1", """{"x":1}""")
+    Webhook.ingest(e, "hook", "req-2", """{"x":2}""")
+    Webhook.respondToRequest(e, "hook", "req-1", """{"ok":true}""")
+    assert(e.table("hook").read.count() == 2)
+    val resp = e.table("hook_responses").read
+    assert(resp.count() == 1)
+    assert(resp.select(Webhook.requestKeyCol).as[String].head() == "req-1")
+  }
+}
