@@ -1,0 +1,103 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.api.GraftEngine
+
+/** Property-based laws (SURVEY.md §5.2.4), sampled deterministically from
+  * ScalaCheck generators (seeds 0..N). Case counts are small — every case
+  * is a real Spark write/read cycle.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cases = 6
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g(Gen.Parameters.default.withSize(12), Seed(seed)).get
+
+  private val kvBatch: Gen[List[(Long, String)]] =
+    Gen.listOf(Gen.zip(Gen.choose(0L, 20L), Gen.alphaStr.map(_.take(4))))
+
+  private val kvNonEmpty: Gen[List[(Long, String)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 20L), Gen.alphaStr.map(_.take(4))))
+
+  test("upsert idempotence: upsert(r); upsert(r) == upsert(r)") {
+    for (i <- 1 to cases) {
+      val batch = sample(kvNonEmpty, i)
+      val e = new GraftEngine(spark, freshRoot())
+      val t = e.table("t", "w").init(uniqueOn = Seq("id"))
+      val df = batch.toDF("id", "v")
+      t.upsert(df)
+      val once = t.read.orderBy("id", "v").collect().toSeq
+      t.upsert(df)
+      val twice = t.read.orderBy("id", "v").collect().toSeq
+      assert(once == twice, s"seed=$i")
+      assert(t.read.select("id").distinct().count() == t.read.count(), s"seed=$i")
+    }
+  }
+
+  test("upsert merge law: final key set = union of batch keys") {
+    for (i <- 1 to cases) {
+      val b1 = sample(kvNonEmpty, i)
+      val b2 = sample(kvNonEmpty, i + 100)
+      val e = new GraftEngine(spark, freshRoot())
+      val t = e.table("t", "w").init(uniqueOn = Seq("id"))
+      t.upsert(b1.toDF("id", "v"))
+      t.upsert(b2.toDF("id", "v"))
+      val keys = t.read.select("id").as[Long].collect().toSet
+      assert(keys == (b1.map(_._1) ++ b2.map(_._1)).toSet, s"seed=$i")
+    }
+  }
+
+  test("append batching is associative: one flush == per-batch flushes") {
+    for (i <- 1 to cases) {
+      val b1 = sample(kvBatch, i)
+      val b2 = sample(kvBatch, i + 200)
+      val e = new GraftEngine(spark, freshRoot())
+      val t1 = e.table("a", "w")
+      if (b1.nonEmpty) t1.append(b1.toDF("id", "v"))
+      if (b2.nonEmpty) t1.append(b2.toDF("id", "v"))
+      t1.flush()
+      val t2 = e.table("b", "w")
+      if (b1.nonEmpty) { t2.append(b1.toDF("id", "v")); t2.flush() }
+      if (b2.nonEmpty) { t2.append(b2.toDF("id", "v")); t2.flush() }
+      assert(t1.read.orderBy("id", "v").collect().toSeq ==
+        t2.read.orderBy("id", "v").collect().toSeq, s"seed=$i")
+    }
+  }
+
+  test("stream exactly-once under random checkpoint/consume/crash interleavings") {
+    val opGen = Gen.listOfN(6, Gen.oneOf("consume1", "consume2", "checkpoint", "crash"))
+    for (i <- 1 to cases) {
+      val script = sample(opGen, i)
+      val e = new GraftEngine(spark, freshRoot(), nodeId = "n")
+      val root = e.catalog.root.toString
+      val t = e.table("ev", "w")
+      t.append((1 to 8).map(j => (j.toLong, s"p$j")).toDF("seq", "p")); t.flush()
+      var eng = e
+      var st = eng.table("ev").asStream(orderBy = "seq")
+      val yielded = scala.collection.mutable.ListBuffer.empty[Long]
+      var confirmed = List.empty[Long] // yielded before the last checkpoint
+      script.foreach {
+        case op @ ("consume1" | "consume2") =>
+          val n = if (op == "consume1") 1 else 2
+          st.consumeRecords().take(n).foreach(r => yielded += r.getAs[Long]("seq"))
+        case "checkpoint" =>
+          st.checkpoint(); confirmed = yielded.toList
+        case _ => // crash: new execution, unpersisted progress is lost
+          eng = new GraftEngine(spark, root, nodeId = "n")
+          st = eng.table("ev").asStream(orderBy = "seq")
+          yielded.clear(); yielded ++= confirmed
+      }
+      st.checkpoint()
+      val rest = eng.table("ev").asStream(orderBy = "seq")
+        .consumeRecords().map(_.getAs[Long]("seq")).toList
+      val total = yielded.toList ++ rest
+      assert(total == total.sorted, s"out of order: $total (script=$script)")
+      assert(total.distinct == total, s"duplicate delivery: $total (script=$script)")
+      assert(total.toSet == (1L to 8L).toSet, s"lost records: $total (script=$script)")
+    }
+  }
+}
