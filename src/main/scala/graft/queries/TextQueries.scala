@@ -64,6 +64,32 @@ object TextQueries {
           col("n_chars").cast("double") / col("bpeish_tokens"))
         .orderBy("doc_id")
     },
+    // Pipeline hygiene — PII-style redaction: normalize away digit runs and
+    // shouty tokens before training. (Fixture text is clean, so the digit
+    // branch exercises the no-match path; the transform itself is the op.)
+    "d13_redact" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"), "[0-9]+", "<num>"),
+            "\\b(key|hash)\\b", "<redacted>").as("clean_text"),
+          size(expr("regexp_extract_all(text, '\\\\b(key|hash)\\\\b', 0)"))
+            .as("n_redacted"))
+        .orderBy("doc_id")
+    },
+    // Deterministic stratified sampling: keep k docs per (lang, source)
+    // stratum, ranked by the md5 hash of the doc id — reproducible on any
+    // engine, no RNG state, and at scale it's a single shuffle by stratum.
+    "d14_stratified_sample" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang", "source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("lang", "source", "rn", "doc_id", "n_chars")
+        .orderBy("lang", "source", "rn")
+    },
     // D4d — fingerprinting: whole-doc content hash + min-shingle rolling
     // fingerprint (winnowing-style representative hash).
     "d10_fingerprint" -> { (s, dir) =>
@@ -106,6 +132,19 @@ object TextQueries {
         |  CAST(length(text) AS DOUBLE)
         |    / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d13_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
+        |                 '\b(key|hash)\b', '<redacted>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(text, '\b(key|hash)\b')) AS INT) AS n_redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d14_stratified_sample" ->
+      """SELECT lang, source, rn, doc_id, n_chars FROM (
+        |  SELECT lang, source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY lang, source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 3 ORDER BY lang, source, rn""".stripMargin,
     "d10_fingerprint" ->
       s"""SELECT doc_id, md5(lower(text)) AS doc_fp,
          |  list_aggregate(list_transform(sh, x -> ${oTokenHash60("x")}), 'min') AS min_shingle_fp
