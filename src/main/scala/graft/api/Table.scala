@@ -119,7 +119,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
       catalog.setActive(name, Some(v), "create")
       v
     }
-    decorate(conform(batch)).write.mode(SaveMode.Append)
+    clustered(decorate(conform(batch))).write.mode(SaveMode.Append)
       .parquet(catalog.versionDir(name, vid).toString)
     if (!isNew) catalog.recordEvent(name, "update")
   }
@@ -251,9 +251,25 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
     } else withCreated
   }
 
+  /** auto_indexes (node.py:277, :295-297): Spark has no secondary indexes;
+    * the equivalent is write-time clustering — sort within partitions on
+    * the unique key (and any stream-ordering role column) so parquet
+    * min/max stats prune files for key lookups and cursor scans.
+    */
+  private def clustered(df: DataFrame): DataFrame = {
+    val meta = manifest.meta
+    val sortCols =
+      (if (meta.autoIndexes) meta.uniqueOn else Nil) ++
+        (if (meta.addMonotonicId) Seq(monotonicCol)
+         else if (meta.addCreated) Seq(createdCol) else Nil)
+    val usable = sortCols.distinct.filter(df.columns.contains)
+    if (usable.nonEmpty) df.sortWithinPartitions(usable.map(col): _*) else df
+  }
+
   private def writeNewVersion(df: DataFrame, eventKind: String): Unit = {
     val (_, vid) = catalog.createVersion(name)
-    df.write.mode(SaveMode.Overwrite).parquet(catalog.versionDir(name, vid).toString)
+    clustered(df).write.mode(SaveMode.Overwrite)
+      .parquet(catalog.versionDir(name, vid).toString)
     catalog.setActive(name, Some(vid), eventKind)
   }
 }

@@ -28,6 +28,9 @@ object DedupQueries {
     */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      // single-file fixture => 1 input partition; spread rows BEFORE the
+      // expensive shingling expression so it runs on every core
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         array_distinct(shingles(tokens(col("text")))).as("sh_arr"))
       .persist()
