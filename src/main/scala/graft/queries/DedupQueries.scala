@@ -33,6 +33,9 @@ object DedupQueries {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         array_distinct(shingles(tokens(col("text")))).as("sh_arr"))
+      // hash once here (cached); d02's pair join and d03's minhash both
+      // consume the 60-bit hashes, never the shingle strings
+      .withColumn("h_arr", transform(col("sh_arr"), x => tokenHash60(x)))
       .persist()
 
   /** Exact-Jaccard pairs over the shingle inverted index (no threshold).
@@ -58,9 +61,7 @@ object DedupQueries {
     // join on the 60-bit md5-derived shingle hash, not the string: long
     // shuffle keys are ~4x cheaper. The oracle computes the identical hash,
     // so results agree bit-for-bit even in the (1e-7) collision case.
-    val sh = docsSh
-      .select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
-      .select(col("doc_id"), tokenHash60(col("shingle")).as("sh_h"))
+    val sh = docsSh.select(col("doc_id"), explode(col("h_arr")).as("sh_h"))
     val shared = sh.select(col("doc_id").as("da"), col("sh_h"))
       .hint("shuffle_hash") // equi-join on a hot key: hash beats sorting both sides
       .join(sh.select(col("doc_id").as("db"), col("sh_h")), "sh_h")
@@ -96,8 +97,7 @@ object DedupQueries {
       // then a single shuffle with 16 element-wise mins — no 16x row
       // explosion (this is the shape that survives a 100x corpus).
       val sh = docShingles(s, dir)
-        .select(col("doc_id"), explode(col("sh_arr")).as("shingle"))
-        .withColumn("h", tokenHash60(col("shingle")))
+        .select(col("doc_id"), explode(col("h_arr")).as("h"))
       val perms = sh.select(
         col("doc_id") +: params.map { case (i, a, b) =>
           minhashPerm(col("h"), lit(a), lit(b)).as(s"mh$i")
