@@ -132,7 +132,15 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
     flush()
     val keys = manifest.meta.uniqueOn
     require(keys.nonEmpty, s"upsert on '$name' requires unique_on (node.py:323)")
-    val incoming = decorate(conform(df.dropDuplicates(keys)))
+    // within-batch duplicates: LAST record per key wins, mirroring the
+    // reference's sequential row-at-a-time apply; position comes from the
+    // input's partition-ordered row sequence
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("__pos").desc)
+    val lastPerKey = df.withColumn("__pos", monotonically_increasing_id())
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__pos", "__rn")
+    val incoming = decorate(conform(lastPerKey))
     val merged = activeDf match {
       case Some(active) =>
         val kept = active.join(incoming, keys, "left_anti")
