@@ -122,26 +122,45 @@ object GraphLoader {
     GraphConfig(str(root, "title"), str(root, "slug"), exposes, fnList, storeList)
   }
 
-  /** Load from disk and flatten subgraph nodes into the parent DAG: the
-    * child's nodes are inlined with `<subId>/`-prefixed ids, and its
-    * exposed ports are rebound to the parent's `inputs:`/`outputs:`
-    * bindings (reference edit.py:296-304, test_lookup.py:7-24).
+  /** Load from disk and flatten subgraph AND component nodes into the
+    * parent DAG: a child graph's nodes are inlined with `<nodeId>/`-prefixed
+    * ids, and its exposed ports are rebound to the parent's
+    * `inputs:`/`outputs:` bindings (reference edit.py:296-304,
+    * test_lookup.py:7-24; components edit.py:175-200).
+    *
+    * `componentsDir` is the local registry: `uses: org/component@v1`
+    * resolves to `<componentsDir>/org/component/v1/graph.yml` — the
+    * engine-side stand-in for the platform's published-component store.
     */
-  def load(path: Path): GraphConfig = {
+  def load(path: Path, componentsDir: Option[Path] = None): GraphConfig = {
     val cfg = parse(new String(Files.readAllBytes(path), StandardCharsets.UTF_8))
-    val (subs, plain) = cfg.functions.partition(_.isSubgraph)
-    val flattened = subs.flatMap { sub =>
-      val subPath = path.getParent.resolve(sub.nodeFile.get)
-      val child = load(subPath)
+
+    def inline(node: NodeConfig, childPath: Path): Seq[NodeConfig] = {
+      val child = load(childPath, componentsDir)
       // ports exposed by the child resolve to the parent's bound stores
-      val rebind: Map[String, String] = sub.inputs ++ sub.outputs
+      val rebind: Map[String, String] = node.inputs ++ node.outputs
       child.functions.map { n =>
         n.copy(
-          id = s"${sub.id}/${n.id}",
-          inputs = n.inputs.map { case (p, st) => p -> rebind.getOrElse(st, s"${sub.id}/$st") },
-          outputs = n.outputs.map { case (p, st) => p -> rebind.getOrElse(st, s"${sub.id}/$st") })
+          id = s"${node.id}/${n.id}",
+          inputs = n.inputs.map { case (p, st) => p -> rebind.getOrElse(st, s"${node.id}/$st") },
+          outputs = n.outputs.map { case (p, st) => p -> rebind.getOrElse(st, s"${node.id}/$st") })
       }
     }
-    cfg.copy(functions = plain ++ flattened)
+
+    val flattened = cfg.functions.flatMap {
+      case sub if sub.isSubgraph =>
+        inline(sub, path.getParent.resolve(sub.nodeFile.get))
+      case comp if comp.uses.isDefined =>
+        val dir = componentsDir.getOrElse(throw new IllegalArgumentException(
+          s"node ${comp.id} uses '${comp.uses.get}' but no components dir was given"))
+        comp.uses.get match {
+          case s"$org/$name@$ver" =>
+            inline(comp, dir.resolve(org).resolve(name).resolve(ver).resolve("graph.yml"))
+          case other => throw new IllegalArgumentException(
+            s"malformed component ref '$other' (want org/component@version)")
+        }
+      case plain => Seq(plain)
+    }
+    cfg.copy(functions = flattened)
   }
 }

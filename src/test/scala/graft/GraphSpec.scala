@@ -115,6 +115,33 @@ class GraphSpec extends SparkSpec {
     assert(probe.table("t_copy").read.count() == 1)
   }
 
+  test("component nodes (uses:) resolve from the local registry and flatten (B4)") {
+    val dir = Files.createTempDirectory("graph-")
+    val reg = dir.resolve("components")
+    val compDir = reg.resolve("acme").resolve("enrich").resolve("v1")
+    Files.createDirectories(compDir)
+    Files.write(compDir.resolve("graph.yml"),
+      """functions:
+        |  - node_file: enrich_step
+        |    id: eeeeeeee
+        |    inputs:  {in: comp_in}
+        |    outputs: {out: comp_out}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("graph.yml"),
+      """functions:
+        |  - uses: acme/enrich@v1
+        |    id: ffffffff
+        |    inputs:  {comp_in: raw}
+        |    outputs: {comp_out: enriched}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val g = GraphLoader.load(dir.resolve("graph.yml"), Some(reg))
+    assert(g.functions.size == 1)
+    val inner = g.functions.head
+    assert(inner.id == "ffffffff/eeeeeeee")
+    assert(inner.inputs == Map("in" -> "raw"))
+    assert(inner.outputs == Map("out" -> "enriched"))
+  }
+
   test("subgraph nodes flatten into the parent DAG with rebound ports") {
     val dir = Files.createTempDirectory("graph-")
     val subDir = dir.resolve("sub"); Files.createDirectories(subDir)
