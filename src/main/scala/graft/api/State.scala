@@ -65,10 +65,19 @@ class State(stateDir: Path, nodeId: String,
     case _ => null
   }
 
-  /** node.py:423-431 set — store a value for this key. */
+  /** node.py:424-426 set — REPLACE the whole state dict. */
+  def setState(state: Map[String, Any]): Unit = {
+    cache = state.map { case (k, v) => k -> toJ(v) }
+    persist()
+  }
+
+  /** node.py:429-431 set_value — store a value for one key. */
   def set(key: String, value: Any): Unit = { cache += key -> toJ(value); persist() }
 
-  /** node.py:433-443 get — whole-state or per-key access. */
+  /** node.py:434-436 get — the current whole state dict. */
+  def getState: Map[String, Any] = cache.map { case (k, v) => k -> fromJ(v) }
+
+  /** node.py:439-449 get_value — per-key access. */
   def get(key: String): Option[Any] = cache.get(key).map(fromJ)
 
   def getValue(key: String, default: Any = null): Any =

@@ -28,8 +28,14 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
   private val catalog: TableCatalog = engine.catalog
   private val buffer = ArrayBuffer.empty[DataFrame]
 
-  val createdCol = "created_at"
-  val monotonicCol = "monotonic_id"
+  /** Default auto-column names when init is called without explicit ones
+    * (the reference has the caller pick the names, node.py:286-294).
+    */
+  val defaultCreatedCol = "created_at"
+  val defaultMonotonicCol = "monotonic_id"
+
+  private def createdCol: Option[String] = manifest.meta.addCreated
+  private def monotonicCol: Option[String] = manifest.meta.addMonotonicId
 
   // --- introspection (node.py:232-267) ---
 
@@ -88,18 +94,21 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
 
   // --- write surface (node.py:269-414) ---
 
-  /** Declare schema roles at version creation (node.py:269-297). */
+  /** Declare schema roles at version creation (node.py:269-297).
+    * `addCreated` / `addMonotonicId` are the FIELD NAMES for the auto
+    * columns (node.py:286-294) — null leaves the role absent.
+    */
   def init(
       schemaHints: Map[String, String] = Map.empty,
       uniqueOn: Seq[String] = Nil,
-      addCreated: Boolean = false,
-      addMonotonicId: Boolean = false,
+      addCreated: String = null,
+      addMonotonicId: String = null,
       autoIndexes: Boolean = true): Table = {
     catalog.updateMeta(name)(m => m.copy(
       schemaHints = m.schemaHints ++ schemaHints,
       uniqueOn = if (uniqueOn.nonEmpty) uniqueOn.toList else m.uniqueOn,
-      addCreated = addCreated || m.addCreated,
-      addMonotonicId = addMonotonicId || m.addMonotonicId,
+      addCreated = Option(addCreated).orElse(m.addCreated),
+      addMonotonicId = Option(addMonotonicId).orElse(m.addMonotonicId),
       autoIndexes = autoIndexes))
     this
   }
@@ -206,12 +215,10 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
     */
   def asStream(orderBy: String = null, startingValue: Option[Any] = None): Stream = {
     val meta = manifest.meta
-    val ob = Option(orderBy).getOrElse {
-      if (meta.addMonotonicId) monotonicCol
-      else if (meta.addCreated) createdCol
-      else throw new IllegalArgumentException(
-        s"stream over '$name' needs order_by or a monotonic/created schema role (node.py:196-200)")
-    }
+    // strictly_monotonic_ordering wins over created_ordering (node.py:286-294)
+    val ob = Option(orderBy).orElse(meta.addMonotonicId).orElse(meta.addCreated)
+      .getOrElse(throw new IllegalArgumentException(
+        s"stream over '$name' needs order_by or a monotonic/created schema role (node.py:196-200)"))
     new Stream(this, ob, engine.state, startingValue)
   }
 
@@ -229,7 +236,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
     schema match {
       case Some(existing) =>
         existing.fields.foldLeft(hinted) { (d, f) =>
-          if (d.columns.contains(f.name) && !f.name.equals(monotonicCol))
+          if (d.columns.contains(f.name) && !monotonicCol.contains(f.name))
             d.withColumn(f.name, col(f.name).cast(f.dataType))
           else d
         }
@@ -244,19 +251,22 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
     */
   private def decorate(df: DataFrame): DataFrame = {
     val meta = manifest.meta
-    val withCreated =
-      if (meta.addCreated && !df.columns.contains(createdCol))
-        df.withColumn(createdCol, current_timestamp())
-      else df
-    if (meta.addMonotonicId && !withCreated.columns.contains(monotonicCol)) {
-      val n = withCreated.count()
-      val start = catalog.reserveIds(name, n)
-      val schema2 = withCreated.schema.add(monotonicCol, StringType)
-      val rdd = withCreated.rdd.zipWithIndex().map { case (r, i) =>
-        Row.fromSeq(r.toSeq :+ Table.base32(start + i + 1))
-      }
-      spark.createDataFrame(rdd, schema2)
-    } else withCreated
+    val withCreated = meta.addCreated match {
+      case Some(c) if !df.columns.contains(c) =>
+        df.withColumn(c, current_timestamp())
+      case _ => df
+    }
+    meta.addMonotonicId match {
+      case Some(mc) if !withCreated.columns.contains(mc) =>
+        val n = withCreated.count()
+        val start = catalog.reserveIds(name, n)
+        val schema2 = withCreated.schema.add(mc, StringType)
+        val rdd = withCreated.rdd.zipWithIndex().map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ Table.base32(start + i + 1))
+        }
+        spark.createDataFrame(rdd, schema2)
+      case _ => withCreated
+    }
   }
 
   /** auto_indexes (node.py:277, :295-297): Spark has no secondary indexes;
@@ -268,8 +278,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
     val meta = manifest.meta
     val sortCols =
       (if (meta.autoIndexes) meta.uniqueOn else Nil) ++
-        (if (meta.addMonotonicId) Seq(monotonicCol)
-         else if (meta.addCreated) Seq(createdCol) else Nil)
+        meta.addMonotonicId.orElse(meta.addCreated).toSeq
     val usable = sortCols.distinct.filter(df.columns.contains)
     if (usable.nonEmpty) df.sortWithinPartitions(usable.map(col): _*) else df
   }

@@ -23,8 +23,8 @@ case class TableEvent(kind: String, versionId: String, at: Long)
 case class TableMeta(
     uniqueOn: List[String] = Nil,
     schemaHints: Map[String, String] = Map.empty,
-    addCreated: Boolean = false,
-    addMonotonicId: Boolean = false,
+    addCreated: Option[String] = None,     // field NAME for the auto_now column
+    addMonotonicId: Option[String] = None, // field NAME for the base32 id column
     autoIndexes: Boolean = true,
     highWaterMark: Long = 0L)
 

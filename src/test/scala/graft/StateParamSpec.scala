@@ -26,6 +26,14 @@ class StateParamSpec extends SparkSpec {
     assert(s2.getValue("missing", "dflt") == "dflt")
   }
 
+  test("set replaces the whole dict; set_value sets one key (node.py:424-431)") {
+    val dir = Paths.get(freshRoot())
+    val s = new State(dir, "n")
+    s.set("a", 1L); s.set("b", 2L)
+    s.setState(Map("c" -> 3L))          // whole-dict replace
+    assert(new State(dir, "n").getState == Map("c" -> 3L))
+  }
+
   test("state is per-node") {
     val dir = Paths.get(freshRoot())
     new State(dir, "a").set("k", 1L)

@@ -92,7 +92,7 @@ class StreamSpec extends SparkSpec {
     val bare = e.table("bare", "w")
     bare.append(Seq((1L, "x")).toDF("id", "v")); bare.flush()
     assertThrows[IllegalArgumentException] { bare.asStream() }
-    val auto = e.table("auto", "w").init(addMonotonicId = true)
+    val auto = e.table("auto", "w").init(addMonotonicId = "monotonic_id")
     auto.append(Seq((1L, "x")).toDF("id", "v")); auto.flush()
     assert(auto.asStream().orderByField == "monotonic_id")
   }

@@ -109,7 +109,7 @@ class TableSpec extends SparkSpec {
 
   test("add_created and add_monotonic_id decorate writes; ids are strictly increasing base32 across batches") {
     val e = engine()
-    val t = e.table("t11", "w").init(addCreated = true, addMonotonicId = true)
+    val t = e.table("t11", "w").init(addCreated = "created_at", addMonotonicId = "monotonic_id")
     t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v")); t.flush()
     t.append(Seq((3L, "c")).toDF("id", "v")); t.flush()
     val rows = t.read.orderBy("id").collect()
