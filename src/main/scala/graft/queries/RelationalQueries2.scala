@@ -195,10 +195,11 @@ object RelationalQueries2 {
       t(s, dir, "embeddings")
         .select(col("vec_id"),
           size(col("embedding")).as("dim"),
-          element_at(col("embedding"), 1).as("first_v"),
-          element_at(col("embedding"), size(col("embedding"))).as("last_v"),
-          array_max(col("embedding")).as("max_v"),
-          array_min(col("embedding")).as("min_v"),
+          // float -> double is exact; keeps both engines' output types equal
+          element_at(col("embedding"), 1).cast("double").as("first_v"),
+          element_at(col("embedding"), size(col("embedding"))).cast("double").as("last_v"),
+          array_max(col("embedding")).cast("double").as("max_v"),
+          array_min(col("embedding")).cast("double").as("min_v"),
           size(filter(col("embedding"), x => x > lit(0.0f))).as("n_pos"),
           aggregate(col("embedding"), lit(0.0),
             (acc, x) => acc + x.cast("double") * x.cast("double")).as("norm_sq"))
@@ -419,10 +420,10 @@ object RelationalQueries2 {
     "q24_array_fns" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS INT) AS dim,
-        |  embedding[1] AS first_v,
-        |  embedding[len(embedding)] AS last_v,
-        |  list_aggregate(embedding, 'max') AS max_v,
-        |  list_aggregate(embedding, 'min') AS min_v,
+        |  CAST(embedding[1] AS DOUBLE) AS first_v,
+        |  CAST(embedding[len(embedding)] AS DOUBLE) AS last_v,
+        |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_v,
+        |  CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_v,
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
         |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm_sq
         |FROM embeddings ORDER BY vec_id""".stripMargin,
