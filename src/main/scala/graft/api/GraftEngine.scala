@@ -27,6 +27,7 @@ class GraftEngine(
     System.currentTimeMillis(), executionLimitMillis)
 
   private val opened = mutable.LinkedHashMap.empty[String, Table]
+  private val openedStreams = mutable.ArrayBuffer.empty[Stream]
   private var params: Map[String, Any] = Map.empty
   private var bindings: Map[String, String] = Map.empty
 
@@ -59,6 +60,20 @@ class GraftEngine(
     spark.sql(query)
   }
 
-  /** Execution end: flush every buffered write port (node.py:407-414). */
-  def endExecution(): Unit = opened.values.foreach(_.flush())
+  /** Streams register here so normal execution end persists their progress
+    * (node.py:41-47 — a consumed record stays consumed "regardless of what
+    * happens after"; explicit checkpoint/rollback exist for mid-execution
+    * error recovery only).
+    */
+  private[api] def registerStream(s: Stream): Stream = { openedStreams += s; s }
+
+  /** Execution end: flush every buffered write port (node.py:407-414) and
+    * persist every opened stream's consumption cursor (node.py:41-47) —
+    * without this, a node that consumes and finishes cleanly would re-read
+    * all records next run, breaking the exactly-once contract.
+    */
+  def endExecution(): Unit = {
+    opened.values.foreach(_.flush())
+    openedStreams.foreach(_.checkpoint())
+  }
 }

@@ -165,7 +165,9 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
   def replace(df: DataFrame): Unit = {
     buffer.clear()
     catalog.recordEvent(name, "reset")
-    writeNewVersion(decorate(df), "create")
+    // reference defines replace as reset()+append() (node.py:336-345), so it
+    // must share the append path's schema-on-write conformance
+    writeNewVersion(decorate(conform(df)), "create")
   }
 
   /** Delete all rows, keep schema (node.py:347-354). */
@@ -219,7 +221,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
     val ob = Option(orderBy).orElse(meta.addMonotonicId).orElse(meta.addCreated)
       .getOrElse(throw new IllegalArgumentException(
         s"stream over '$name' needs order_by or a monotonic/created schema role (node.py:196-200)"))
-    new Stream(this, ob, engine.state, startingValue)
+    engine.registerStream(new Stream(this, ob, engine.state, startingValue))
   }
 
   // --- write-path helpers ---

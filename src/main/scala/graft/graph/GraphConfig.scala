@@ -137,8 +137,15 @@ object GraphLoader {
 
     def inline(node: NodeConfig, childPath: Path): Seq[NodeConfig] = {
       val child = load(childPath, componentsDir)
-      // ports exposed by the child resolve to the parent's bound stores
-      val rebind: Map[String, String] = node.inputs ++ node.outputs
+      // ports exposed by the child resolve to the parent's bound stores —
+      // but only names the child lists under `exposes:` are rebindable;
+      // a child-internal store that merely shares a parent port's name
+      // stays internal (prefixed). A child with no exposes block exposes
+      // everything (legacy permissive wiring).
+      val exposed: Set[String] = child.exposes.values.flatten.toSet
+      val all: Map[String, String] = node.inputs ++ node.outputs
+      val rebind: Map[String, String] =
+        if (exposed.isEmpty) all else all.view.filterKeys(exposed).toMap
       child.functions.map { n =>
         n.copy(
           id = s"${node.id}/${n.id}",

@@ -142,6 +142,35 @@ class GraphSpec extends SparkSpec {
     assert(inner.outputs == Map("out" -> "enriched"))
   }
 
+  test("child store shadowing a parent port stays internal when exposes is declared") {
+    val dir = Files.createTempDirectory("graph-")
+    val subDir = dir.resolve("sub"); Files.createDirectories(subDir)
+    // child exposes only sub_in/sub_out; its internal store `scratch`
+    // happens to share a name with a parent-side port binding
+    Files.write(subDir.resolve("graph.yml"),
+      """exposes:
+        |  inputs:  [sub_in]
+        |  outputs: [sub_out]
+        |functions:
+        |  - node_file: inner
+        |    id: cccccccc
+        |    inputs:  {in: sub_in, aux: scratch}
+        |    outputs: {out: sub_out}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("graph.yml"),
+      """functions:
+        |  - node_file: sub/graph.yml
+        |    id: dddddddd
+        |    inputs:  {sub_in: parent_raw, scratch: parent_secret}
+        |    outputs: {sub_out: parent_out}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val g = GraphLoader.load(dir.resolve("graph.yml"))
+    val inner = g.functions.head
+    assert(inner.inputs("in") == "parent_raw")
+    assert(inner.inputs("aux") == "dddddddd/scratch")  // NOT parent_secret
+    assert(inner.outputs("out") == "parent_out")
+  }
+
   test("subgraph nodes flatten into the parent DAG with rebound ports") {
     val dir = Files.createTempDirectory("graph-")
     val subDir = dir.resolve("sub"); Files.createDirectories(subDir)

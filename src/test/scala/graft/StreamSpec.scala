@@ -46,6 +46,18 @@ class StreamSpec extends SparkSpec {
     assert(got == List(1L, 2L, 3L, 4L))
   }
 
+  test("endExecution persists stream progress without an explicit checkpoint (node.py:41-47)") {
+    val e1 = engineWithEvents(5)
+    val root = e1.catalog.root.toString
+    e1.table("ev").asStream(orderBy = "seq").consumeRecords()
+      .take(3).foreach(_ => ())   // consume, never checkpoint
+    e1.endExecution()             // clean finish → progress is durable
+    val e2 = new GraftEngine(spark, root, nodeId = "consumer")
+    val got = e2.table("ev").asStream(orderBy = "seq")
+      .consumeRecords().map(_.getAs[Long]("seq")).toList
+    assert(got == List(4L, 5L))
+  }
+
   test("rollback reverts to last checkpoint inside one execution") {
     val e = engineWithEvents(6)
     val st = e.table("ev").asStream(orderBy = "seq")

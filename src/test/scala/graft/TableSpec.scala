@@ -107,6 +107,15 @@ class TableSpec extends SparkSpec {
     assert(t.read.schema("id").dataType.typeName == "string")
   }
 
+  test("replace conforms like append: schema_hints + safe-widen casts apply (node.py:336-345)") {
+    val e = engine()
+    val t = e.table("t10b", "w").init(schemaHints = Map("id" -> "string"))
+    t.append(Seq((1, "a")).toDF("id", "v")); t.flush()
+    t.replace(Seq((7, "z")).toDF("id", "v"))   // replace = reset()+append()
+    assert(t.read.schema("id").dataType.typeName == "string")
+    assert(t.read.select("id").as[String].collect().toSeq == Seq("7"))
+  }
+
   test("add_created and add_monotonic_id decorate writes; ids are strictly increasing base32 across batches") {
     val e = engine()
     val t = e.table("t11", "w").init(addCreated = "created_at", addMonotonicId = "monotonic_id")

@@ -51,6 +51,14 @@ def main(sf, out):
         s, o = norm(sdf), norm(odf)
         if list(s.columns) != list(o.columns):
             print(f"FAIL {name}: cols spark={list(s.columns)} oracle={list(o.columns)}"); continue
+        # Mirror the driver's hash sensitivity: an int64 column on one side vs
+        # float64 on the other renders 99111 vs 99111.0 and hash-mismatches
+        # even when values compare equal under pandas coercion.
+        KIND = {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "datetime", "O": "obj", "S": "obj", "U": "obj"}
+        kind_bad = [c for c in s.columns
+                    if KIND.get(s[c].dtype.kind, s[c].dtype.kind) != KIND.get(o[c].dtype.kind, o[c].dtype.kind)]
+        if kind_bad:
+            print(f"FAIL {name}: dtype kind mismatch on {[(c, str(s[c].dtype), str(o[c].dtype)) for c in kind_bad]}"); continue
         if len(s) != len(o):
             print(f"FAIL {name}: rows spark={len(s)} oracle={len(o)}"); continue
         try:
