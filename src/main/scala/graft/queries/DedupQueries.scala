@@ -46,17 +46,9 @@ object DedupQueries {
     * both sides; per-doc set sizes join as broadcasts (|docs| rows). The
     * only wide stage is the groupBy(da, db) over co-occurrence pairs —
     * inherent to exact Jaccard.
-    *
-    * `docFilter`: restrict the quadratic stage to a candidate doc set — the
-    * LSH verify path scores O(candidates), not O(corpus²).
     */
-  private def jaccardPairs(s: SparkSession, dir: String,
-      docFilter: Option[DataFrame] = None): DataFrame = {
-    val base = docShingles(s, dir)
-    val docsSh = docFilter match {
-      case Some(docs) => base.join(broadcast(docs), "doc_id")
-      case None => base
-    }
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val docsSh = docShingles(s, dir)
     val cnt = docsSh.select(col("doc_id"), size(col("sh_arr")).as("n_sh"))
     // join on the 60-bit md5-derived shingle hash, not the string: long
     // shuffle keys are ~4x cheaper. The oracle computes the identical hash,
@@ -91,20 +83,23 @@ object DedupQueries {
     },
     // D2b — MinHash (k=16) + LSH (4 bands × 4 rows) with exact-Jaccard
     // verification of the banding candidates.
+    //
+    // Signatures are computed MAP-SIDE from the cached per-doc hash set:
+    // array_min(transform(h_arr, perm_i)) per permutation — zero shuffle,
+    // vs. the explode→16-column groupBy alternative which shuffles
+    // |docs|×|shingles| rows. The only shuffle in the whole pipeline is the
+    // (band, sig) candidate self-join, whose input is 4 rows per doc.
+    // Verification joins the (few) candidate pairs back to the doc hash
+    // sets and computes exact Jaccard via array_intersect — O(candidates),
+    // never touching the corpus-wide inverted index d02 needs.
     "d03_dedup_minhash_lsh" -> { (s, dir) =>
       val params = minhashParams(16)
-      // One pass: all 16 permutations as columns of the shingle-hash row,
-      // then a single shuffle with 16 element-wise mins — no 16x row
-      // explosion (this is the shape that survives a 100x corpus).
-      val sh = docShingles(s, dir)
-        .select(col("doc_id"), explode(col("h_arr")).as("h"))
-      val perms = sh.select(
+      val base = docShingles(s, dir)
+      val sig = base.select(
         col("doc_id") +: params.map { case (i, a, b) =>
-          minhashPerm(col("h"), lit(a), lit(b)).as(s"mh$i")
+          array_min(transform(col("h_arr"),
+            h => minhashPerm(h, lit(a), lit(b)))).as(s"mh$i")
         }: _*)
-      val sig = perms.groupBy("doc_id")
-        .agg(params.map { case (i, _, _) => min(s"mh$i").as(s"mh$i") }.head,
-          params.tail.map { case (i, _, _) => min(s"mh$i").as(s"mh$i") }: _*)
       val bands = sig.select(col("doc_id"),
         expr("stack(4, " + (0 until 4).map { b =>
           val cols = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
@@ -115,11 +110,16 @@ object DedupQueries {
           Seq("band", "sig"))
         .filter(col("da") < col("db"))
         .groupBy("da", "db").agg(count(lit(1)).as("n_bands"))
-        .persist() // tiny; avoids recomputing the banding pipeline 3x below
-      val candDocs = cand.select(col("da").as("doc_id"))
-        .union(cand.select(col("db").as("doc_id"))).distinct()
-      cand.join(jaccardPairs(s, dir, Some(candDocs)).select("da", "db", "jaccard"),
-          Seq("da", "db"))
+      val sets = base.select(col("doc_id"), col("h_arr"),
+        size(col("h_arr")).as("n_sh"))
+      cand
+        .join(broadcast(sets.select(col("doc_id").as("da"),
+          col("h_arr").as("ha"), col("n_sh").as("na"))), "da")
+        .join(broadcast(sets.select(col("doc_id").as("db"),
+          col("h_arr").as("hb"), col("n_sh").as("nb"))), "db")
+        .withColumn("shared", size(array_intersect(col("ha"), col("hb"))))
+        .withColumn("jaccard",
+          col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
         .filter(col("jaccard") >= 0.5)
         .select("da", "db", "n_bands", "jaccard")
         .orderBy("da", "db")
