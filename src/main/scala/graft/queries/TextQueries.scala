@@ -90,6 +90,43 @@ object TextQueries {
         .select("lang", "source", "rn", "doc_id", "n_chars")
         .orderBy("lang", "source", "rn")
     },
+    // Composite training-data prep pipeline: quality filter → exact dedup
+    // (keep min doc_id per content hash) → deterministic stratified sample
+    // (k per (lang, source), md5-ranked) → per-stratum summary. The
+    // end-to-end shape a 100 TB corpus prep job runs: every stage is one
+    // narrow filter or one keyed shuffle; nothing quadratic.
+    "d15_pipeline_prep" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val quality = t(s, dir, "documents")
+        .withColumn("tk", tokens(col("text")))
+        .withColumn("n_tokens", size(col("tk")))
+        .withColumn("distinct_ratio",
+          size(array_distinct(col("tk"))).cast("double") / col("n_tokens"))
+        .filter(col("n_tokens").between(20, 400) && col("distinct_ratio") >= 0.15)
+      val wDup = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val deduped = quality
+        .withColumn("rn_dup", row_number().over(wDup)).filter(col("rn_dup") === 1)
+      val wStratum = Window.partitionBy("lang", "source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      deduped
+        .withColumn("rn", row_number().over(wStratum)).filter(col("rn") <= 5)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("n_tokens").as("total_tokens"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("lang", "source")
+    },
+    // Vocabulary building: corpus-wide top-20 3-gram document frequency.
+    // Scale shape: per-doc distinct map-side, one groupBy(ngram) with
+    // partial aggregation, then TakeOrderedAndProject — no global sort.
+    "d16_ngram_vocab" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(shingles(tokens(col("text"))))).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("ngram"))
+        .limit(20)
+    },
     // D4d — fingerprinting: whole-doc content hash + min-shingle rolling
     // fingerprint (winnowing-style representative hash).
     "d10_fingerprint" -> { (s, dir) =>
@@ -145,6 +182,35 @@ object TextQueries {
         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 3 ORDER BY lang, source, rn""".stripMargin,
+    "d15_pipeline_prep" ->
+      """WITH q AS (
+        |  SELECT doc_id, text, lang, source,
+        |         len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 400
+        |    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) >= 0.15),
+        |d AS (
+        |  SELECT * FROM (
+        |    SELECT q.*, row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY doc_id) AS rn_dup FROM q) x WHERE rn_dup = 1),
+        |s AS (
+        |  SELECT * FROM (
+        |    SELECT d.*, row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM d) y
+        |  WHERE rn <= 5)
+        |SELECT lang, source, COUNT(*) AS n_kept,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM s GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "d16_ngram_vocab" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS ngram
+        |  FROM (SELECT doc_id, string_split(text, ' ') tk,
+        |               unnest(range(len(string_split(text, ' ')) - 2)) AS i
+        |        FROM documents) raw)
+        |SELECT ngram, COUNT(*) AS df FROM sh GROUP BY ngram
+        |ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
     "d10_fingerprint" ->
       s"""SELECT doc_id, md5(lower(text)) AS doc_fp,
          |  list_aggregate(list_transform(sh, x -> ${oTokenHash60("x")}), 'min') AS min_shingle_fp

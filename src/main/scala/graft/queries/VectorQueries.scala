@@ -78,6 +78,23 @@ object VectorQueries {
         .select("q_id", "cell", "rank", "vec_id", "cosine")
         .orderBy("q_id", "rank")
     },
+    // D3c — per-label embedding centroids (class prototypes): distributed
+    // vector mean via posexplode → groupBy(label, pos). Components are
+    // quantized to integer micro-units (floor(v·1e6)) before summing so the
+    // aggregate is exact and order-independent — a float/double sum would
+    // depend on partition order and could never hash-match a single-threaded
+    // oracle. At scale: one shuffle keyed by (label, pos), perfectly
+    // partial-aggregatable.
+    "d17_label_centroid" -> { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("q", floor(col("v").cast("double") * 1000000).cast("long"))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n_vecs"), sum("q").as("centroid_q"))
+        .withColumn("centroid",
+          col("centroid_q").cast("double") / (col("n_vecs") * 1000000))
+        .orderBy("label", "pos")
+    },
     // D5 — multimodal column plumbing: text → binary blob → typed
     // mapPartitions "decode" batch → metadata row. The decode body is a
     // deterministic STUB (no codecs in this container); schema, encoder,
@@ -134,6 +151,17 @@ object VectorQueries {
          |  FROM assigned a JOIN q ON a.cell = q.cell WHERE a.vec_id != q.q_id)
          |SELECT q_id, cell, rank, vec_id, cosine FROM scored
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "d17_label_centroid" ->
+      """WITH ex AS (
+        |  SELECT label,
+        |         unnest(range(len(embedding))) AS pos,
+        |         unnest(embedding) AS v
+        |  FROM embeddings)
+        |SELECT label, CAST(pos AS INT) AS pos, COUNT(*) AS n_vecs,
+        |       CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS centroid_q,
+        |       CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+        |         / (COUNT(*) * 1000000) AS centroid
+        |FROM ex GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "d11_multimodal_decode" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INT) AS n_bytes,
