@@ -33,10 +33,19 @@ class GraftEngine(
 
   /** Bind a table port (node.py:117-139); the port name resolves through
     * the node's graph bindings to a physical store (B8, edit.py:104-107).
+    *
+    * Connectedness (node.py:232-238): standalone engines (no bindings
+    * installed) treat every name as connected; under graph bindings a name
+    * is connected if it is a declared port OR an already-resolved store of
+    * this node. An unconnected port returns a dummy Table whose operations
+    * no-op (`required = false` ports degrade gracefully).
     */
-  def table(name: String, mode: String = "r"): Table = {
+  def table(name: String, mode: String = "r", required: Boolean = true): Table = {
+    val connected = bindings.isEmpty || bindings.contains(name) ||
+      bindings.valuesIterator.contains(name)
     val store = bindings.getOrElse(name, name)
-    opened.getOrElseUpdate(store, new Table(this, store, mode))
+    opened.getOrElseUpdate(store,
+      new Table(this, store, mode, required, connected))
   }
 
   /** Install port→store bindings from graph config (B8). */

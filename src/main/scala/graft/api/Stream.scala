@@ -36,11 +36,22 @@ class Stream(table: Table, val orderByField: String, state: State,
 
   private def plan() = {
     val base = table.read
-    val filtered = cursor match {
-      case Some(v) => base.filter(col(orderByField) > lit(v))
-      case None => base
+    // an unconnected/never-written table has no columns — yield the empty
+    // stream (dummy-object semantics, node.py:232-238) instead of failing
+    // analysis; a populated table missing the orderBy column still errors
+    if (base.columns.isEmpty) {
+      val s = table.read.sparkSession
+      s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(orderByField,
+            org.apache.spark.sql.types.StringType))))
+    } else {
+      val filtered = cursor match {
+        case Some(v) => base.filter(col(orderByField) > lit(v))
+        case None => base
+      }
+      filtered.orderBy(col(orderByField).asc)
     }
-    filtered.orderBy(col(orderByField).asc)
   }
 
   /** Iterate unconsumed records in order, advancing the in-memory cursor as

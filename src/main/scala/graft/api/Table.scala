@@ -23,10 +23,18 @@ import graft.catalog.TableCatalog
   * mitigation path at scale is partition-level rewrite on a bucketed
   * layout, which the anti-join+union plan here already parallelizes.
   */
-class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
+class Table(engine: GraftEngine, val name: String, val mode: String = "r",
+    val required: Boolean = true, val connected: Boolean = true) {
   import engine.spark
   private val catalog: TableCatalog = engine.catalog
   private val buffer = ArrayBuffer.empty[DataFrame]
+
+  /** Whether this port is bound to a store in the graph (node.py:232-238).
+    * Operations on an unconnected table are no-ops returning dummies —
+    * reads come back empty, writes are swallowed, introspection is None —
+    * so an optional (`required = false`) port degrades gracefully.
+    */
+  def isConnected: Boolean = connected
 
   /** Default auto-column names when init is called without explicit ones
     * (the reference has the caller pick the names, node.py:286-294).
@@ -44,7 +52,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
   /** Temp-view name this table registers under for SQL (node.py:240-246). */
   def sqlName: String = name
 
-  def hasActiveVersion: Boolean = manifest.activeVersion.isDefined
+  def hasActiveVersion: Boolean = connected && manifest.activeVersion.isDefined
 
   def exists: Boolean = hasActiveVersion && activeFiles.nonEmpty
 
@@ -59,7 +67,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
     }
 
   private def activeDf: Option[DataFrame] =
-    manifest.activeVersion.filter(_ => activeFiles.nonEmpty)
+    manifest.activeVersion.filter(_ => connected && activeFiles.nonEmpty)
       .map(vid => spark.read.option("mergeSchema", "true")
         .parquet(catalog.versionDir(name, vid).toString))
 
@@ -116,10 +124,10 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
   /** Buffered insert (node.py:299-316); data hits disk on [[flush]] or at
     * execution end (GraftEngine.endExecution).
     */
-  def append(df: DataFrame): Unit = buffer += df
+  def append(df: DataFrame): Unit = if (connected) buffer += df
 
   /** Force buffered writes to the active version (node.py:407-414). */
-  def flush(): Unit = if (buffer.nonEmpty) {
+  def flush(): Unit = if (connected && buffer.nonEmpty) {
     val batch = buffer.reduce(_.unionByName(_, allowMissingColumns = true))
     buffer.clear()
     val isNew = manifest.activeVersion.isEmpty
@@ -137,7 +145,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
     * active version against incoming keys, union, write a new version
     * (copy-on-write MERGE; last-writer-wins per key).
     */
-  def upsert(df: DataFrame): Unit = {
+  def upsert(df: DataFrame): Unit = if (connected) {
     flush()
     val keys = manifest.meta.uniqueOn
     require(keys.nonEmpty, s"upsert on '$name' requires unique_on (node.py:323)")
@@ -162,7 +170,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
   /** New version containing only these records (node.py:336-345 —
     * "reset() then append(records)").
     */
-  def replace(df: DataFrame): Unit = {
+  def replace(df: DataFrame): Unit = if (connected) {
     buffer.clear()
     catalog.recordEvent(name, "reset")
     // reference defines replace as reset()+append() (node.py:336-345), so it
@@ -171,7 +179,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
   }
 
   /** Delete all rows, keep schema (node.py:347-354). */
-  def truncate(): Unit = {
+  def truncate(): Unit = if (connected) {
     buffer.clear()
     val empty = activeDf match {
       case Some(df) => df.limit(0)
@@ -183,7 +191,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
   /** Active pointer := fresh null version; old data stays on disk until
     * GC'd per retention policy (node.py:399-405, :216-222).
     */
-  def reset(): Unit = {
+  def reset(): Unit = if (connected) {
     buffer.clear()
     val (_, vid) = catalog.createVersion(name)
     catalog.setActive(name, Some(vid), "reset")
@@ -193,7 +201,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
     * plan's root classifies create-vs-modify for event emission
     * (node.py:360-362).
     */
-  def executeSql(sql: String): DataFrame = {
+  def executeSql(sql: String): DataFrame = if (!connected) spark.emptyDataFrame else {
     if (hasActiveVersion) read.createOrReplaceTempView(sqlName)
     val planClass = spark.sessionState.sqlParser.parsePlan(sql).getClass.getSimpleName
     val result = spark.sql(sql)
@@ -207,9 +215,9 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r") {
   def createNewVersion(): String = catalog.createVersion(name)._2
   def getActiveVersion: Option[String] = manifest.activeVersion
   def setActiveVersion(vid: String): Unit = catalog.setActive(name, Some(vid), "update")
-  def signalCreate(): Unit = catalog.recordEvent(name, "create")
-  def signalUpdate(): Unit = catalog.recordEvent(name, "update")
-  def signalReset(): Unit = catalog.recordEvent(name, "reset")
+  def signalCreate(): Unit = if (connected) catalog.recordEvent(name, "create")
+  def signalUpdate(): Unit = if (connected) catalog.recordEvent(name, "update")
+  def signalReset(): Unit = if (connected) catalog.recordEvent(name, "reset")
 
   /** Ordered exactly-once cursor over this table (node.py:191-214).
     * Default ordering: the strictly-monotonic id role if declared, else the

@@ -24,6 +24,22 @@ class TableSpec extends SparkSpec {
     assert(t.getActiveVersion == Some("v000001"))
   }
 
+  test("unconnected ports are no-ops returning dummies (node.py:232-238)") {
+    val e = engine().withBindings(Map("in" -> "raw", "out" -> "result"))
+    val ok = e.table("out", "w")
+    assert(ok.isConnected)
+    ok.append(Seq((1L, "a")).toDF("id", "v")); ok.flush()
+    assert(e.table("result").read.count() == 1)   // store name also connected
+    val dummy = e.table("oops", "w", required = false)
+    assert(!dummy.isConnected)
+    dummy.append(Seq((1L, "a")).toDF("id", "v"))
+    dummy.flush()
+    dummy.replace(Seq((2L, "b")).toDF("id", "v"))
+    assert(!dummy.exists && dummy.schema.isEmpty && dummy.recordCount.isEmpty)
+    assert(dummy.read.count() == 0)
+    assert(dummy.asStream(orderBy = "id").consumeRecords().isEmpty)
+  }
+
   test("endExecution flushes all buffered ports") {
     val e = engine()
     val t = e.table("t2", "w")
