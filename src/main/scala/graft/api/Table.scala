@@ -63,13 +63,21 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
   private def activeFiles: Array[java.io.File] =
     manifest.activeVersion.toArray.flatMap { vid =>
       val d = catalog.versionDir(name, vid).toFile
-      if (d.exists) d.listFiles(f => f.getName.endsWith(".parquet")) else Array.empty[java.io.File]
+      if (!d.exists) Array.empty[java.io.File]
+      else {
+        val top = d.listFiles(f => f.getName.endsWith(".parquet"))
+        val nested = d.listFiles(f => f.isDirectory && f.getName.startsWith("__bucket="))
+          .flatMap(b => Option(b.listFiles(f => f.getName.endsWith(".parquet")))
+            .getOrElse(Array.empty[java.io.File]))
+        top ++ nested
+      }
     }
 
   private def activeDf: Option[DataFrame] =
     manifest.activeVersion.filter(_ => connected && activeFiles.nonEmpty)
       .map(vid => spark.read.option("mergeSchema", "true")
-        .parquet(catalog.versionDir(name, vid).toString))
+        .parquet(catalog.versionDir(name, vid).toString)
+        .drop("__bucket")) // layout detail, not user schema
 
   // --- read surface (node.py:141-189) ---
 
@@ -111,13 +119,17 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
       uniqueOn: Seq[String] = Nil,
       addCreated: String = null,
       addMonotonicId: String = null,
-      autoIndexes: Boolean = true): Table = {
+      autoIndexes: Boolean = true,
+      bucketBy: Int = 0): Table = {
+    require(bucketBy == 0 || uniqueOn.nonEmpty || manifest.meta.uniqueOn.nonEmpty,
+      s"bucketBy on '$name' requires unique_on (buckets hash the unique key)")
     catalog.updateMeta(name)(m => m.copy(
       schemaHints = m.schemaHints ++ schemaHints,
       uniqueOn = if (uniqueOn.nonEmpty) uniqueOn.toList else m.uniqueOn,
       addCreated = Option(addCreated).orElse(m.addCreated),
       addMonotonicId = Option(addMonotonicId).orElse(m.addMonotonicId),
-      autoIndexes = autoIndexes))
+      autoIndexes = autoIndexes,
+      numBuckets = if (bucketBy > 0) Some(bucketBy) else m.numBuckets))
     this
   }
 
@@ -136,10 +148,38 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
       catalog.setActive(name, Some(v), "create")
       v
     }
-    clustered(decorate(conform(batch))).write.mode(SaveMode.Append)
-      .parquet(catalog.versionDir(name, vid).toString)
+    writeInto(clustered(decorate(conform(batch))),
+      catalog.versionDir(name, vid).toString, SaveMode.Append)
     if (!isNew) catalog.recordEvent(name, "update")
   }
+
+  // --- hash-bucketed layout (the 100 TB upsert/point-lookup path) ---
+
+  /** Bucket count, when this table is laid out as `__bucket=K` partition
+    * dirs hashed on the unique key (declared via `init(bucketBy = n)`).
+    */
+  private def bucketCount: Option[Int] =
+    manifest.meta.numBuckets.filter(_ => manifest.meta.uniqueOn.nonEmpty)
+
+  private def withBucket(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("__bucket",
+      pmod(hash(manifest.meta.uniqueOn.map(col): _*), lit(n)))
+
+  /** Whether this version dir is physically bucket-partitioned (a table can
+    * gain bucketBy after unbucketed versions were written).
+    */
+  private def hasBucketLayout(vid: String): Boolean =
+    Option(catalog.versionDir(name, vid).toFile
+        .listFiles((f: java.io.File) => f.isDirectory && f.getName.startsWith("__bucket=")))
+      .exists(_.nonEmpty)
+
+  /** Write honoring the bucket layout when declared. */
+  private def writeInto(df: DataFrame, dir: String, mode: SaveMode): Unit =
+    bucketCount match {
+      case Some(n) =>
+        withBucket(df, n).write.mode(mode).partitionBy("__bucket").parquet(dir)
+      case None => df.write.mode(mode).parquet(dir)
+    }
 
   /** Insert-or-update on the unique key (node.py:318-334): anti-join the
     * active version against incoming keys, union, write a new version
@@ -158,13 +198,82 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__pos", "__rn")
     val incoming = decorate(conform(lastPerKey))
-    val merged = activeDf match {
-      case Some(active) =>
-        val kept = active.join(incoming, keys, "left_anti")
-        incoming.unionByName(kept, allowMissingColumns = true)
-      case None => incoming
+    val oldVid = manifest.activeVersion.filter(_ => activeFiles.nonEmpty)
+    (oldVid, bucketCount) match {
+      case (Some(vid), Some(n)) if hasBucketLayout(vid) =>
+        bucketedUpsert(incoming, vid, n)
+      case _ =>
+        val merged = activeDf match {
+          case Some(active) =>
+            val kept = active.join(incoming, keys, "left_anti")
+            incoming.unionByName(kept, allowMissingColumns = true)
+          case None => incoming
+        }
+        writeNewVersion(merged, if (hasActiveVersion) "update" else "create")
     }
-    writeNewVersion(merged, if (hasActiveVersion) "update" else "create")
+  }
+
+  /** Partition-level copy-on-write MERGE (the 100 TB upsert): hash the
+    * incoming keys to their buckets, REWRITE only the affected `__bucket=K`
+    * dirs (anti-join ∪ incoming, one Spark job over those buckets), and
+    * carry every untouched bucket into the new version as a file-level copy
+    * — O(affected buckets) compute instead of O(table). On an object-store
+    * manifest layout the copy step degenerates to a pointer; here it is a
+    * local file copy, still zero shuffle/decode.
+    */
+  private def bucketedUpsert(incoming: DataFrame, oldVid: String, n: Int): Unit = {
+    val keys = manifest.meta.uniqueOn
+    val oldDir = catalog.versionDir(name, oldVid)
+    val affected = withBucket(incoming, n).select("__bucket")
+      .distinct().collect().map(_.getInt(0)).toSet // ≤ n values, never O(data)
+    val (_, vid) = catalog.createVersion(name)
+    val newDir = catalog.versionDir(name, vid)
+    oldDir.toFile.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+      .filterNot(f => affected.contains(f.getName.stripPrefix("__bucket=").toInt))
+      .foreach { src =>
+        val dst = newDir.resolve(src.getName)
+        java.nio.file.Files.createDirectories(dst)
+        src.listFiles().filter(_.isFile).foreach(f =>
+          java.nio.file.Files.copy(f.toPath, dst.resolve(f.getName)))
+      }
+    val oldPaths = affected.toSeq.sorted
+      .map(k => oldDir.resolve(s"__bucket=$k"))
+      .filter(p => p.toFile.exists).map(_.toString)
+    val kept =
+      if (oldPaths.isEmpty) incoming.limit(0)
+      else spark.read.option("mergeSchema", "true").parquet(oldPaths: _*)
+        .join(incoming, keys, "left_anti")
+    val merged = incoming.unionByName(kept, allowMissingColumns = true)
+    writeInto(clustered(merged), newDir.toString, SaveMode.Append)
+    catalog.setActive(name, Some(vid), "update")
+  }
+
+  /** Bucket-pruned point lookup on the unique key — the `auto_indexes`
+    * read path (node.py:277): on a bucketed table, scans exactly the one
+    * `__bucket=K` dir the key hashes to; otherwise a filtered full read
+    * (which still min/max-prunes via write-time clustering).
+    */
+  def lookup(keyValues: Seq[Any]): DataFrame = {
+    val keys = manifest.meta.uniqueOn
+    require(keys.nonEmpty && keys.length == keyValues.length,
+      s"lookup on '$name' needs unique_on values (${keys.mkString(",")})")
+    val sch = schema
+    def typedLit(k: String, v: Any) = sch.flatMap(s =>
+      s.fields.find(_.name == k)).map(f => lit(v).cast(f.dataType)).getOrElse(lit(v))
+    val eqFilter = keys.zip(keyValues)
+      .map { case (k, v) => col(k) === typedLit(k, v) }.reduce(_ && _)
+    (bucketCount, manifest.activeVersion) match {
+      case (Some(n), Some(vid)) if hasBucketLayout(vid) =>
+        val b = spark.range(1).select(pmod(hash(
+          keys.zip(keyValues).map { case (k, v) => typedLit(k, v) }: _*),
+          lit(n)).as("b")).head.getInt(0)
+        val p = catalog.versionDir(name, vid).resolve(s"__bucket=$b")
+        if (p.toFile.exists)
+          spark.read.option("mergeSchema", "true").parquet(p.toString).filter(eqFilter)
+        else read.limit(0)
+      case _ => read.filter(eqFilter)
+    }
   }
 
   /** New version containing only these records (node.py:336-345 —
@@ -295,8 +404,8 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
 
   private def writeNewVersion(df: DataFrame, eventKind: String): Unit = {
     val (_, vid) = catalog.createVersion(name)
-    clustered(df).write.mode(SaveMode.Overwrite)
-      .parquet(catalog.versionDir(name, vid).toString)
+    writeInto(clustered(df), catalog.versionDir(name, vid).toString,
+      SaveMode.Overwrite)
     catalog.setActive(name, Some(vid), eventKind)
   }
 }

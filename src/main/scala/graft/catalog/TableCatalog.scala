@@ -26,7 +26,11 @@ case class TableMeta(
     addCreated: Option[String] = None,     // field NAME for the auto_now column
     addMonotonicId: Option[String] = None, // field NAME for the base32 id column
     autoIndexes: Boolean = true,
-    highWaterMark: Long = 0L)
+    highWaterMark: Long = 0L,
+    // hash-bucket count over uniqueOn: versions are laid out as
+    // __bucket=K partition dirs so upsert rewrites only affected buckets
+    // and point lookups scan a single bucket (the 100 TB upsert path)
+    numBuckets: Option[Int] = None)
 
 /** Per-table manifest: active-version pointer + version/event history
   * (reference node.py:87-89 — one-or-zero active versions per table).
