@@ -95,6 +95,25 @@ object VectorQueries {
           col("centroid_q").cast("double") / (col("n_vecs") * 1000000))
         .orderBy("label", "pos")
     },
+    // D5b — multimodal frame sampling: every 4th frame of each "video"
+    // blob becomes its own row (sequence + explode — the row-explosion
+    // shape a real frame extractor feeds into a decode UDF). Frame
+    // fingerprints are a deterministic stand-in for decoded frame content
+    // (no codecs in this container); the partition-parallel explode and
+    // per-frame row schema are the real plumbing.
+    "d18_frame_sample" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        .withColumn("n_bytes", length(col("blob")))
+        .withColumn("n_frames", expr("int(n_bytes div 100) + 1"))
+        .withColumn("frame_idx",
+          explode(sequence(lit(0), col("n_frames") - 1, lit(4))))
+        .withColumn("frame_fp",
+          md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("frame_idx").cast("string"))))
+        .select("doc_id", "n_frames", "frame_idx", "frame_fp")
+        .orderBy("doc_id", "frame_idx")
+    },
     // D5 — multimodal column plumbing: text → binary blob → typed
     // mapPartitions "decode" batch → metadata row. The decode body is a
     // deterministic STUB (no codecs in this container); schema, encoder,
@@ -162,6 +181,13 @@ object VectorQueries {
         |       CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
         |         / (COUNT(*) * 1000000) AS centroid
         |FROM ex GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "d18_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST(length(text) // 100 + 1 AS INT) AS n_frames,
+        |  CAST(unnest(range(0, length(text) // 100 + 1, 4)) AS INT) AS frame_idx,
+        |  md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(unnest(range(0, length(text) // 100 + 1, 4)) AS VARCHAR)) AS frame_fp
+        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
     "d11_multimodal_decode" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INT) AS n_bytes,

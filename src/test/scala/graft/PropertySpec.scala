@@ -51,6 +51,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bucketed upsert ≡ unbucketed upsert (same merge, different layout)") {
+    for (i <- 1 to cases) {
+      val b1 = sample(kvNonEmpty, i + 300)
+      val b2 = sample(kvNonEmpty, i + 400)
+      val e = new GraftEngine(spark, freshRoot())
+      val plain = e.table("p", "w").init(uniqueOn = Seq("id"))
+      val bucketed = e.table("b", "w").init(uniqueOn = Seq("id"), bucketBy = 4)
+      Seq(b1, b2).foreach { b =>
+        plain.upsert(b.toDF("id", "v"))
+        bucketed.upsert(b.toDF("id", "v"))
+      }
+      val pRows = plain.read.orderBy("id", "v").collect().toSeq
+      val bRows = bucketed.read.orderBy("id", "v").collect().toSeq
+      assert(pRows == bRows, s"seed=$i")
+    }
+  }
+
   test("append batching is associative: one flush == per-batch flushes") {
     for (i <- 1 to cases) {
       val b1 = sample(kvBatch, i)
