@@ -54,6 +54,11 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
 
   def hasActiveVersion: Boolean = connected && manifest.activeVersion.isDefined
 
+  /** Filesystem path of the active version dir (streaming tail target). */
+  def activeVersionDir: Option[String] =
+    manifest.activeVersion.filter(_ => connected)
+      .map(vid => catalog.versionDir(name, vid).toString)
+
   def exists: Boolean = hasActiveVersion && activeFiles.nonEmpty
 
   def schema: Option[StructType] = activeDf.map(_.schema)

@@ -80,4 +80,33 @@ object StreamingPipelines {
     df.writeStream.format("memory").queryName(name)
       .outputMode(if (complete) OutputMode.Complete else OutputMode.Update)
       .start()
+
+  /** Tail a catalog table's ACTIVE version as a stream, schema taken from
+    * the table itself — `Table.append`/`flush` appends become stream
+    * micro-batches. The continuous counterpart of `Table.asStream`.
+    */
+  def tailTable(table: graft.api.Table): DataFrame = {
+    val sch = table.schema.getOrElse(throw new IllegalStateException(
+      s"tailTable('${table.name}') needs an existing active version for its schema"))
+    table.read.sparkSession.readStream.schema(sch)
+      .parquet(table.activeVersionDir.get)
+  }
+
+  /** Stream into a catalog table: each micro-batch goes through the
+    * table's own buffered write path (append + flush), so schema-on-write
+    * conformance, auto columns, clustering, and bucket layout all apply —
+    * and every batch emits the catalog events that trigger downstream
+    * graph nodes. Checkpointing makes delivery exactly-once end-to-end:
+    * the file-stream source tracks consumed files, the sink appends
+    * per-batch.
+    */
+  def writeToTable(df: DataFrame, table: graft.api.Table,
+      checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        table.append(batch)
+        table.flush()
+      }
+      .start()
 }

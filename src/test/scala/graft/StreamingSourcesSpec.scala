@@ -51,6 +51,27 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("catalog-to-catalog streaming: tailTable -> transform -> writeToTable") {
+    val e = new GraftEngine(spark, freshRoot())
+    val src = e.table("src_t", "w")
+    src.append(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "value")); src.flush()
+    val dst = e.table("dst_t", "w")
+    val ckpt = Files.createTempDirectory("ckpt-").toString
+    val stream = StreamingPipelines.tailTable(src)
+      .withColumn("doubled", col("value") * 2)
+    val q = StreamingPipelines.writeToTable(stream, dst, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(dst.read.select("id", "doubled").as[(Long, Double)]
+        .collect().toSet == Set((1L, 20.0), (2L, 40.0)))
+      // appends to the source become further micro-batches, exactly once
+      src.append(Seq((3L, 30.0)).toDF("id", "value")); src.flush()
+      q.processAllAvailable()
+      assert(dst.read.count() == 3)
+      assert(dst.read.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("tailParquet streams appends from a catalog version dir") {
     val e = new GraftEngine(spark, freshRoot())
     val t = e.table("feed", "w")
