@@ -26,7 +26,7 @@ object DedupQueries {
     * re-evaluate the chain; Spark's CacheManager dedups the entry across
     * queries by canonical plan.
     */
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
+  private[queries] def docShingles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       // single-file fixture => 1 input partition; spread rows BEFORE the
       // expensive shingling expression so it runs on every core

@@ -119,10 +119,11 @@ object TextQueries {
     // Vocabulary building: corpus-wide top-20 3-gram document frequency.
     // Scale shape: per-doc distinct map-side, one groupBy(ngram) with
     // partial aggregation, then TakeOrderedAndProject — no global sort.
+    // Reuses the cached per-doc shingle sets (repartitioned before the
+    // interpreted HOF shingling — shared with d02/d03).
     "d16_ngram_vocab" -> { (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(array_distinct(shingles(tokens(col("text"))))).as("ngram"))
+      DedupQueries.docShingles(s, dir)
+        .select(explode(col("sh_arr")).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("ngram"))
         .limit(20)
