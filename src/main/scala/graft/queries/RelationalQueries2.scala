@@ -279,6 +279,45 @@ object RelationalQueries2 {
         .orderBy("brand_num")
     },
     // C32 — typed Aggregator (UDAF) surface: integer-exact accumulation.
+    // C5/C28 + A4 — correlated EXISTS / NOT EXISTS through the SQL surface
+    // (Catalyst plans these as semi/anti ExistenceJoins — no per-row
+    // subquery execution, same hash-join shape as q06/q07 at scale).
+    "q33_correlated_exists" -> { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_mktsegment,
+          |  COUNT(*) AS n_cust,
+          |  COUNT(CASE WHEN has_big THEN 1 END) AS n_with_big
+          |FROM (
+          |  SELECT c_mktsegment,
+          |    EXISTS (SELECT 1 FROM orders o
+          |            WHERE o.o_custkey = c.c_custkey
+          |              AND o.o_totalprice > 200000) AS has_big
+          |  FROM customer c
+          |  WHERE NOT EXISTS (SELECT 1 FROM orders o2
+          |                    WHERE o2.o_custkey = c.c_custkey
+          |                      AND o2.o_orderstatus = 'P')) t
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    },
+    // C17/C18 — distribution windows: ntile / percent_rank / cume_dist
+    // per order-year (partitioned windows — no global single-partition sort).
+    "q34_ntile_dist" -> { (s, dir) =>
+      val w = Window.partitionBy("y")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("y", year(col("o_orderdate")).cast("int"))
+        .withColumn("decile", ntile(10).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .filter(col("decile") === 1)
+        .groupBy("y")
+        .agg(count(lit(1)).as("n_top"),
+          dsum(col("o_totalprice")).as("top_decile_total"),
+          max("pct_rank").as("max_pct_rank"),
+          max("cume").as("max_cume"))
+        .orderBy("y")
+    },
     "q32_udaf_surface" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Aggregator
       import org.apache.spark.sql.Encoders
@@ -467,6 +506,34 @@ object RelationalQueries2 {
       s"""SELECT CAST(string_split(p_brand, '#')[2] AS INT) AS brand_num,
          |  COUNT(*) AS n_parts, ${oSum("p_retailprice")} AS total_price
          |FROM part GROUP BY brand_num ORDER BY brand_num""".stripMargin,
+    "q33_correlated_exists" ->
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n_cust,
+        |  COUNT(CASE WHEN has_big THEN 1 END) AS n_with_big
+        |FROM (
+        |  SELECT c_mktsegment,
+        |    EXISTS (SELECT 1 FROM orders o
+        |            WHERE o.o_custkey = c.c_custkey
+        |              AND o.o_totalprice > 200000) AS has_big
+        |  FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o2
+        |                    WHERE o2.o_custkey = c.c_custkey
+        |                      AND o2.o_orderstatus = 'P')) t
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q34_ntile_dist" ->
+      s"""SELECT y, COUNT(*) AS n_top,
+         |  ${oSum("o_totalprice")} AS top_decile_total,
+         |  MAX(pct_rank) AS max_pct_rank,
+         |  MAX(cume) AS max_cume
+         |FROM (
+         |  SELECT CAST(year(o_orderdate) AS INT) AS y, o_totalprice,
+         |    ntile(10) OVER w AS decile,
+         |    percent_rank() OVER w AS pct_rank,
+         |    cume_dist() OVER w AS cume
+         |  FROM orders
+         |  WINDOW w AS (PARTITION BY year(o_orderdate)
+         |               ORDER BY o_totalprice DESC, o_orderkey)) t
+         |WHERE decile = 1 GROUP BY y ORDER BY y""".stripMargin,
     "q32_udaf_surface" ->
       """SELECT l_returnflag,
         |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_deep_discount,
