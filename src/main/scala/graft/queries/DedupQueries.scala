@@ -49,21 +49,22 @@ object DedupQueries {
     */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val docsSh = docShingles(s, dir)
-    val cnt = docsSh.select(col("doc_id"), size(col("sh_arr")).as("n_sh"))
     // join on the 60-bit md5-derived shingle hash, not the string: long
     // shuffle keys are ~4x cheaper. The oracle computes the identical hash,
     // so results agree bit-for-bit even in the (1e-7) collision case.
-    val sh = docsSh.select(col("doc_id"), explode(col("h_arr")).as("sh_h"))
-    val shared = sh.select(col("doc_id").as("da"), col("sh_h"))
+    // Each doc's set size rides along the exploded rows (one extra int per
+    // row) so the pair aggregation yields na/nb directly — no post-join
+    // lookups of per-doc sizes.
+    val sh = docsSh.select(col("doc_id"), size(col("h_arr")).as("n_sh"),
+      explode(col("h_arr")).as("sh_h"))
+    val shared = sh.select(col("doc_id").as("da"), col("n_sh").as("na_r"), col("sh_h"))
       .hint("shuffle_hash") // equi-join on a hot key: hash beats sorting both sides
-      .join(sh.select(col("doc_id").as("db"), col("sh_h")), "sh_h")
+      .join(sh.select(col("doc_id").as("db"), col("n_sh").as("nb_r"), col("sh_h")), "sh_h")
       .filter(col("da") < col("db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("shared"))
-    shared
-      .join(broadcast(cnt.select(col("doc_id").as("da"), col("n_sh").as("na"))), "da")
-      .join(broadcast(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb"))), "db")
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .groupBy("da", "db").agg(count(lit(1)).as("shared"),
+        first("na_r").as("na"), first("nb_r").as("nb"))
+    shared.withColumn("jaccard",
+      col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -64,14 +64,23 @@ object RelationalQueries {
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy("n_name")
     },
-    // C8 — left outer join keeps customers without orders.
+    // C8 — left outer join keeps customers without orders. Orders are
+    // pre-aggregated per custkey BEFORE the join (aggregate pushdown below
+    // the join): the join input shrinks from |orders| to |customers| rows,
+    // and the per-key decimal partial sums re-aggregate exactly (decimal
+    // addition is associative) — same result, a fraction of the shuffle.
     "q05_left_outer" -> { (s, dir) =>
+      val perCust = t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(col("o_orderkey")).as("n_o"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+            .as("price_part"))
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
         .groupBy("c_mktsegment")
-        .agg(countDistinct(col("c_custkey")).as("n_cust"),
-             count(col("o_orderkey")).as("n_orders"),
-             dsum(col("o_totalprice")).as("total_price"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(coalesce(col("n_o"), lit(0L))).as("n_orders"),
+          sum(col("price_part")).cast("double").as("total_price"))
         .orderBy("c_mktsegment")
     },
     // C9 — left-semi: customers having an open order, per nation.
