@@ -115,6 +115,18 @@ class GraphRunner(
     cascade(maxSteps)
   }
 
+  /** Trigger every node whose cron `trigger:` expression fires at `now`,
+    * cascading downstream (B9 — the engine-side tick a host scheduler
+    * calls once per minute; the reference platform runs this server-side).
+    */
+  def runDue(now: java.time.LocalDateTime, maxSteps: Int = 100): Seq[String] = {
+    val due = graph.functions.filterNot(_.isWebhook)
+      .filter(_.trigger.exists(Cron(_).isDue(now)))
+    due.foreach(n => runNode(n.id))
+    if (due.nonEmpty) cascade(maxSteps)
+    due.map(_.id)
+  }
+
   /** Run all eligible nodes until quiescent: sources (no inputs) run once,
     * consumers run as their inputs change.
     */

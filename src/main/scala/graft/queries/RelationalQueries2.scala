@@ -318,6 +318,26 @@ object RelationalQueries2 {
           max("cume").as("max_cume"))
         .orderBy("y")
     },
+    // Skew-handling pattern — salted join: a hot key on the fact side is
+    // spread over S reducers by joining on (key, salt) against S replicated
+    // dim rows. Result is identical to the plain key join (every fact row
+    // matches exactly its salt copy); what changes is the physical shape —
+    // no single reducer sees a whole hot key. AQE's skew-join split handles
+    // the same problem adaptively; salting is the explicit, planner-
+    // independent form a 100 TB pipeline reaches for on known-hot keys.
+    "q35_salted_join" -> { (s, dir) =>
+      val S = 8
+      val e = ev(s, dir)
+      val dim = e.groupBy("user_id")
+        .agg(min("event_type").as("first_type")) // small per-key dim
+      val dimSalted = dim.withColumn("salt",
+        explode(sequence(lit(0), lit(S - 1))))
+      val fact = e.withColumn("salt", pmod(hash(col("event_id")), lit(S)))
+      fact.join(dimSalted, Seq("user_id", "salt"))
+        .groupBy(col("first_type"), (col("user_id") % 10).cast("long").as("user_mod"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total"))
+        .orderBy("first_type", "user_mod")
+    },
     "q32_udaf_surface" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Aggregator
       import org.apache.spark.sql.Encoders
@@ -534,6 +554,14 @@ object RelationalQueries2 {
          |  WINDOW w AS (PARTITION BY year(o_orderdate)
          |               ORDER BY o_totalprice DESC, o_orderkey)) t
          |WHERE decile = 1 GROUP BY y ORDER BY y""".stripMargin,
+    "q35_salted_join" ->
+      s"""WITH dim AS (
+         |  SELECT user_id, MIN(event_type) AS first_type
+         |  FROM events GROUP BY user_id)
+         |SELECT first_type, CAST(user_id % 10 AS BIGINT) AS user_mod,
+         |       COUNT(*) AS n_events, ${oSum("value")} AS total
+         |FROM events JOIN dim USING (user_id)
+         |GROUP BY first_type, user_mod ORDER BY first_type, user_mod""".stripMargin,
     "q32_udaf_surface" ->
       """SELECT l_returnflag,
         |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_deep_discount,

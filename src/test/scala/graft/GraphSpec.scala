@@ -142,6 +142,40 @@ class GraphSpec extends SparkSpec {
     assert(inner.outputs == Map("out" -> "enriched"))
   }
 
+  test("cron trigger expressions evaluate and drive runDue (B9)") {
+    import java.time.LocalDateTime
+    import graft.graph.Cron
+    val t = LocalDateTime.of(2026, 8, 12, 14, 1) // Wednesday
+    assert(Cron("1 * * * *").isDue(t))
+    assert(!Cron("2 * * * *").isDue(t))
+    assert(Cron("*/1 * * * *").isDue(t))
+    assert(Cron("1 14 * * *").isDue(t) && !Cron("1 13 * * *").isDue(t))
+    assert(Cron("1 * 12 * *").isDue(t) && !Cron("1 * 13 * *").isDue(t))
+    assert(Cron("1 * * * 3").isDue(t) && !Cron("1 * * * 4").isDue(t))
+    assert(Cron("0-5 * * * *").isDue(t) && Cron("1,7 * * * *").isDue(t))
+    // classic OR rule: dom OR dow when both restricted
+    assert(Cron("1 * 13 * 3").isDue(t))
+    assert(Cron("1 * * * *").nextFire(t) ==
+      Some(LocalDateTime.of(2026, 8, 12, 15, 1)))
+
+    val dir = Files.createTempDirectory("graph-")
+    val yaml =
+      """functions:
+        |  - node_file: producer
+        |    id: aaaaaaaa
+        |    trigger: "1 * * * *"
+        |    outputs: {out: t_cron}
+        |""".stripMargin
+    val root = freshRoot()
+    val runner = new GraphRunner(spark, GraphLoader.parse(yaml), root, Some(dir))
+      .register("producer", eng =>
+        eng.table("out", "w").append(Seq((1L, "x")).toDF("id", "v")))
+    assert(runner.runDue(LocalDateTime.of(2026, 8, 12, 14, 2)).isEmpty)
+    assert(runner.runDue(t) == Seq("aaaaaaaa"))
+    val probe = new graft.api.GraftEngine(spark, root, "probe")
+    assert(probe.table("t_cron").read.count() == 1)
+  }
+
   test("child store shadowing a parent port stays internal when exposes is declared") {
     val dir = Files.createTempDirectory("graph-")
     val subDir = dir.resolve("sub"); Files.createDirectories(subDir)
