@@ -81,6 +81,16 @@ object StreamingPipelines {
       .outputMode(if (complete) OutputMode.Complete else OutputMode.Update)
       .start()
 
+  /** Streaming exact dedup: drop rows whose `idCols` were already seen
+    * within the watermark window (state is bounded by the watermark — the
+    * streaming counterpart of d01's hash-groupBy dedup; at scale the state
+    * store shards by key across executors).
+    */
+  def dedupStream(df: DataFrame, tsCol: String, watermarkDelay: String,
+      idCols: String*): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols.toSeq)
+
   /** Tail a catalog table's ACTIVE version as a stream, schema taken from
     * the table itself — `Table.append`/`flush` appends become stream
     * micro-batches. The continuous counterpart of `Table.asStream`.

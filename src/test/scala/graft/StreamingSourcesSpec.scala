@@ -51,6 +51,37 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus prep: tail documents -> quality filter -> dedup -> catalog sink") {
+    import graft.functions.TextFunctions._
+    val e = new GraftEngine(spark, freshRoot())
+    val src = e.table("docs_in", "w")
+    src.append(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", Timestamp.valueOf("2024-01-01 00:00:01")),
+      (2L, "the quick brown fox jumps over the lazy dog again and again", Timestamp.valueOf("2024-01-01 00:00:02")), // exact dup of 1
+      (3L, "a a a a a a a a a a a a", Timestamp.valueOf("2024-01-01 00:00:03")), // fails diversity
+      (4L, "completely different text with many distinct informative tokens here now", Timestamp.valueOf("2024-01-01 00:00:04"))
+    ).toDF("doc_id", "text", "ts")); src.flush()
+    val dst = e.table("docs_clean", "w")
+    val ckpt = Files.createTempDirectory("ckpt-").toString
+    val cleaned = StreamingPipelines.dedupStream(
+      StreamingPipelines.tailTable(src)
+        .withColumn("tk", tokens(col("text")))
+        .withColumn("n_tokens", size(col("tk")))
+        .withColumn("distinct_ratio",
+          size(array_distinct(col("tk"))).cast("double") / col("n_tokens"))
+        .filter(col("n_tokens") >= 5 && col("distinct_ratio") >= 0.5)
+        .withColumn("content_hash", sha2(col("text"), 256))
+        .select("doc_id", "text", "ts", "content_hash"),
+      "ts", "10 minutes", "content_hash")
+    val q = StreamingPipelines.writeToTable(cleaned, dst, ckpt)
+    try {
+      q.processAllAvailable()
+      val kept = dst.read.select("doc_id").as[Long].collect().toSet
+      // doc 2 deduped (same content hash as 1), doc 3 quality-filtered
+      assert(kept == Set(1L, 4L))
+    } finally q.stop()
+  }
+
   test("catalog-to-catalog streaming: tailTable -> transform -> writeToTable") {
     val e = new GraftEngine(spark, freshRoot())
     val src = e.table("src_t", "w")
