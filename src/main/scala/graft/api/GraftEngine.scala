@@ -27,7 +27,7 @@ class GraftEngine(
     System.currentTimeMillis(), executionLimitMillis)
 
   private val opened = mutable.LinkedHashMap.empty[String, Table]
-  private val openedStreams = mutable.ArrayBuffer.empty[Stream]
+  private val openedStreams = mutable.LinkedHashMap.empty[String, Stream]
   private var params: Map[String, Any] = Map.empty
   private var bindings: Map[String, String] = Map.empty
 
@@ -43,6 +43,12 @@ class GraftEngine(
   def table(name: String, mode: String = "r", required: Boolean = true): Table = {
     val connected = bindings.isEmpty || bindings.contains(name) ||
       bindings.valuesIterator.contains(name)
+    // an unconnected REQUIRED port is a graph-config error (the platform
+    // rejects it at deploy; node.py:136-138) — fail loudly rather than
+    // silently swallowing the node's reads/writes in a dummy
+    require(connected || !required,
+      s"table port '$name' is not connected in this node's graph bindings; " +
+        "pass required = false for an optional port")
     val store = bindings.getOrElse(name, name)
     opened.getOrElseUpdate(store,
       new Table(this, store, mode, required, connected))
@@ -72,9 +78,13 @@ class GraftEngine(
   /** Streams register here so normal execution end persists their progress
     * (node.py:41-47 — a consumed record stays consumed "regardless of what
     * happens after"; explicit checkpoint/rollback exist for mid-execution
-    * error recovery only).
+    * error recovery only). One Stream instance per (table, order_by) per
+    * execution — re-opening the same stream resumes the SAME in-memory
+    * cursor, so a later instance can never regress progress an earlier one
+    * made (cursor identity is per (node, table, order_by), SURVEY §7.4.1).
     */
-  private[api] def registerStream(s: Stream): Stream = { openedStreams += s; s }
+  private[api] def streamFor(key: String)(mk: => Stream): Stream =
+    openedStreams.getOrElseUpdate(key, mk)
 
   /** Execution end: flush every buffered write port (node.py:407-414) and
     * persist every opened stream's consumption cursor (node.py:41-47) —
@@ -83,6 +93,6 @@ class GraftEngine(
     */
   def endExecution(): Unit = {
     opened.values.foreach(_.flush())
-    openedStreams.foreach(_.checkpoint())
+    openedStreams.values.foreach(_.checkpoint())
   }
 }

@@ -143,7 +143,12 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     */
   def append(df: DataFrame): Unit = if (connected) buffer += df
 
-  /** Force buffered writes to the active version (node.py:407-414). */
+  /** Force buffered writes to the active version (node.py:407-414).
+    * Appends into an EXISTING version follow that version's physical
+    * layout — a table that gained `bucketBy` after unbucketed writes keeps
+    * appending unbucketed to the open version (mixed layouts in one dir
+    * would corrupt reads); the next upsert/replace migrates the layout.
+    */
   def flush(): Unit = if (connected && buffer.nonEmpty) {
     val batch = buffer.reduce(_.unionByName(_, allowMissingColumns = true))
     buffer.clear()
@@ -153,8 +158,10 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
       catalog.setActive(name, Some(v), "create")
       v
     }
+    val dirHasData = activeFiles.nonEmpty
+    val useBuckets = if (dirHasData) hasBucketLayout(vid) else bucketCount.isDefined
     writeInto(clustered(decorate(conform(batch))),
-      catalog.versionDir(name, vid).toString, SaveMode.Append)
+      catalog.versionDir(name, vid).toString, SaveMode.Append, useBuckets)
     if (!isNew) catalog.recordEvent(name, "update")
   }
 
@@ -178,9 +185,12 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
         .listFiles((f: java.io.File) => f.isDirectory && f.getName.startsWith("__bucket=")))
       .exists(_.nonEmpty)
 
-  /** Write honoring the bucket layout when declared. */
-  private def writeInto(df: DataFrame, dir: String, mode: SaveMode): Unit =
-    bucketCount match {
+  /** Write honoring the bucket layout when declared (callers appending to
+    * an existing dir pass the DIR's layout so one version never mixes).
+    */
+  private def writeInto(df: DataFrame, dir: String, mode: SaveMode,
+      bucketed: Boolean = true): Unit =
+    bucketCount.filter(_ => bucketed) match {
       case Some(n) =>
         withBucket(df, n).write.mode(mode).partitionBy("__bucket").parquet(dir)
       case None => df.write.mode(mode).parquet(dir)
@@ -270,9 +280,23 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
       .map { case (k, v) => col(k) === typedLit(k, v) }.reduce(_ && _)
     (bucketCount, manifest.activeVersion) match {
       case (Some(n), Some(vid)) if hasBucketLayout(vid) =>
-        val b = spark.range(1).select(pmod(hash(
-          keys.zip(keyValues).map { case (k, v) => typedLit(k, v) }: _*),
-          lit(n)).as("b")).head.getInt(0)
+        // evaluate pmod(hash(key...), n) driver-side — a constant
+        // expression shouldn't cost a Spark job per point lookup
+        val b = try {
+          import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash}
+          val lits = keys.zip(keyValues).map { case (k, v) =>
+            val dt = sch.flatMap(_.fields.find(_.name == k)).map(_.dataType)
+              .getOrElse(Literal(v).dataType)
+            Literal.create(Cast(Literal(v), dt, Some("UTC")).eval(null), dt)
+          }
+          val h = Murmur3Hash(lits, 42).eval(null).asInstanceOf[Int]
+          ((h % n) + n) % n
+        } catch {
+          case _: Throwable => // fall back to cluster-side evaluation
+            spark.range(1).select(pmod(hash(
+              keys.zip(keyValues).map { case (k, v) => typedLit(k, v) }: _*),
+              lit(n)).as("b")).head.getInt(0)
+        }
         val p = catalog.versionDir(name, vid).resolve(s"__bucket=$b")
         if (p.toFile.exists)
           spark.read.option("mergeSchema", "true").parquet(p.toString).filter(eqFilter)
@@ -343,7 +367,8 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     val ob = Option(orderBy).orElse(meta.addMonotonicId).orElse(meta.addCreated)
       .getOrElse(throw new IllegalArgumentException(
         s"stream over '$name' needs order_by or a monotonic/created schema role (node.py:196-200)"))
-    engine.registerStream(new Stream(this, ob, engine.state, startingValue))
+    engine.streamFor(s"$name::$ob")(
+      new Stream(this, ob, engine.state, startingValue))
   }
 
   // --- write-path helpers ---

@@ -21,13 +21,18 @@ final case class Cron(expr: String) {
 
   private def matches(field: String, value: Int, min: Int, max: Int): Boolean =
     field.split(",").exists { part =>
-      part match {
-        case "*" => true
-        case s if s.startsWith("*/") => (value - min) % s.stripPrefix("*/").toInt == 0
-        case s if s.contains("-") =>
-          val Array(a, b) = s.split("-").map(_.toInt); value >= a && value <= b
-        case s => value == s.toInt
+      // each part is [range][/step]: *, n, a-b, optionally followed by /k
+      val (rangePart, step) = part.split("/") match {
+        case Array(r) => (r, 1)
+        case Array(r, k) => (r, k.toInt)
       }
+      val (lo, hi) = rangePart match {
+        case "*" => (min, max)
+        case s if s.contains("-") =>
+          val Array(a, b) = s.split("-").map(_.toInt); (a, b)
+        case s => val v = s.toInt; (v, v)
+      }
+      value >= lo && value <= hi && (value - lo) % step == 0
     }
 
   /** Does this expression fire at the given minute? */
@@ -36,7 +41,10 @@ final case class Cron(expr: String) {
     val hourOk = matches(hourF, t.getHour, 0, 23)
     val monOk = matches(monF, t.getMonthValue, 1, 12)
     val domOk = matches(domF, t.getDayOfMonth, 1, 31)
-    val dowOk = matches(dowF, t.getDayOfWeek.getValue % 7, 0, 6) // 0 = Sunday
+    // 0 = Sunday, and 7 is the standard alias: Sunday matches as either
+    val dow = t.getDayOfWeek.getValue % 7
+    val dowOk = matches(dowF, dow, 0, 6) ||
+      (dow == 0 && matches(dowF, 7, 0, 7))
     val dayOk =
       if (domF != "*" && dowF != "*") domOk || dowOk // classic cron OR rule
       else domOk && dowOk

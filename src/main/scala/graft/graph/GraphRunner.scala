@@ -51,7 +51,8 @@ class GraphRunner(
     */
   private def engineFor(n: NodeConfig): GraftEngine =
     new GraftEngine(spark, catalogRoot, nodeId = n.id)
-      .withBindings(n.inputs ++ n.outputs)
+      // a webhook's same-named table is an implicit port of its node (B5)
+      .withBindings(n.inputs ++ n.outputs ++ n.webhook.map(w => w -> w).toMap)
       .withParameters(n.parameters)
 
   /** Sum of events on this node's input stores (its trigger signal). */

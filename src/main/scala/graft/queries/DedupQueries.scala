@@ -111,8 +111,13 @@ object DedupQueries {
           Seq("band", "sig"))
         .filter(col("da") < col("db"))
         .groupBy("da", "db").agg(count(lit(1)).as("n_bands"))
-      val sets = base.select(col("doc_id"), col("h_arr"),
-        size(col("h_arr")).as("n_sh"))
+        .persist() // tiny; reused for candDocs + the verify join
+      // only CANDIDATE docs' hash sets are broadcast — O(candidates), so
+      // the broadcast stays small no matter the corpus size
+      val candDocs = cand.select(col("da").as("doc_id"))
+        .union(cand.select(col("db").as("doc_id"))).distinct()
+      val sets = base.join(candDocs, Seq("doc_id"))
+        .select(col("doc_id"), col("h_arr"), size(col("h_arr")).as("n_sh"))
       cand
         .join(broadcast(sets.select(col("doc_id").as("da"),
           col("h_arr").as("ha"), col("n_sh").as("na"))), "da")

@@ -183,17 +183,17 @@ object VectorQueries {
         |FROM ex GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "d18_frame_sample" ->
       """SELECT doc_id,
-        |  CAST(length(text) // 100 + 1 AS INT) AS n_frames,
-        |  CAST(unnest(range(0, length(text) // 100 + 1, 4)) AS INT) AS frame_idx,
+        |  CAST(octet_length(encode(text)) // 100 + 1 AS INT) AS n_frames,
+        |  CAST(unnest(range(0, octet_length(encode(text)) // 100 + 1, 4)) AS INT) AS frame_idx,
         |  md5(CAST(doc_id AS VARCHAR) || ':' ||
-        |      CAST(unnest(range(0, length(text) // 100 + 1, 4)) AS VARCHAR)) AS frame_fp
+        |      CAST(unnest(range(0, octet_length(encode(text)) // 100 + 1, 4)) AS VARCHAR)) AS frame_fp
         |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
     "d11_multimodal_decode" ->
       """SELECT doc_id,
-        |  CAST(length(text) AS INT) AS n_bytes,
-        |  CAST(100 + length(text) % 540 AS INT) AS width,
-        |  CAST(100 + (length(text) * 7) % 380 AS INT) AS height,
-        |  CAST(length(text) // 100 + 1 AS INT) AS n_frames
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(100 + octet_length(encode(text)) % 540 AS INT) AS width,
+        |  CAST(100 + (octet_length(encode(text)) * 7) % 380 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) // 100 + 1 AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

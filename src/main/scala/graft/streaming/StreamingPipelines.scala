@@ -94,6 +94,12 @@ object StreamingPipelines {
   /** Tail a catalog table's ACTIVE version as a stream, schema taken from
     * the table itself — `Table.append`/`flush` appends become stream
     * micro-batches. The continuous counterpart of `Table.asStream`.
+    *
+    * Contract: the stream watches the version directory that is active AT
+    * CALL TIME — append/flush workloads only. An upsert/replace/truncate
+    * swaps the active pointer to a NEW directory, which this stream does
+    * not follow; restart the query (new tailTable call) after a version
+    * swap.
     */
   def tailTable(table: graft.api.Table): DataFrame = {
     val sch = table.schema.getOrElse(throw new IllegalStateException(
@@ -103,20 +109,31 @@ object StreamingPipelines {
   }
 
   /** Stream into a catalog table: each micro-batch goes through the
-    * table's own buffered write path (append + flush), so schema-on-write
-    * conformance, auto columns, clustering, and bucket layout all apply —
-    * and every batch emits the catalog events that trigger downstream
-    * graph nodes. Checkpointing makes delivery exactly-once end-to-end:
-    * the file-stream source tracks consumed files, the sink appends
-    * per-batch.
+    * table's own write path, so schema-on-write conformance, auto columns,
+    * clustering, and bucket layout all apply — and every batch emits the
+    * catalog events that trigger downstream graph nodes.
+    *
+    * Delivery semantics on batch REPLAY (foreachBatch is at-least-once):
+    * a table with `unique_on` declared is written via upsert, so replays
+    * are fully idempotent (exactly-once). Without a key, a committed-batch
+    * marker in the checkpoint dir skips already-flushed batches — replays
+    * duplicate only if a crash lands exactly between the flush and the
+    * marker write (at-least-once with a vanishing window).
     */
   def writeToTable(df: DataFrame, table: graft.api.Table,
       checkpointDir: String): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        table.append(batch)
-        table.flush()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val commits = java.nio.file.Paths.get(checkpointDir, "_graft_commits")
+        java.nio.file.Files.createDirectories(commits)
+        val marker = commits.resolve(batchId.toString)
+        if (!java.nio.file.Files.exists(marker)) {
+          if (table.manifest.meta.uniqueOn.nonEmpty) table.upsert(batch)
+          else { table.append(batch); table.flush() }
+          java.nio.file.Files.write(marker, Array.emptyByteArray)
+        }
+        ()
       }
       .start()
 }

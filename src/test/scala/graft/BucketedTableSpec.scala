@@ -61,6 +61,20 @@ class BucketedTableSpec extends SparkSpec {
     assert(t.lookup(Seq(999L)).count() == 0)
   }
 
+  test("flush after gaining bucketBy keeps the open version's unbucketed layout (no mixed dirs)") {
+    val e = engine()
+    val t = e.table("b5", "w").init(uniqueOn = Seq("id"))
+    t.append(Seq((1L, "a")).toDF("id", "v")); t.flush()
+    t.init(uniqueOn = Seq("id"), bucketBy = 4)
+    t.append(Seq((2L, "b")).toDF("id", "v")); t.flush() // same version: stay unbucketed
+    assert(t.read.count() == 2) // a mixed dir would fail this read outright
+    val vdir = e.catalog.versionDir("b5", t.getActiveVersion.get).toFile
+    assert(!vdir.listFiles().exists(_.getName.startsWith("__bucket=")))
+    t.upsert(Seq((3L, "c")).toDF("id", "v")) // upsert migrates the layout
+    assert(t.read.as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("upsert on a table that gained bucketBy after unbucketed writes falls back to full rewrite") {
     val e = engine()
     val t = e.table("b4", "w").init(uniqueOn = Seq("id"))

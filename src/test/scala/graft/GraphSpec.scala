@@ -155,6 +155,11 @@ class GraphSpec extends SparkSpec {
     assert(Cron("0-5 * * * *").isDue(t) && Cron("1,7 * * * *").isDue(t))
     // classic OR rule: dom OR dow when both restricted
     assert(Cron("1 * 13 * 3").isDue(t))
+    // stepped ranges and the Sunday-as-7 alias
+    assert(Cron("1-10/2 * * * *").isDue(t) && !Cron("0-10/2 * * * *").isDue(t))
+    val sunday = LocalDateTime.of(2026, 8, 16, 14, 1)
+    assert(Cron("1 * * * 7").isDue(sunday) && Cron("1 * * * 0").isDue(sunday))
+    assert(Cron("1 * * * 5-7").isDue(sunday) && !Cron("1 * * * 5-7").isDue(t))
     assert(Cron("1 * * * *").nextFire(t) ==
       Some(LocalDateTime.of(2026, 8, 12, 15, 1)))
 

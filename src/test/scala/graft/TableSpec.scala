@@ -30,6 +30,7 @@ class TableSpec extends SparkSpec {
     assert(ok.isConnected)
     ok.append(Seq((1L, "a")).toDF("id", "v")); ok.flush()
     assert(e.table("result").read.count() == 1)   // store name also connected
+    intercept[IllegalArgumentException](e.table("nope", "w")) // required default
     val dummy = e.table("oops", "w", required = false)
     assert(!dummy.isConnected)
     dummy.append(Seq((1L, "a")).toDF("id", "v"))
