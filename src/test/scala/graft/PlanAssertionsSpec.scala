@@ -1,0 +1,56 @@
+package graft
+
+import graft.api.GraftEngine
+
+/** Physical-plan regression guards: the queries must keep the plans the
+  * 100 TB design calls for (broadcast dims, pushdown, top-k without a full
+  * sort, no accidental cartesian products) — `.explain` as a test, not
+  * just documentation (EXPLAINS.md).
+  */
+class PlanAssertionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("star join q04 broadcasts every dimension (no shuffle joins)") {
+    val p = plan("q04_broadcast_star")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("filters push into the parquet scan (q02)") {
+    val p = plan("q02_filter_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("PushedFilters: ["))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
+      p.contains("l_shipdate"))
+  }
+
+  test("global top-k q09 plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q09_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("no query plans a CartesianProduct") {
+    // BroadcastNestedLoopJoin with a broadcast side is the intended shape
+    // for the ANN/simhash cross joins; an unbroadcast CartesianProduct is
+    // always a bug.
+    SparkEntry.queries.keys.foreach { name =>
+      assert(!plan(name).contains("CartesianProduct"), s"query $name")
+    }
+  }
+
+  test("stream cursor filter pushes into the parquet scan") {
+    val e = new GraftEngine(spark, freshRoot())
+    val t = e.table("ev", "w")
+    t.append((1L to 10L).map(i => (i, s"e$i")).toDF("seq", "payload")); t.flush()
+    val st = t.asStream(orderBy = "seq")
+    st.seek(5L)
+    st.consumeRecords().foreach(_ => ()) // force planning + run
+    val p = t.read.filter($"seq" > 5L).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(seq,5)"))
+  }
+}
