@@ -128,6 +128,24 @@ object TextQueries {
         .orderBy(col("df").desc, col("ngram"))
         .limit(20)
     },
+    // Sequence packing — greedy-pack documents into fixed token budgets
+    // (256 here) for training-batch assembly: running token sum per shard
+    // (source) → pack id = start-offset div budget. Packing WITHIN a
+    // partition key keeps the window shuffle-parallel (a global pack order
+    // would funnel the corpus through one partition at scale).
+    "d19_sequence_pack" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      t(s, dir, "documents")
+        .withColumn("n_tok",
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+        .withColumn("cum", sum("n_tok").over(w))
+        .withColumn("seq_id", expr("(cum - n_tok) div 256"))
+        .groupBy("source", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("seq_tokens"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("source", "seq_id")
+    },
     // D4d — fingerprinting: whole-doc content hash + min-shingle rolling
     // fingerprint (winnowing-style representative hash).
     "d10_fingerprint" -> { (s, dir) =>
@@ -212,6 +230,19 @@ object TextQueries {
         |        FROM documents) raw)
         |SELECT ngram, COUNT(*) AS df FROM sh GROUP BY ngram
         |ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+    "d19_sequence_pack" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id,
+        |         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tok,
+        |         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM tok)
+        |SELECT source, CAST((cum - n_tok) // 256 AS BIGINT) AS seq_id,
+        |       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+        |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM c GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin,
     "d10_fingerprint" ->
       s"""SELECT doc_id, md5(lower(text)) AS doc_fp,
          |  list_aggregate(list_transform(sh, x -> ${oTokenHash60("x")}), 'min') AS min_shingle_fp
