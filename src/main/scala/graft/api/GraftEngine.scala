@@ -70,8 +70,12 @@ class GraftEngine(
     * node.py:168-189, create.py:239-244).
     */
   def sql(query: String, tables: Seq[String] = Nil): DataFrame = {
-    val names = if (tables.nonEmpty) tables else opened.keys.toSeq
-    names.foreach(n => table(n).read.createOrReplaceTempView(table(n).sqlName))
+    // explicit names resolve (and must be connected); the default set is
+    // the ALREADY-OPENED ports — re-resolving them would wrongly demand
+    // required=true of optional dummies opened with required=false
+    val tabs = if (tables.nonEmpty) tables.map(n => table(n)) else opened.values.toSeq
+    tabs.filter(_.isConnected)
+      .foreach(t => t.read.createOrReplaceTempView(t.sqlName))
     spark.sql(query)
   }
 

@@ -73,12 +73,19 @@ object ParamType {
   }
   implicit val list: ParamType[Seq[Any]] = {
     case s: Seq[_] => s
+    // graph.yml values arrive as Jackson java.util collections
+    case l: java.util.List[_] =>
+      scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toSeq
     case other => fail(other, "list")
   }
   implicit val connection: ParamType[Connection] = {
     case c: Connection => c
     case m: Map[_, _] =>
       val props = m.map { case (k, v) => k.toString -> v.toString }
+      Connection(props.getOrElse("connection_type", "generic"), props)
+    case m: java.util.Map[_, _] =>
+      val props = scala.jdk.CollectionConverters.MapHasAsScala(m).asScala
+        .map { case (k, v) => k.toString -> v.toString }.toMap
       Connection(props.getOrElse("connection_type", "generic"), props)
     case other => fail(other, "connection")
   }

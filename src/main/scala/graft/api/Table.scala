@@ -270,6 +270,9 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     * (which still min/max-prunes via write-time clustering).
     */
   def lookup(keyValues: Seq[Any]): DataFrame = {
+    // dummy/no-data degradation: unconnected or never-written tables have
+    // no columns to filter on — return the empty frame, don't fail analysis
+    if (!connected || schema.isEmpty) return read
     val keys = manifest.meta.uniqueOn
     require(keys.nonEmpty && keys.length == keyValues.length,
       s"lookup on '$name' needs unique_on values (${keys.mkString(",")})")
@@ -323,7 +326,10 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
       case Some(df) => df.limit(0)
       case None => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], new StructType())
     }
-    writeNewVersion(empty, "update")
+    // plain (unbucketed) write: the dynamic-partition writer creates files
+    // lazily per row, so zero rows through partitionBy would leave NO
+    // parquet files and lose the schema this op promises to keep
+    writeNewVersion(empty, "update", bucketed = false)
   }
 
   /** Active pointer := fresh null version; old data stays on disk until
@@ -341,10 +347,15 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     */
   def executeSql(sql: String): DataFrame = if (!connected) spark.emptyDataFrame else {
     if (hasActiveVersion) read.createOrReplaceTempView(sqlName)
-    val planClass = spark.sessionState.sqlParser.parsePlan(sql).getClass.getSimpleName
+    val planClass = spark.sessionState.sqlParser.parsePlan(sql)
+      .getClass.getSimpleName.toLowerCase
     val result = spark.sql(sql)
-    if (planClass.toLowerCase.contains("create")) signalCreate()
-    else signalUpdate()
+    // classify create-vs-modify from the parsed plan root (node.py:360-362);
+    // a side-effect-free query emits NO event — phantom updates would
+    // spuriously cascade every downstream consumer
+    if (planClass.contains("create")) signalCreate()
+    else if (Seq("insert", "update", "delete", "merge", "drop", "alter",
+        "truncate", "replace").exists(planClass.contains)) signalUpdate()
     result
   }
 
@@ -432,10 +443,11 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     if (usable.nonEmpty) df.sortWithinPartitions(usable.map(col): _*) else df
   }
 
-  private def writeNewVersion(df: DataFrame, eventKind: String): Unit = {
+  private def writeNewVersion(df: DataFrame, eventKind: String,
+      bucketed: Boolean = true): Unit = {
     val (_, vid) = catalog.createVersion(name)
     writeInto(clustered(df), catalog.versionDir(name, vid).toString,
-      SaveMode.Overwrite)
+      SaveMode.Overwrite, bucketed)
     catalog.setActive(name, Some(vid), eventKind)
   }
 }

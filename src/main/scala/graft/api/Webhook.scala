@@ -28,6 +28,11 @@ object Webhook {
 
   /** Reply to a pending request (A30, node.py:544-553): records the
     * response row keyed by request key in `<name>_responses`.
+    *
+    * This is a platform side channel, NOT a port of the calling node —
+    * the reference posts responses by request key, outside the graph's
+    * dataflow — so the table is opened directly, bypassing port bindings
+    * (a graph-bound engine's bindings never list `<name>_responses`).
     */
   def respondToRequest(engine: GraftEngine, name: String, requestKey: String,
       payloadJson: String): Unit = {
@@ -36,7 +41,7 @@ object Webhook {
     val row = Seq((requestKey, payloadJson))
       .toDF(requestKeyCol, "response")
       .withColumn("responded_at", current_timestamp())
-    val t = engine.table(s"${name}_responses", "w")
+    val t = new Table(engine, s"${name}_responses", "w")
     t.append(row)
     t.flush()
   }

@@ -58,6 +58,12 @@ case class TableManifest(
 class TableCatalog(val root: Path) {
   private implicit val fmts: Formats = DefaultFormats
 
+  // in-JVM manifest cache: every mutation goes through save(), which
+  // refreshes the entry, so repeated manifest reads within an operation
+  // don't re-hit disk (single-writer-JVM assumption, as documented)
+  private val manifestCache =
+    scala.collection.mutable.Map.empty[String, TableManifest]
+
   Files.createDirectories(root)
 
   def tableDir(name: String): Path = root.resolve(name)
@@ -66,10 +72,25 @@ class TableCatalog(val root: Path) {
 
   def exists(name: String): Boolean = Files.exists(manifestPath(name))
 
-  def load(name: String): Option[TableManifest] =
-    if (!exists(name)) None
-    else Some(Serialization.read[TableManifest](
-      new String(Files.readAllBytes(manifestPath(name)), StandardCharsets.UTF_8)))
+  def load(name: String): Option[TableManifest] = synchronized {
+    manifestCache.get(name).orElse {
+      if (!exists(name)) None
+      else {
+        val m = Serialization.read[TableManifest](
+          new String(Files.readAllBytes(manifestPath(name)), StandardCharsets.UTF_8))
+        manifestCache(name) = m
+        Some(m)
+      }
+    }
+  }
+
+  /** Drop the cached entry and re-read from disk — for long-lived probe
+    * catalogs observing writes made through OTHER catalog instances.
+    */
+  def refresh(name: String): Option[TableManifest] = synchronized {
+    manifestCache -= name
+    load(name)
+  }
 
   def loadOrCreate(name: String): TableManifest = synchronized {
     load(name).getOrElse {
@@ -85,6 +106,7 @@ class TableCatalog(val root: Path) {
     Files.move(tmp, manifestPath(m.name),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    manifestCache(m.name) = m
   }
 
   /** Mint a new (not-yet-active) version; returns (manifest, versionId). */

@@ -45,8 +45,12 @@ final case class Cron(expr: String) {
     val dow = t.getDayOfWeek.getValue % 7
     val dowOk = matches(dowF, dow, 0, 6) ||
       (dow == 0 && matches(dowF, 7, 0, 7))
+    // vixie cron keys "restricted" on a leading `*`: "*/2" in dom is still
+    // an unrestricted field for the dom/dow OR rule
+    val domRestricted = !domF.startsWith("*")
+    val dowRestricted = !dowF.startsWith("*")
     val dayOk =
-      if (domF != "*" && dowF != "*") domOk || dowOk // classic cron OR rule
+      if (domRestricted && dowRestricted) domOk || dowOk // classic OR rule
       else domOk && dowOk
     minOk && hourOk && monOk && dayOk
   }

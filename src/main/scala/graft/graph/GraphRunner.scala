@@ -55,11 +55,16 @@ class GraphRunner(
       .withBindings(n.inputs ++ n.outputs ++ n.webhook.map(w => w -> w).toMap)
       .withParameters(n.parameters)
 
+  /** Long-lived probe catalog for event counting — node writes happen via
+    * other catalog instances, so each probe refreshes from disk.
+    */
+  private val probeCatalog =
+    new graft.catalog.TableCatalog(java.nio.file.Paths.get(catalogRoot))
+
   /** Sum of events on this node's input stores (its trigger signal). */
-  private def inputEventCount(n: NodeConfig): Long = {
-    val eng = new GraftEngine(spark, catalogRoot, nodeId = "_probe")
-    n.inputStores.toSeq.map(s => eng.catalog.loadOrCreate(s).events.size.toLong).sum
-  }
+  private def inputEventCount(n: NodeConfig): Long =
+    n.inputStores.toSeq
+      .map(s => probeCatalog.refresh(s).map(_.events.size.toLong).getOrElse(0L)).sum
 
   /** Run one node now (`patterns trigger`, B13). Returns the engine so
     * callers can inspect state.
@@ -102,10 +107,14 @@ class GraphRunner(
   private def render(template: String, n: NodeConfig): String =
     "\\{\\{\\s*([A-Za-z0-9_.]+)\\s*\\}\\}".r.replaceAllIn(template, m => {
       val ref = m.group(1)
-      if (ref.startsWith("params."))
-        n.parameters.get(ref.stripPrefix("params.")).map(_.toString).getOrElse(
-          throw new IllegalArgumentException(s"unbound template parameter $ref"))
-      else ref // port name == its registered view name
+      val value =
+        if (ref.startsWith("params."))
+          n.parameters.get(ref.stripPrefix("params.")).map(_.toString).getOrElse(
+            throw new IllegalArgumentException(s"unbound template parameter $ref"))
+        else ref // port name == its registered view name
+      // literal substitution: a '$' or '\' in a parameter value must not be
+      // treated as a regex group reference
+      scala.util.matching.Regex.quoteReplacement(value)
     })
 
   /** Trigger a node, then cascade: run every node whose inputs gained

@@ -75,6 +75,15 @@ class BucketedTableSpec extends SparkSpec {
       Map(1L -> "a", 2L -> "b", 3L -> "c"))
   }
 
+  test("truncate on a bucketed table keeps the schema") {
+    val e = engine()
+    val t = e.table("b6", "w").init(uniqueOn = Seq("id"), bucketBy = 4)
+    t.append(Seq((1L, "a")).toDF("id", "v")); t.flush()
+    t.truncate()
+    assert(t.read.count() == 0)
+    assert(t.schema.get.fieldNames.toSeq == Seq("id", "v"))
+  }
+
   test("upsert on a table that gained bucketBy after unbucketed writes falls back to full rewrite") {
     val e = engine()
     val t = e.table("b4", "w").init(uniqueOn = Seq("id"))

@@ -146,6 +146,15 @@ class TableSpec extends SparkSpec {
     assert(ids.forall(_.length == 13))
   }
 
+  test("executeSql emits events only for DDL/DML, never for pure queries") {
+    val e = engine()
+    val t = e.table("t12b", "w")
+    t.append(Seq((1L, "a")).toDF("id", "v")); t.flush()    // create event
+    val before = t.manifest.events.size
+    assert(t.executeSql(s"SELECT COUNT(*) FROM ${t.sqlName}").count() == 1)
+    assert(t.manifest.events.size == before)               // no phantom update
+  }
+
   test("events log create/update/reset for downstream triggering (node.py:387-397)") {
     val e = engine()
     val t = e.table("t12", "w")
