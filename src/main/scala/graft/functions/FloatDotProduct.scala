@@ -34,27 +34,39 @@ case class FloatDotProduct(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "float_dot"
 
+  // Length mismatch yields NULL — the same answer the higher-order
+  // formulation gives (zip_with pads with null, which poisons the
+  // aggregate fold). A silent partial dot product would look plausible
+  // and be wrong.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-    s
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      s
+    }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |int n = $a.numElements();
+         |if (n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double acc = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |  }
+         |  ${ev.value} = acc;
          |}
-         |${ev.value} = acc;
        """.stripMargin
     })
 
@@ -69,5 +81,9 @@ object FloatDotProduct {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
-      (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1)))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"float_dot requires exactly 2 arguments, got ${exprs.length}")
+        FloatDotProduct(exprs(0), exprs(1))
+      })
 }

@@ -41,4 +41,15 @@ object TextFunctions {
   /** SQL fragment computing the same 60-bit token hash in DuckDB. */
   def oTokenHash60(e: String): String =
     s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
+
+  /** BPE-ish token segmentation regex — the ONE definition shared by the
+    * token-count (d09) and sequence-pack (d19) queries and their oracles;
+    * duplicating the literal would let the pipelines drift apart silently.
+    */
+  val bpeishRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Quality-gate thresholds shared by d08 scoring and the d15 composite. */
+  val qualityMinTokens = 20
+  val qualityMaxTokens = 400
+  val qualityMinDistinctRatio = 0.15
 }

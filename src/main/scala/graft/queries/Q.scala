@@ -10,9 +10,10 @@ import org.apache.spark.sql.types.DecimalType
   * parquet, see /root/repo/BASELINE.md t2):
   *   - Per-row arithmetic stays in DOUBLE: IEEE-754 ops on identical inputs
   *     are bit-identical across engines.
-  *   - Aggregation casts each row to DECIMAL(18,4) first: decimal addition is
-  *     exact and associative, so the sum is independent of partition/order —
-  *     the same value DuckDB computes single-threaded.
+  *   - Aggregation casts each row to DECIMAL(20,6) first (scale 6 is
+  *     load-bearing — see dsum): decimal addition is exact and associative,
+  *     so the sum is independent of partition/order — the same value DuckDB
+  *     computes single-threaded.
   *   - Final results cast back to DOUBLE so output schemas are plain.
   *   - Every query carries a total ORDER BY (deterministic row set).
   */
@@ -24,8 +25,11 @@ object Q {
     * which is what the µs-exact time arithmetic wants anyway (`ts div 1000`
     * ≡ DuckDB `epoch_us(ts)`).
     */
-  private val planCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  // Weak keys on the session: a stopped SparkSession's cached plans become
+  // GC-able instead of pinning the session forever in a long-lived JVM.
+  private val planCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
@@ -33,8 +37,11 @@ object Q {
     // Memoize the DataFrame handle (the analyzed plan, NOT the data):
     // repeated queries skip re-listing files and re-reading footers, the
     // same way a catalog would hold a resolved table handle.
-    planCache.computeIfAbsent((spark, dir, name),
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+    planCache
+      .computeIfAbsent(spark, _ =>
+        new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
+      .computeIfAbsent((dir, name),
+        _ => spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** Exact, order-independent sum of a money-grade double expression.

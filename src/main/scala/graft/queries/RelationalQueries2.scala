@@ -78,13 +78,14 @@ object RelationalQueries2 {
     // C16 + A4 — GROUPING SETS through the SQL surface (Table.read_sql path,
     // reference node.py:168-189).
     "q15_grouping_sets" -> { (s, dir) =>
-      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      // graft_-prefixed view names: never clobber a host application's views
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
       s.sql(
         """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
           |       COALESCE(l_linestatus, 'ALL') AS linestatus,
           |       COUNT(*) AS n_rows,
           |       CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
-          |FROM lineitem
+          |FROM graft_lineitem
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
           |ORDER BY returnflag, linestatus""".stripMargin)
     },
@@ -237,14 +238,14 @@ object RelationalQueries2 {
     },
     // Scalar subquery through the SQL surface (A4/A17).
     "q28_scalar_subquery" -> { (s, dir) =>
-      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders")
       s.sql(
         """SELECT o_orderstatus, COUNT(*) AS n_big,
           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS total
-          |FROM orders
+          |FROM graft_orders
           |WHERE o_totalprice > (
           |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*)
-          |  FROM orders)
+          |  FROM graft_orders)
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     },
     // C14 post-aggregation filter (HAVING).
@@ -283,19 +284,19 @@ object RelationalQueries2 {
     // (Catalyst plans these as semi/anti ExistenceJoins — no per-row
     // subquery execution, same hash-join shape as q06/q07 at scale).
     "q33_correlated_exists" -> { (s, dir) =>
-      t(s, dir, "customer").createOrReplaceTempView("customer")
-      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "customer").createOrReplaceTempView("graft_customer")
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders")
       s.sql(
         """SELECT c_mktsegment,
           |  COUNT(*) AS n_cust,
           |  COUNT(CASE WHEN has_big THEN 1 END) AS n_with_big
           |FROM (
           |  SELECT c_mktsegment,
-          |    EXISTS (SELECT 1 FROM orders o
+          |    EXISTS (SELECT 1 FROM graft_orders o
           |            WHERE o.o_custkey = c.c_custkey
           |              AND o.o_totalprice > 200000) AS has_big
-          |  FROM customer c
-          |  WHERE NOT EXISTS (SELECT 1 FROM orders o2
+          |  FROM graft_customer c
+          |  WHERE NOT EXISTS (SELECT 1 FROM graft_orders o2
           |                    WHERE o2.o_custkey = c.c_custkey
           |                      AND o2.o_orderstatus = 'P')) t
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)

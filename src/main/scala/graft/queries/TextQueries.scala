@@ -47,7 +47,8 @@ object TextQueries {
         .withColumn("mean_tok_len",
           (col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
         .withColumn("quality_ok",
-          col("n_tokens").between(20, 400) && col("distinct_ratio") >= 0.15)
+          col("n_tokens").between(qualityMinTokens, qualityMaxTokens) &&
+            col("distinct_ratio") >= qualityMinDistinctRatio)
         .select("doc_id", "n_chars", "n_tokens", "n_distinct",
           "distinct_ratio", "mean_tok_len", "quality_ok")
         .orderBy("doc_id")
@@ -57,7 +58,7 @@ object TextQueries {
       t(s, dir, "documents")
         .select(col("doc_id"),
           size(tokens(col("text"))).as("ws_tokens"),
-          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          size(expr(s"regexp_extract_all(text, '$bpeishRegex', 0)"))
             .as("bpeish_tokens"),
           length(col("text")).as("n_chars"))
         .withColumn("chars_per_token",
@@ -102,7 +103,8 @@ object TextQueries {
         .withColumn("n_tokens", size(col("tk")))
         .withColumn("distinct_ratio",
           size(array_distinct(col("tk"))).cast("double") / col("n_tokens"))
-        .filter(col("n_tokens").between(20, 400) && col("distinct_ratio") >= 0.15)
+        .filter(col("n_tokens").between(qualityMinTokens, qualityMaxTokens) &&
+          col("distinct_ratio") >= qualityMinDistinctRatio)
       val wDup = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
       val deduped = quality
         .withColumn("rn_dup", row_number().over(wDup)).filter(col("rn_dup") === 1)
@@ -138,7 +140,7 @@ object TextQueries {
       val w = Window.partitionBy("source").orderBy("doc_id")
       t(s, dir, "documents")
         .withColumn("n_tok",
-          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+          size(expr(s"regexp_extract_all(text, '$bpeishRegex', 0)")))
         .withColumn("cum", sum("n_tok").over(w))
         .withColumn("seq_id", expr("(cum - n_tok) div 256"))
         .groupBy("source", "seq_id")
@@ -170,24 +172,24 @@ object TextQueries {
          |FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t
          |ORDER BY doc_id""".stripMargin,
     "d08_text_quality" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  CAST(length(text) AS INT) AS n_chars,
         |  CAST(len(tk) AS INT) AS n_tokens,
         |  CAST(len(list_distinct(tk)) AS INT) AS n_distinct,
         |  CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS distinct_ratio,
         |  CAST(length(text) - len(tk) + 1 AS DOUBLE) / len(tk) AS mean_tok_len,
-        |  (len(tk) BETWEEN 20 AND 400)
-        |    AND CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) >= 0.15 AS quality_ok
+        |  (len(tk) BETWEEN $qualityMinTokens AND $qualityMaxTokens)
+        |    AND CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) >= $qualityMinDistinctRatio AS quality_ok
         |FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents) t
         |ORDER BY doc_id""".stripMargin,
     "d09_token_count" ->
-      """SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
-        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpeish_tokens,
-        |  CAST(length(text) AS INT) AS n_chars,
-        |  CAST(length(text) AS DOUBLE)
-        |    / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS chars_per_token
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '$bpeishRegex')) AS INT) AS bpeish_tokens,
+         |  CAST(length(text) AS INT) AS n_chars,
+         |  CAST(length(text) AS DOUBLE)
+         |    / len(regexp_extract_all(text, '$bpeishRegex')) AS chars_per_token
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "d13_redact" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
@@ -202,13 +204,13 @@ object TextQueries {
         |  FROM documents) t
         |WHERE rn <= 3 ORDER BY lang, source, rn""".stripMargin,
     "d15_pipeline_prep" ->
-      """WITH q AS (
-        |  SELECT doc_id, text, lang, source,
-        |         len(string_split(text, ' ')) AS n_tokens
-        |  FROM documents
-        |  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 400
-        |    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |        / len(string_split(text, ' ')) >= 0.15),
+      s"""WITH q AS (
+         |  SELECT doc_id, text, lang, source,
+         |         len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents
+         |  WHERE len(string_split(text, ' ')) BETWEEN $qualityMinTokens AND $qualityMaxTokens
+         |    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) >= $qualityMinDistinctRatio),
         |d AS (
         |  SELECT * FROM (
         |    SELECT q.*, row_number() OVER (PARTITION BY md5(text)
@@ -231,10 +233,10 @@ object TextQueries {
         |SELECT ngram, COUNT(*) AS df FROM sh GROUP BY ngram
         |ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
     "d19_sequence_pack" ->
-      """WITH tok AS (
-        |  SELECT source, doc_id,
-        |         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tok
-        |  FROM documents),
+      s"""WITH tok AS (
+         |  SELECT source, doc_id,
+         |         len(regexp_extract_all(text, '$bpeishRegex')) AS n_tok
+         |  FROM documents),
         |c AS (
         |  SELECT source, doc_id, n_tok,
         |         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum

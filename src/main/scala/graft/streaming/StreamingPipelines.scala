@@ -28,11 +28,12 @@ object StreamingPipelines {
     * TimestampType column.
     */
   def windowedCounts(events: DataFrame, tsCol: String, windowDur: String,
-      watermarkDelay: String, keyCol: String): DataFrame =
+      watermarkDelay: String, keyCol: String,
+      valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowDur), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("total"))
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("total"))
 
@@ -125,13 +126,19 @@ object StreamingPipelines {
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val commits = java.nio.file.Paths.get(checkpointDir, "_graft_commits")
-        java.nio.file.Files.createDirectories(commits)
-        val marker = commits.resolve(batchId.toString)
-        if (!java.nio.file.Files.exists(marker)) {
+        // Hadoop FS so URI-style checkpoint locations (file://, hdfs://,
+        // s3a://) resolve to the SAME store Spark's checkpoint uses — a
+        // java.nio relative path would silently land in the driver's cwd
+        // and lose the markers across restarts
+        val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val commits = new org.apache.hadoop.fs.Path(checkpointDir, "_graft_commits")
+        val fs = commits.getFileSystem(hconf)
+        val marker = new org.apache.hadoop.fs.Path(commits, batchId.toString)
+        if (!fs.exists(marker)) {
           if (table.manifest.meta.uniqueOn.nonEmpty) table.upsert(batch)
           else { table.append(batch); table.flush() }
-          java.nio.file.Files.write(marker, Array.emptyByteArray)
+          fs.mkdirs(commits)
+          fs.create(marker, true).close()
         }
         ()
       }
