@@ -111,18 +111,16 @@ object DedupQueries {
           Seq("band", "sig"))
         .filter(col("da") < col("db"))
         .groupBy("da", "db").agg(count(lit(1)).as("n_bands"))
-        .persist() // tiny; reused for candDocs + the verify join
-      // only CANDIDATE docs' hash sets are broadcast — O(candidates), so
-      // the broadcast stays small no matter the corpus size
-      val candDocs = cand.select(col("da").as("doc_id"))
-        .union(cand.select(col("db").as("doc_id"))).distinct()
-      val sets = base.join(candDocs, Seq("doc_id"))
-        .select(col("doc_id"), col("h_arr"), size(col("h_arr")).as("n_sh"))
-      cand
-        .join(broadcast(sets.select(col("doc_id").as("da"),
-          col("h_arr").as("ha"), col("n_sh").as("na"))), "da")
-        .join(broadcast(sets.select(col("doc_id").as("db"),
-          col("h_arr").as("hb"), col("n_sh").as("nb"))), "db")
+      // the CANDIDATE PAIR table is what gets broadcast — O(candidates)
+      // regardless of corpus size; the corpus-side hash sets stream
+      // through two broadcast joins, never shuffling and never being
+      // broadcast themselves
+      val setsA = base.select(col("doc_id").as("da"),
+        col("h_arr").as("ha"), size(col("h_arr")).as("na"))
+      val setsB = base.select(col("doc_id").as("db"),
+        col("h_arr").as("hb"), size(col("h_arr")).as("nb"))
+      val withA = setsA.join(broadcast(cand), "da")
+      setsB.join(broadcast(withA), "db")
         .withColumn("shared", size(array_intersect(col("ha"), col("hb"))))
         .withColumn("jaccard",
           col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
