@@ -92,6 +92,31 @@ class GraphSpec extends SparkSpec {
     assert(out == Seq(("a", 3L, 7), ("b", 5L, 7)))
   }
 
+  test("sql template renders '$' and backslash parameter values literally") {
+    val dir = Files.createTempDirectory("graph-")
+    Files.write(dir.resolve("tag.sql"),
+      "SELECT k, '{{ params.tag }}' AS tag FROM {{ src }}"
+        .getBytes(StandardCharsets.UTF_8))
+    val yaml =
+      """functions:
+        |  - node_file: producer
+        |    id: aaaaaaaa
+        |    outputs: {out: t_src}
+        |  - node_file: tag.sql
+        |    id: bbbbbbbb
+        |    inputs:  {src: t_src}
+        |    outputs: {out: t_tagged}
+        |    parameters: {tag: "US$1"}
+        |""".stripMargin
+    val runner = new GraphRunner(spark, GraphLoader.parse(yaml), freshRoot(), Some(dir))
+      .register("producer", eng =>
+        eng.table("out", "w").append(Seq(("a", 1L)).toDF("k", "v")))
+    runner.trigger("aaaaaaaa")
+    val out = runner.runNode("bbbbbbbb").table("t_tagged").read
+      .select("tag").as[String].collect().toSeq
+    assert(out == Seq("US$1")) // NOT a regex group substitution
+  }
+
   test("trigger cascades downstream only when inputs gain events") {
     val dir = Files.createTempDirectory("graph-")
     Files.write(dir.resolve("pass.sql"),

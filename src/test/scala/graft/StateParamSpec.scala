@@ -88,6 +88,17 @@ class StateParamSpec extends SparkSpec {
     }
   }
 
+  test("list/connection parameters accept Jackson java.util values (graph.yml types)") {
+    val jl = new java.util.ArrayList[Any]()
+    jl.add("a"); jl.add("b")
+    val jm = new java.util.LinkedHashMap[String, Any]()
+    jm.put("connection_type", "jdbc"); jm.put("url", "x")
+    val params = Map[String, Any]("tags" -> jl, "conn" -> jm)
+    assert(Parameter[Seq[Any]]("tags").resolve(params) == Seq("a", "b"))
+    val c = Parameter[Connection]("conn").resolve(params)
+    assert(c.connectionType == "jdbc" && c.props("url") == "x")
+  }
+
   test("engine wires parameters to nodes (B10)") {
     val e = new GraftEngine(spark, freshRoot()).withParameters(Map("k" -> 5))
     assert(e.parameter(Parameter[Long]("k")) == 5L)
