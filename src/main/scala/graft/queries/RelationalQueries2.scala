@@ -339,6 +339,26 @@ object RelationalQueries2 {
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total"))
         .orderBy("first_type", "user_mod")
     },
+    // Sessionization — assign events to sessions by inactivity gap
+    // (> 30 min starts a new session): lag + cumulative sum over one
+    // per-user window, then a per-session rollup. One shuffle keyed by
+    // user; the canonical batch counterpart of the streaming
+    // mapGroupsWithState sessionizer (streaming/StreamingPipelines).
+    "q36_sessionize" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .withColumn("gap", col("us") - lag("us", 1).over(w))
+        .withColumn("new_sess",
+          when(col("gap").isNull || col("gap") > W_US, 1L).otherwise(0L))
+        .withColumn("sess_id", sum("new_sess").over(cum))
+        .groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("us").as("start_us"), max("us").as("end_us"),
+          dsum(col("value")).as("total_value"))
+        .withColumn("duration_us", col("end_us") - col("start_us"))
+        .orderBy("user_id", "sess_id")
+    },
     "q32_udaf_surface" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Aggregator
       import org.apache.spark.sql.Encoders
@@ -563,6 +583,29 @@ object RelationalQueries2 {
          |       COUNT(*) AS n_events, ${oSum("value")} AS total
          |FROM events JOIN dim USING (user_id)
          |GROUP BY first_type, user_mod ORDER BY first_type, user_mod""".stripMargin,
+    "q36_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+         |g AS (
+         |  SELECT user_id, event_id, value, us,
+         |         us - lag(us) OVER w AS gap,
+         |         CASE WHEN lag(us) OVER w IS NULL
+         |                OR us - lag(us) OVER w > $W_US
+         |              THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |sess AS (
+         |  SELECT user_id, event_id, value, us,
+         |         CAST(SUM(new_sess) OVER (PARTITION BY user_id
+         |           ORDER BY us, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS sess_id
+         |  FROM g)
+         |SELECT user_id, sess_id, COUNT(*) AS n_events,
+         |       MIN(us) AS start_us, MAX(us) AS end_us,
+         |       ${oSum("value")} AS total_value,
+         |       MAX(us) - MIN(us) AS duration_us
+         |FROM sess GROUP BY user_id, sess_id
+         |ORDER BY user_id, sess_id""".stripMargin,
     "q32_udaf_surface" ->
       """SELECT l_returnflag,
         |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_deep_discount,
