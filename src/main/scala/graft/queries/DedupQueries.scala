@@ -128,6 +128,44 @@ object DedupQueries {
         .select("da", "db", "n_bands", "jaccard")
         .orderBy("da", "db")
     },
+    // D2e — duplicate CLUSTERS: connected components over the near-dup
+    // pair graph (what a real dedup pipeline needs after pair generation —
+    // keep one canonical doc per component, drop the rest). Iterative
+    // transitive closure to a fixpoint; the pair graph is tiny relative to
+    // the corpus (only near-dups appear), and each iteration is one
+    // equi-join + distinct. At larger component counts the same loop
+    // becomes the alternating big-star/small-star algorithm — the join
+    // shape is already right.
+    "d21_dedup_clusters" -> { (s, dir) =>
+      val pairs = jaccardPairs(s, dir)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("da"), col("db"))
+        .persist()
+      val edges = pairs
+        .union(pairs.select(col("db").as("da"), col("da").as("db")))
+        .union(pairs.select(col("da"), col("da").as("db")).distinct())
+        .union(pairs.select(col("db").as("da"), col("db")).distinct())
+        .distinct().persist()
+      var reach = edges
+      var n = reach.count()
+      var grew = true
+      while (grew) {
+        val next = reach
+          .union(reach.as("r")
+            .join(edges.as("e"), col("r.db") === col("e.da"))
+            .select(col("r.da"), col("e.db")))
+          .distinct().persist()
+        val m = next.count()
+        grew = m != n
+        n = m
+        reach = next
+      }
+      reach.groupBy(col("da").as("doc_id"))
+        .agg(min("db").as("component_id"))
+        .groupBy("component_id")
+        .agg(count(lit(1)).as("n_members"), max("doc_id").as("max_doc"))
+        .orderBy("component_id")
+    },
     // D2c — 60-bit SimHash over distinct tokens + Hamming distance to doc 0.
     "d04_simhash" -> { (s, dir) =>
       val tok = t(s, dir, "documents")
@@ -198,6 +236,24 @@ object DedupQueries {
       s"""$jaccardSql
          |SELECT da, db, shared, jaccard FROM jac
          |WHERE jaccard >= 0.5 ORDER BY da, db""".stripMargin,
+    "d21_dedup_clusters" ->
+      s"""$jaccardSql,
+         |p AS (SELECT da, db FROM jac WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT da, db FROM p
+         |  UNION SELECT db, da FROM p
+         |  UNION SELECT da, da FROM p
+         |  UNION SELECT db, db FROM p),
+         |reach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT da, db FROM edges
+         |    UNION
+         |    SELECT r.a, e.db FROM r JOIN edges e ON r.b = e.da)
+         |  SELECT a, b FROM r),
+         |comp AS (SELECT a AS doc_id, MIN(b) AS component_id
+         |         FROM reach GROUP BY a)
+         |SELECT component_id, COUNT(*) AS n_members, MAX(doc_id) AS max_doc
+         |FROM comp GROUP BY component_id ORDER BY component_id""".stripMargin,
     "d03_dedup_minhash_lsh" ->
       s"""$jaccardSql,
          |h AS (SELECT doc_id, ${oTokenHash60("shingle")} AS h FROM sh),
