@@ -143,26 +143,29 @@ object DedupQueries {
         .persist()
       val edges = pairs
         .union(pairs.select(col("db").as("da"), col("da").as("db")))
-        .union(pairs.select(col("da"), col("da").as("db")).distinct())
-        .union(pairs.select(col("db").as("da"), col("db")).distinct())
-        .distinct().persist()
-      var reach = edges
-      var n = reach.count()
-      var grew = true
-      while (grew) {
-        val next = reach
-          .union(reach.as("r")
-            .join(edges.as("e"), col("r.db") === col("e.da"))
-            .select(col("r.da"), col("e.db")))
-          .distinct().persist()
-        val m = next.count()
-        grew = m != n
-        n = m
-        reach = next
+        .persist()
+      // min-label propagation: labels(doc) := min(label over neighbors ∪
+      // self), iterated to fixpoint. State is |docs-in-pairs| rows (never
+      // the transitive closure), labels only decrease, so the aggregate
+      // label sum is a monotone convergence witness — one cheap action per
+      // round instead of a change-detection join.
+      var labels = edges.select(col("da").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")).persist()
+      var prevSum = labels.agg(sum("label")).head.getLong(0)
+      var converged = false
+      while (!converged) {
+        val next = labels.as("l")
+          .join(edges.as("e"), col("l.doc_id") === col("e.da"))
+          .select(col("e.db").as("doc_id"), col("l.label"))
+          .union(labels)
+          .groupBy("doc_id").agg(min("label").as("label"))
+          .persist()
+        val s2 = next.agg(sum("label")).head.getLong(0)
+        converged = s2 == prevSum
+        prevSum = s2
+        labels = next
       }
-      reach.groupBy(col("da").as("doc_id"))
-        .agg(min("db").as("component_id"))
-        .groupBy("component_id")
+      labels.groupBy(col("label").as("component_id"))
         .agg(count(lit(1)).as("n_members"), max("doc_id").as("max_doc"))
         .orderBy("component_id")
     },
