@@ -25,6 +25,18 @@ object VectorQueries {
       .withColumn("nrm", l2norm(col("embedding")))
   }
 
+  /** LSH hyperplane weight (i, j) in [-1, 1): md5-derived so the DuckDB
+    * oracle reproduces the identical float. 2^59 scales the 60-bit hash
+    * exactly (power-of-two division); the BIGINT→DOUBLE rounding is
+    * round-to-nearest on both engines.
+    */
+  private[queries] def hpWeight(i: Int, j: Int): Float = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$i:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    ((h.toDouble / 576460752303423488.0) - 1.0).toFloat
+  }
+
   /** Query set: the first 10 vectors. */
   private def queriesSet(v: DataFrame): DataFrame =
     v.filter(col("vec_id") < 10)
@@ -76,6 +88,36 @@ object VectorQueries {
         .withColumn("rank", row_number().over(wTop))
         .filter(col("rank") <= 3)
         .select("q_id", "cell", "rank", "vec_id", "cosine")
+        .orderBy("q_id", "rank")
+    },
+    // D3d — LSH-bucketed ANN (the other scale path next to IVF d06):
+    // 8 random hyperplanes → 8-bit sign signature → candidates share a
+    // bucket → exact cosine re-rank within the bucket. Hyperplane weights
+    // derive from md5 (computed identically here and in the DuckDB
+    // oracle), and the signature dot products run through the codegen'd
+    // float_dot against constant arrays — one corpus scan, zero shuffles
+    // before the bucket join.
+    "d20_knn_lsh" -> { (s, dir) =>
+      graft.functions.FloatDotProduct.register(s)
+      val B = 8
+      val hps = (0 until B).map(i => List.tabulate(64)(j => hpWeight(i, j)))
+      val v = vecs(s, dir)
+      val sig = (0 until B).map { i =>
+        when(dot(col("embedding"), typedLit(hps(i))) >= 0.0, 1 << i).otherwise(0)
+      }.reduce(_ + _)
+      val withSig = v.withColumn("sig", sig)
+      val q = withSig.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("sig"))
+      val wTop = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      withSig.join(broadcast(q), "sig")
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine",
+          cosineWithNorms(dot(col("embedding"), col("qe")), col("nrm"), col("qn")))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 3)
+        .select("q_id", "sig", "rank", "vec_id", "cosine")
         .orderBy("q_id", "rank")
     },
     // D3c — per-label embedding centroids (class prototypes): distributed
@@ -169,6 +211,35 @@ object VectorQueries {
          |                    a.vec_id) AS rank
          |  FROM assigned a JOIN q ON a.cell = q.cell WHERE a.vec_id != q.q_id)
          |SELECT q_id, cell, rank, vec_id, cosine FROM scored
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "d20_knn_lsh" ->
+      s"""WITH hp AS (
+         |  SELECT i, list(w ORDER BY j) AS w FROM (
+         |    SELECT i, j,
+         |      CAST((CAST(('0x'||substring(md5(i||':'||j),1,15)) AS BIGINT)
+         |            / 576460752303423488.0) - 1.0 AS FLOAT) AS w
+         |    FROM (SELECT unnest(range(8)) AS i) a,
+         |         (SELECT unnest(range(64)) AS j) b) t
+         |  GROUP BY i),
+         |v AS (SELECT vec_id, embedding, ${oNorm("embedding")} AS nrm FROM embeddings),
+         |sigb AS (
+         |  SELECT v.vec_id,
+         |         CAST(SUM(CASE WHEN ${oDot("v.embedding", "hp.w")} >= 0
+         |                       THEN 1 << i ELSE 0 END) AS INT) AS sig
+         |  FROM v CROSS JOIN hp GROUP BY v.vec_id),
+         |q AS (
+         |  SELECT s.vec_id AS q_id, v.embedding AS qe, v.nrm AS qn, s.sig
+         |  FROM sigb s JOIN v ON s.vec_id = v.vec_id WHERE s.vec_id < 10),
+         |scored AS (
+         |  SELECT q.q_id, q.sig, a.vec_id,
+         |         ${oDot("av.embedding", "q.qe")} / (av.nrm * q.qn) AS cosine,
+         |         row_number() OVER (PARTITION BY q.q_id
+         |           ORDER BY ${oDot("av.embedding", "q.qe")} / (av.nrm * q.qn) DESC,
+         |                    a.vec_id) AS rank
+         |  FROM sigb a JOIN v av ON a.vec_id = av.vec_id
+         |  JOIN q ON a.sig = q.sig
+         |  WHERE a.vec_id != q.q_id)
+         |SELECT q_id, sig, rank, vec_id, cosine FROM scored
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "d17_label_centroid" ->
       """WITH ex AS (
