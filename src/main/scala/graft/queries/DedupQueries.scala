@@ -169,6 +169,42 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_members"), max("doc_id").as("max_doc"))
         .orderBy("component_id")
     },
+    // D2f — INCREMENTAL dedup: check an incoming batch (doc_id % 10 == 0
+    // as the stand-in split) against the EXISTING corpus only — the shape
+    // a production ingestion pipeline runs continuously. Exact check is a
+    // hash semi-join; near-dup check restricts the inverted index to
+    // incoming×existing pairs, so cost scales with the batch, not the
+    // corpus squared.
+    "d22_incremental_dedup" -> { (s, dir) =>
+      val base = docShingles(s, dir)
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        sha2(col("text"), 256).as("content_hash"))
+      val incoming = docs.filter(col("doc_id") % 10 === 0)
+      val existing = docs.filter(col("doc_id") % 10 =!= 0)
+      val exact = incoming.join(
+          existing.select(col("content_hash")).distinct()
+            .withColumn("is_exact_dup", lit(true)),
+          Seq("content_hash"), "left")
+        .select(col("doc_id"),
+          coalesce(col("is_exact_dup"), lit(false)).as("is_exact_dup"))
+      val shIn = base.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("da"), size(col("h_arr")).as("na"),
+          explode(col("h_arr")).as("sh_h"))
+      val shEx = base.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("db"), size(col("h_arr")).as("nb"),
+          explode(col("h_arr")).as("sh_h"))
+      val near = shIn.hint("shuffle_hash").join(shEx, "sh_h")
+        .groupBy("da", "db").agg(count(lit(1)).as("shared"),
+          first("na").as("na"), first("nb").as("nb"))
+        .filter(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")) >= 0.5)
+        .groupBy(col("da").as("doc_id"))
+        .agg(count(lit(1)).as("n_near_dups"))
+      exact.join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("is_exact_dup"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
+        .orderBy("doc_id")
+    },
     // D2c — 60-bit SimHash over distinct tokens + Hamming distance to doc 0.
     "d04_simhash" -> { (s, dir) =>
       val tok = t(s, dir, "documents")
@@ -239,6 +275,29 @@ object DedupQueries {
       s"""$jaccardSql
          |SELECT da, db, shared, jaccard FROM jac
          |WHERE jaccard >= 0.5 ORDER BY da, db""".stripMargin,
+    "d22_incremental_dedup" ->
+      s"""WITH $shingleSql,
+         |cnt AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY doc_id),
+         |shh AS (SELECT doc_id, ${oTokenHash60("shingle")} AS sh_h FROM sh),
+         |exact AS (
+         |  SELECT i.doc_id,
+         |         EXISTS (SELECT 1 FROM documents e
+         |                 WHERE e.doc_id % 10 != 0
+         |                   AND sha256(e.text) = sha256(i.text)) AS is_exact_dup
+         |  FROM documents i WHERE i.doc_id % 10 = 0),
+         |near AS (
+         |  SELECT da AS doc_id, COUNT(*) AS n_near_dups FROM (
+         |    SELECT a.doc_id da, b.doc_id db, COUNT(*) shared
+         |    FROM shh a JOIN shh b ON a.sh_h = b.sh_h
+         |    WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+         |    GROUP BY da, db) p
+         |  JOIN cnt ca ON p.da = ca.doc_id JOIN cnt cb ON p.db = cb.doc_id
+         |  WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5
+         |  GROUP BY da)
+         |SELECT exact.doc_id, is_exact_dup,
+         |       COALESCE(n_near_dups, 0) AS n_near_dups
+         |FROM exact LEFT JOIN near ON exact.doc_id = near.doc_id
+         |ORDER BY exact.doc_id""".stripMargin,
     "d21_dedup_clusters" ->
       s"""$jaccardSql,
          |p AS (SELECT da, db FROM jac WHERE jaccard >= 0.5),
