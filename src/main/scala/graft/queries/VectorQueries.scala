@@ -156,6 +156,25 @@ object VectorQueries {
         .select("doc_id", "n_frames", "frame_idx", "frame_fp")
         .orderBy("doc_id", "frame_idx")
     },
+    // D5c — multimodal resize planning: aspect-preserving downscale to a
+    // 256px max dimension. The geometry math is the real operator (what a
+    // resize UDF applies per image); the dimensions come from the d11 stub
+    // decode since no codecs exist in this container. Pure codegen'd
+    // column arithmetic — at scale this runs inside the decode scan with
+    // zero extra passes.
+    "d23_resize_plan" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        .withColumn("n", length(col("blob")))
+        .withColumn("orig_w", (lit(100) + col("n") % 540).cast("int"))
+        .withColumn("orig_h", (lit(100) + (col("n") * 7) % 380).cast("int"))
+        .withColumn("scale",
+          least(lit(1.0), lit(256.0) / greatest(col("orig_w"), col("orig_h"))))
+        .withColumn("new_w", floor(col("orig_w") * col("scale")).cast("int"))
+        .withColumn("new_h", floor(col("orig_h") * col("scale")).cast("int"))
+        .select("doc_id", "orig_w", "orig_h", "scale", "new_w", "new_h")
+        .orderBy("doc_id")
+    },
     // D5 — multimodal column plumbing: text → binary blob → typed
     // mapPartitions "decode" batch → metadata row. The decode body is a
     // deterministic STUB (no codecs in this container); schema, encoder,
@@ -252,6 +271,17 @@ object VectorQueries {
         |       CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
         |         / (COUNT(*) * 1000000) AS centroid
         |FROM ex GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "d23_resize_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(100 + octet_length(encode(text)) % 540 AS INT) AS orig_w,
+        |         CAST(100 + (octet_length(encode(text)) * 7) % 380 AS INT) AS orig_h
+        |  FROM documents)
+        |SELECT doc_id, orig_w, orig_h,
+        |       least(CAST(1.0 AS DOUBLE), CAST(256.0 AS DOUBLE) / greatest(orig_w, orig_h)) AS scale,
+        |       CAST(floor(orig_w * least(CAST(1.0 AS DOUBLE), CAST(256.0 AS DOUBLE) / greatest(orig_w, orig_h))) AS INT) AS new_w,
+        |       CAST(floor(orig_h * least(CAST(1.0 AS DOUBLE), CAST(256.0 AS DOUBLE) / greatest(orig_w, orig_h))) AS INT) AS new_h
+        |FROM d ORDER BY doc_id""".stripMargin,
     "d18_frame_sample" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) // 100 + 1 AS INT) AS n_frames,
