@@ -111,16 +111,18 @@ object DedupQueries {
           Seq("band", "sig"))
         .filter(col("da") < col("db"))
         .groupBy("da", "db").agg(count(lit(1)).as("n_bands"))
-      // the CANDIDATE PAIR table is what gets broadcast — O(candidates)
-      // regardless of corpus size; the corpus-side hash sets stream
-      // through two broadcast joins, never shuffling and never being
-      // broadcast themselves
+      // the bare CANDIDATE PAIR table is the only explicit broadcast —
+      // O(candidate pairs) with no hash arrays attached. The first join
+      // streams the corpus sets past it; the second joins the (small)
+      // pair+set result against the corpus under Catalyst/AQE's choice,
+      // so no per-pair duplication of a hub doc's array ever enters a
+      // broadcast.
       val setsA = base.select(col("doc_id").as("da"),
         col("h_arr").as("ha"), size(col("h_arr")).as("na"))
       val setsB = base.select(col("doc_id").as("db"),
         col("h_arr").as("hb"), size(col("h_arr")).as("nb"))
       val withA = setsA.join(broadcast(cand), "da")
-      setsB.join(broadcast(withA), "db")
+      setsB.join(withA, "db")
         .withColumn("shared", size(array_intersect(col("ha"), col("hb"))))
         .withColumn("jaccard",
           col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
@@ -140,18 +142,24 @@ object DedupQueries {
       val pairs = jaccardPairs(s, dir)
         .filter(col("jaccard") >= 0.5)
         .select(col("da"), col("db"))
-        .persist()
+      // localCheckpoint per round truncates lineage — without it the plan
+      // doubles every iteration (the prior round appears in both the join
+      // and the union) and driver-side planning grows exponentially.
+      // Superseded checkpoint blocks are freed by the ContextCleaner once
+      // the old DataFrame reference drops.
       val edges = pairs
         .union(pairs.select(col("db").as("da"), col("da").as("db")))
-        .persist()
+        .localCheckpoint(true)
       // min-label propagation: labels(doc) := min(label over neighbors ∪
       // self), iterated to fixpoint. State is |docs-in-pairs| rows (never
       // the transitive closure), labels only decrease, so the aggregate
       // label sum is a monotone convergence witness — one cheap action per
       // round instead of a change-detection join.
+      def labelSum(df: DataFrame): Long =
+        df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0) // 0 when empty
       var labels = edges.select(col("da").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id")).persist()
-      var prevSum = labels.agg(sum("label")).head.getLong(0)
+        .withColumn("label", col("doc_id")).localCheckpoint(true)
+      var prevSum = labelSum(labels)
       var converged = false
       while (!converged) {
         val next = labels.as("l")
@@ -159,8 +167,8 @@ object DedupQueries {
           .select(col("e.db").as("doc_id"), col("l.label"))
           .union(labels)
           .groupBy("doc_id").agg(min("label").as("label"))
-          .persist()
-        val s2 = next.agg(sum("label")).head.getLong(0)
+          .localCheckpoint(true)
+        val s2 = labelSum(next)
         converged = s2 == prevSum
         prevSum = s2
         labels = next

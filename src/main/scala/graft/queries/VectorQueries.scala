@@ -164,8 +164,7 @@ object VectorQueries {
     // zero extra passes.
     "d23_resize_plan" -> { (s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
-        .withColumn("n", length(col("blob")))
+        .select(col("doc_id"), octet_length(col("text")).as("n"))
         .withColumn("orig_w", (lit(100) + col("n") % 540).cast("int"))
         .withColumn("orig_h", (lit(100) + (col("n") * 7) % 380).cast("int"))
         .withColumn("scale",
