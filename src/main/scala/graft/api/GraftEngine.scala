@@ -41,17 +41,23 @@ class GraftEngine(
     * no-op (`required = false` ports degrade gracefully).
     */
   def table(name: String, mode: String = "r", required: Boolean = true): Table = {
-    val connected = bindings.isEmpty || bindings.contains(name) ||
-      bindings.valuesIterator.contains(name)
-    // an unconnected REQUIRED port is a graph-config error (the platform
-    // rejects it at deploy; node.py:136-138) — fail loudly rather than
-    // silently swallowing the node's reads/writes in a dummy
-    require(connected || !required,
-      s"table port '$name' is not connected in this node's graph bindings; " +
-        "pass required = false for an optional port")
     val store = bindings.getOrElse(name, name)
-    opened.getOrElseUpdate(store,
-      new Table(this, store, mode, required, connected))
+    // memo FIRST: re-opening a port already resolved this execution returns
+    // the same Table regardless of `required` — engine.table(p) after
+    // engine.table(p, required = false) must not suddenly enforce a
+    // connectivity the caller already opted out of
+    opened.getOrElse(store, {
+      val connected = bindings.isEmpty || bindings.contains(name) ||
+        bindings.valuesIterator.contains(name)
+      // an unconnected REQUIRED port is a graph-config error (the platform
+      // rejects it at deploy; node.py:136-138) — fail loudly rather than
+      // silently swallowing the node's reads/writes in a dummy
+      require(connected || !required,
+        s"table port '$name' is not connected in this node's graph bindings; " +
+          "pass required = false for an optional port")
+      opened.getOrElseUpdate(store,
+        new Table(this, store, mode, required, connected))
+    })
   }
 
   /** Install port→store bindings from graph config (B8). */
@@ -70,10 +76,11 @@ class GraftEngine(
     * node.py:168-189, create.py:239-244).
     */
   def sql(query: String, tables: Seq[String] = Nil): DataFrame = {
-    // explicit names resolve (and must be connected); the default set is
-    // the ALREADY-OPENED ports — re-resolving them would wrongly demand
-    // required=true of optional dummies opened with required=false
-    val tabs = if (tables.nonEmpty) tables.map(n => table(n)) else opened.values.toSeq
+    // explicit names resolve as optional so an unconnected name yields a
+    // dummy that the isConnected filter below skips — the same graceful
+    // degradation the default (already-opened ports) branch has always had
+    val tabs = if (tables.nonEmpty) tables.map(n => table(n, required = false))
+      else opened.values.toSeq
     tabs.filter(_.isConnected)
       .foreach(t => t.read.createOrReplaceTempView(t.sqlName))
     spark.sql(query)

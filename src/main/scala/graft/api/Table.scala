@@ -145,9 +145,9 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
 
   /** Force buffered writes to the active version (node.py:407-414).
     * Appends into an EXISTING version follow that version's physical
-    * layout — a table that gained `bucketBy` after unbucketed writes keeps
-    * appending unbucketed to the open version (mixed layouts in one dir
-    * would corrupt reads); the next upsert/replace migrates the layout.
+    * layout — including its ORIGINAL bucket count when `init(bucketBy)`
+    * has since changed it (mixed layouts/counts in one dir would corrupt
+    * bucket-pruned reads); the next upsert/replace migrates the layout.
     */
   def flush(): Unit = if (connected && buffer.nonEmpty) {
     val batch = buffer.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -158,10 +158,9 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
       catalog.setActive(name, Some(v), "create")
       v
     }
-    val dirHasData = activeFiles.nonEmpty
-    val useBuckets = if (dirHasData) hasBucketLayout(vid) else bucketCount.isDefined
+    val buckets = if (activeFiles.nonEmpty) layoutBuckets(vid) else bucketCount
     writeInto(clustered(decorate(conform(batch))),
-      catalog.versionDir(name, vid).toString, SaveMode.Append, useBuckets)
+      catalog.versionDir(name, vid).toString, SaveMode.Append, buckets)
     if (!isNew) catalog.recordEvent(name, "update")
   }
 
@@ -177,22 +176,39 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     df.withColumn("__bucket",
       pmod(hash(manifest.meta.uniqueOn.map(col): _*), lit(n)))
 
-  /** Whether this version dir is physically bucket-partitioned (a table can
-    * gain bucketBy after unbucketed versions were written).
+  /** The bucket count this version dir was PHYSICALLY written with, or None
+    * if unbucketed. Source of truth is the `_BUCKETS` sidecar marker every
+    * bucketed write drops (underscore-prefixed files are invisible to
+    * Spark's file index); markerless legacy dirs fall back to max
+    * `__bucket=` index + 1 — exact whenever every bucket materialized.
+    * Tracking this per version is what makes changing `init(bucketBy = m)`
+    * on an already-bucketed table safe: meta carries the NEW count while
+    * each version remembers the count its dirs were hashed with, and
+    * upsert/lookup only take the bucket-pruned path when the two agree.
     */
-  private def hasBucketLayout(vid: String): Boolean =
-    Option(catalog.versionDir(name, vid).toFile
-        .listFiles((f: java.io.File) => f.isDirectory && f.getName.startsWith("__bucket=")))
-      .exists(_.nonEmpty)
+  private def layoutBuckets(vid: String): Option[Int] = {
+    val dir = catalog.versionDir(name, vid)
+    val marker = dir.resolve(Table.BucketMarker)
+    if (java.nio.file.Files.exists(marker))
+      Some(new String(java.nio.file.Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+    else Option(dir.toFile.listFiles((f: java.io.File) =>
+        f.isDirectory && f.getName.startsWith("__bucket=")))
+      .filter(_.nonEmpty)
+      .map(_.map(_.getName.stripPrefix("__bucket=").toInt).max + 1)
+  }
 
-  /** Write honoring the bucket layout when declared (callers appending to
+  /** Write honoring the given physical bucket count (callers appending to
     * an existing dir pass the DIR's layout so one version never mixes).
     */
   private def writeInto(df: DataFrame, dir: String, mode: SaveMode,
-      bucketed: Boolean = true): Unit =
-    bucketCount.filter(_ => bucketed) match {
+      buckets: Option[Int]): Unit =
+    buckets match {
       case Some(n) =>
         withBucket(df, n).write.mode(mode).partitionBy("__bucket").parquet(dir)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir).resolve(Table.BucketMarker),
+          n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       case None => df.write.mode(mode).parquet(dir)
     }
 
@@ -215,7 +231,10 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     val incoming = decorate(conform(lastPerKey))
     val oldVid = manifest.activeVersion.filter(_ => activeFiles.nonEmpty)
     (oldVid, bucketCount) match {
-      case (Some(vid), Some(n)) if hasBucketLayout(vid) =>
+      // partition-level rewrite is only sound when the version's physical
+      // layout was hashed with the CURRENT bucket count; after a bucketBy
+      // change the full-rewrite branch below migrates to the new count
+      case (Some(vid), Some(n)) if layoutBuckets(vid).contains(n) =>
         bucketedUpsert(incoming, vid, n)
       case _ =>
         val merged = activeDf match {
@@ -260,7 +279,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
       else spark.read.option("mergeSchema", "true").parquet(oldPaths: _*)
         .join(incoming, keys, "left_anti")
     val merged = incoming.unionByName(kept, allowMissingColumns = true)
-    writeInto(clustered(merged), newDir.toString, SaveMode.Append)
+    writeInto(clustered(merged), newDir.toString, SaveMode.Append, Some(n))
     catalog.setActive(name, Some(vid), "update")
   }
 
@@ -282,7 +301,10 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     val eqFilter = keys.zip(keyValues)
       .map { case (k, v) => col(k) === typedLit(k, v) }.reduce(_ && _)
     (bucketCount, manifest.activeVersion) match {
-      case (Some(n), Some(vid)) if hasBucketLayout(vid) =>
+      // bucket pruning needs the version's layout count to MATCH the meta
+      // count — after a bucketBy change, fall through to the filtered full
+      // read (still min/max-pruned by write-time clustering)
+      case (Some(n), Some(vid)) if layoutBuckets(vid).contains(n) =>
         // evaluate pmod(hash(key...), n) driver-side — a constant
         // expression shouldn't cost a Spark job per point lookup
         val b = try {
@@ -447,12 +469,17 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
       bucketed: Boolean = true): Unit = {
     val (_, vid) = catalog.createVersion(name)
     writeInto(clustered(df), catalog.versionDir(name, vid).toString,
-      SaveMode.Overwrite, bucketed)
+      SaveMode.Overwrite, bucketCount.filter(_ => bucketed))
     catalog.setActive(name, Some(vid), eventKind)
   }
 }
 
 object Table {
+  /** Sidecar file recording a version dir's physical bucket count.
+    * Underscore prefix keeps it invisible to Spark's parquet file index.
+    */
+  val BucketMarker = "_BUCKETS"
+
   /** 13-char zero-padded base32: lexicographic order == numeric order
     * (node.py:291-294 "unique, strictly monotonically increasing base32
     * string").

@@ -25,11 +25,26 @@ object Q {
     * which is what the µs-exact time arithmetic wants anyway (`ts div 1000`
     * ≡ DuckDB `epoch_us(ts)`).
     */
-  // Weak keys on the session: a stopped SparkSession's cached plans become
-  // GC-able instead of pinning the session forever in a long-lived JVM.
-  private val planCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+  // Weak keys on the session so a stopped SparkSession's cached plans
+  // become GC-able in a long-lived JVM. The inner map's DataFrames
+  // strongly reference their SparkSession — held directly as the entry
+  // value they would keep the weak key strongly reachable forever — so
+  // the value is a SoftReference to the inner map: the only path from
+  // this cache to the session is then soft, and once user code drops the
+  // session the GC clears the soft ref under pressure and the weak entry
+  // follows. A spuriously cleared soft ref just rebuilds the (cheap) map.
+  private type PlanMap =
+    java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]
+  private val planCache =
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.SoftReference[PlanMap]]()
+
+  private def plansFor(spark: SparkSession): PlanMap = planCache.synchronized {
+    Option(planCache.get(spark)).flatMap(r => Option(r.get)).getOrElse {
+      val m = new PlanMap
+      planCache.put(spark, new java.lang.ref.SoftReference(m))
+      m
+    }
+  }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
@@ -37,11 +52,8 @@ object Q {
     // Memoize the DataFrame handle (the analyzed plan, NOT the data):
     // repeated queries skip re-listing files and re-reading footers, the
     // same way a catalog would hold a resolved table handle.
-    planCache
-      .computeIfAbsent(spark, _ =>
-        new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
-      .computeIfAbsent((dir, name),
-        _ => spark.read.parquet(s"$dir/$name.parquet"))
+    plansFor(spark).computeIfAbsent((dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** Exact, order-independent sum of a money-grade double expression.

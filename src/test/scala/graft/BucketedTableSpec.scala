@@ -75,6 +75,44 @@ class BucketedTableSpec extends SparkSpec {
       Map(1L -> "a", 2L -> "b", 3L -> "c"))
   }
 
+  test("changing bucketBy on an already-bucketed table never duplicates or loses keys") {
+    val e = engine()
+    val t = e.table("b7", "w").init(uniqueOn = Seq("id"), bucketBy = 4)
+    t.append((1L to 40L).map(i => (i, s"old$i")).toDF("id", "v")); t.flush()
+    val v1 = t.getActiveVersion.get
+    // version dir remembers the count it was hashed with
+    assert(java.nio.file.Files.readAllLines(
+      e.catalog.versionDir("b7", v1).resolve(graft.api.Table.BucketMarker))
+      .get(0).trim == "4")
+
+    t.init(uniqueOn = Seq("id"), bucketBy = 8) // meta count now differs from layout
+    // lookup pre-migration: pruned path would hash with n=8 against a
+    // 4-bucket layout — must fall back to the filtered full read
+    assert(t.lookup(Seq(13L)).as[(Long, String)].collect().toSeq ==
+      Seq((13L, "old13")))
+    // flush pre-migration: append must follow the DIR's original count, not
+    // meta's — a mixed-count dir would corrupt every later pruned scan
+    t.append(Seq((41L, "old41")).toDF("id", "v")); t.flush()
+    assert(t.read.count() == 41)
+
+    // upsert with mismatched counts takes the full-rewrite path: the old
+    // row of an updated key can't survive in a verbatim-copied bucket
+    t.upsert(Seq((13L, "NEW"), (42L, "new42")).toDF("id", "v"))
+    val rows = t.read.as[(Long, String)].collect()
+    assert(rows.length == 42, "no duplicate keys after rebucketing")
+    assert(rows.toMap.apply(13L) == "NEW" && rows.toMap.apply(41L) == "old41")
+    // migrated version is hashed with (and remembers) the new count
+    val v2 = t.getActiveVersion.get
+    assert(java.nio.file.Files.readAllLines(
+      e.catalog.versionDir("b7", v2).resolve(graft.api.Table.BucketMarker))
+      .get(0).trim == "8")
+    assert(t.lookup(Seq(13L)).as[(Long, String)].collect().toSeq == Seq((13L, "NEW")))
+    // and partition-level upsert works again on the migrated layout
+    t.upsert(Seq((13L, "NEWER")).toDF("id", "v"))
+    assert(t.read.count() == 42)
+    assert(t.lookup(Seq(13L)).as[(Long, String)].collect().toSeq == Seq((13L, "NEWER")))
+  }
+
   test("truncate on a bucketed table keeps the schema") {
     val e = engine()
     val t = e.table("b6", "w").init(uniqueOn = Seq("id"), bucketBy = 4)

@@ -41,6 +41,22 @@ class TableSpec extends SparkSpec {
     assert(dummy.asStream(orderBy = "id").consumeRecords().isEmpty)
   }
 
+  test("re-opening an already-opened optional port with defaults returns the memoized dummy") {
+    val e = engine().withBindings(Map("in" -> "raw"))
+    val dummy = e.table("opt", "w", required = false)
+    assert(!dummy.isConnected)
+    // default args must not re-enforce required=true on a port this
+    // execution already opened as optional
+    assert(e.table("opt") eq dummy)
+    assert(e.table("opt", "w") eq dummy)
+    // sql() with an explicit unconnected name skips it like the default
+    // (opened-ports) branch does, instead of throwing
+    val t = e.table("in", "w")
+    t.append(Seq((1L, "a")).toDF("id", "v")); t.flush()
+    assert(e.sql("SELECT COUNT(*) c FROM raw", tables = Seq("opt", "in"))
+      .head.getLong(0) == 1)
+  }
+
   test("endExecution flushes all buffered ports") {
     val e = engine()
     val t = e.table("t2", "w")
