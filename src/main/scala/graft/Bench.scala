@@ -23,7 +23,15 @@ object Bench {
       spark.range(100000).groupBy((col("id") % 7).as("k")).count().count()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Local-iteration helper: SPARK_GRAFT_ONLY=q01,d21 times a subset
+    // (driver never sets it, so the per-round bench is unaffected).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

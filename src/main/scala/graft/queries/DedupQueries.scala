@@ -19,24 +19,53 @@ import graft.functions.VectorFunctions._
 object DedupQueries {
   import Q._
 
-  /** Per-doc distinct shingle SET, computed map-side (array_distinct on the
-    * shingle array — no global distinct shuffle). Persisted: the
-    * higher-order shingling expression is interpreted (not codegen'd), so
-    * every downstream consumer must read the materialized arrays, not
-    * re-evaluate the chain; Spark's CacheManager dedups the entry across
-    * queries by canonical plan.
+  /** Per-doc distinct shingle SET, computed map-side (no global distinct
+    * shuffle), persisted for every downstream consumer (d02/d03/d16/d21/
+    * d22); Spark's CacheManager dedups the entry across queries by
+    * canonical plan.
+    *
+    * This is a typed mapPartitions rather than the equivalent
+    * `transform(sequence(...), concat_ws(...))` + `transform(_,
+    * tokenHash60)` expression chain: Catalyst evaluates lambda
+    * higher-order functions interpreted (no codegen), and per-element md5
+    * inside an interpreted transform made this the single hottest stage of
+    * the whole bench. The JVM version computes bit-identical results —
+    * split(" ", -1) ≡ Spark's split, mkString(" ") ≡ concat_ws over
+    * non-null strings, first-occurrence distinct ≡ array_distinct, and the
+    * hash is the numeric value of md5's first 15 hex chars exactly as
+    * tokenHash60/oTokenHash60 define it.
     */
   private[queries] def docShingles(s: SparkSession, dir: String): DataFrame =
+      Q.memo(s, dir, "docShingles") {
+    import s.implicits._
     t(s, dir, "documents")
       // single-file fixture => 1 input partition; spread rows BEFORE the
-      // expensive shingling expression so it runs on every core
+      // expensive shingling work so it runs on every core
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"),
-        array_distinct(shingles(tokens(col("text")))).as("sh_arr"))
-      // hash once here (cached); d02's pair join and d03's minhash both
-      // consume the 60-bit hashes, never the shingle strings
-      .withColumn("h_arr", transform(col("sh_arr"), x => tokenHash60(x)))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val tk = text.split(" ", -1)
+          val sh: Array[String] =
+            if (tk.length >= 3)
+              Array.tabulate(tk.length - 2)(i =>
+                tk(i) + " " + tk(i + 1) + " " + tk(i + 2)).distinct
+            else Array.empty[String]
+          val h = sh.map { x =>
+            val d = md.digest(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            // numeric value of the first 15 hex chars = first 7 bytes
+            // (56 bits) followed by the high nibble of byte 7
+            var v = 0L
+            var i = 0
+            while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+            (v << 4) | ((d(7) >> 4) & 0xfL)
+          }
+          (id, sh, h)
+        }
+      }.toDF("doc_id", "sh_arr", "h_arr")
       .persist()
+  }
 
   /** Exact-Jaccard pairs over the shingle inverted index (no threshold).
     *
@@ -47,6 +76,18 @@ object DedupQueries {
     * only wide stage is the groupBy(da, db) over co-occurrence pairs —
     * inherent to exact Jaccard.
     */
+  /** Near-dup pairs at the 0.5 Jaccard threshold, persisted. The FILTERED
+    * set is what gets cached (hundreds of rows — the raw co-occurrence
+    * pair table is ~1000× bigger and caching it costs more than the reuse
+    * saves); it feeds both d02 (pair report) and d21 (clustering), and
+    * CacheManager dedups the entry across calls by canonical plan, so
+    * whichever query runs first pays the inverted-index join once.
+    */
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    Q.memo(s, dir, "nearDupPairs") {
+      jaccardPairs(s, dir).filter(col("jaccard") >= 0.5).persist()
+    }
+
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val docsSh = docShingles(s, dir)
     // join on the 60-bit md5-derived shingle hash, not the string: long
@@ -57,8 +98,10 @@ object DedupQueries {
     // lookups of per-doc sizes.
     val sh = docsSh.select(col("doc_id"), size(col("h_arr")).as("n_sh"),
       explode(col("h_arr")).as("sh_h"))
+    // No join-strategy hint: AQE's runtime choice (measured) beats forcing
+    // shuffle_hash here — the exploded index is skewed toward hot shingles
+    // and AQE splits those reducer partitions before joining.
     val shared = sh.select(col("doc_id").as("da"), col("n_sh").as("na_r"), col("sh_h"))
-      .hint("shuffle_hash") // equi-join on a hot key: hash beats sorting both sides
       .join(sh.select(col("doc_id").as("db"), col("n_sh").as("nb_r"), col("sh_h")), "sh_h")
       .filter(col("da") < col("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("shared"),
@@ -77,8 +120,7 @@ object DedupQueries {
     },
     // D2a — exact 3-shingle Jaccard near-dup pairs via inverted index.
     "d02_dedup_jaccard" -> { (s, dir) =>
-      jaccardPairs(s, dir)
-        .filter(col("jaccard") >= 0.5)
+      nearDupPairs(s, dir)
         .select("da", "db", "shared", "jaccard")
         .orderBy("da", "db")
     },
@@ -139,9 +181,7 @@ object DedupQueries {
     // becomes the alternating big-star/small-star algorithm — the join
     // shape is already right.
     "d21_dedup_clusters" -> { (s, dir) =>
-      val pairs = jaccardPairs(s, dir)
-        .filter(col("jaccard") >= 0.5)
-        .select(col("da"), col("db"))
+      val pairs = nearDupPairs(s, dir).select(col("da"), col("db"))
       // localCheckpoint per round truncates lineage — without it the plan
       // doubles every iteration (the prior round appears in both the join
       // and the union) and driver-side planning grows exponentially.
@@ -150,11 +190,18 @@ object DedupQueries {
       val edges = pairs
         .union(pairs.select(col("db").as("da"), col("da").as("db")))
         .localCheckpoint(true)
-      // min-label propagation: labels(doc) := min(label over neighbors ∪
-      // self), iterated to fixpoint. State is |docs-in-pairs| rows (never
-      // the transitive closure), labels only decrease, so the aggregate
-      // label sum is a monotone convergence witness — one cheap action per
-      // round instead of a change-detection join.
+      // min-label propagation with POINTER DOUBLING: labels(doc) := min of
+      // (self, neighbor labels, label-of-label), iterated to fixpoint.
+      // State is |docs-in-pairs| rows (never the transitive closure).
+      // The label-of-label term is the shortcut edge of the classic
+      // pointer-jumping trick — chains collapse in O(log diameter) rounds
+      // instead of O(diameter), which is what keeps round count flat when
+      // a near-dup component is a long path rather than a clique.
+      // Labels only decrease, so the aggregate label sum is a monotone
+      // convergence witness — one cheap action per round instead of a
+      // change-detection join. The edge table (near-dup pairs only) is tiny
+      // relative to the corpus, so it broadcasts; the only shuffle per
+      // round is the groupBy, whose input AQE coalesces.
       def labelSum(df: DataFrame): Long =
         df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0) // 0 when empty
       var labels = edges.select(col("da").as("doc_id")).distinct()
@@ -162,10 +209,13 @@ object DedupQueries {
       var prevSum = labelSum(labels)
       var converged = false
       while (!converged) {
-        val next = labels.as("l")
-          .join(edges.as("e"), col("l.doc_id") === col("e.da"))
+        val viaEdge = labels.as("l")
+          .join(broadcast(edges.as("e")), col("l.doc_id") === col("e.da"))
           .select(col("e.db").as("doc_id"), col("l.label"))
-          .union(labels)
+        val viaLabel = labels.as("x")
+          .join(labels.as("y"), col("x.label") === col("y.doc_id"))
+          .select(col("x.doc_id"), col("y.label").as("label"))
+        val next = viaEdge.union(viaLabel).union(labels)
           .groupBy("doc_id").agg(min("label").as("label"))
           .localCheckpoint(true)
         val s2 = labelSum(next)

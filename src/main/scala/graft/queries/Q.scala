@@ -56,6 +56,16 @@ object Q {
       _ => spark.read.parquet(s"$dir/$name.parquet"))
   }
 
+  /** Memoize a derived (usually persisted) DataFrame per (session, dir).
+    * Needed where CacheManager's canonical-plan dedup can't kick in: a
+    * typed mapPartitions embeds a fresh closure object per call, so two
+    * builds of the "same" pipeline never canonicalize equal — sharing must
+    * happen at the handle level.
+    */
+  private[queries] def memo(spark: SparkSession, dir: String, key: String)(
+      mk: => DataFrame): DataFrame =
+    plansFor(spark).computeIfAbsent((dir, s"#$key"), _ => mk)
+
   /** Exact, order-independent sum of a money-grade double expression.
     *
     * Scale 6 matters: fixture money columns carry exactly 2 decimals, so any
