@@ -88,6 +88,40 @@ object DedupQueries {
       jaccardPairs(s, dir).filter(col("jaccard") >= 0.5).persist()
     }
 
+  /** MinHash signatures (k=16), computed MAP-SIDE from the cached per-doc
+    * shingle hash sets: array_min(transform(h_arr, perm_i)) per permutation
+    * — zero shuffles. Memoized: shared by d03 (LSH verify) and d25
+    * (estimate-accuracy report).
+    */
+  private[queries] def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    Q.memo(s, dir, "minhashSigs") {
+      val params = minhashParams(16)
+      docShingles(s, dir).select(
+        col("doc_id") +: params.map { case (i, a, b) =>
+          array_min(transform(col("h_arr"),
+            h => minhashPerm(h, lit(a), lit(b)))).as(s"mh$i")
+        }: _*).persist()
+    }
+
+  /** LSH banding candidates (4 bands × 4 rows): the only shuffle in the
+    * MinHash pipeline is this (band, sig) self-join, whose input is 4 rows
+    * per doc. Persisted — a tiny pair table consumed by d03 and d25.
+    */
+  private[queries] def lshCandidates(s: SparkSession, dir: String): DataFrame =
+    Q.memo(s, dir, "lshCandidates") {
+      val bands = minhashSigs(s, dir).select(col("doc_id"),
+        expr("stack(4, " + (0 until 4).map { b =>
+          val cols = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
+          s"$b, concat_ws(',', $cols)"
+        }.mkString(", ") + ") AS (band, sig)"))
+      bands.select(col("doc_id").as("da"), col("band"), col("sig"))
+        .join(bands.select(col("doc_id").as("db"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("n_bands"))
+        .persist()
+    }
+
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val docsSh = docShingles(s, dir)
     // join on the 60-bit md5-derived shingle hash, not the string: long
@@ -136,23 +170,8 @@ object DedupQueries {
     // sets and computes exact Jaccard via array_intersect — O(candidates),
     // never touching the corpus-wide inverted index d02 needs.
     "d03_dedup_minhash_lsh" -> { (s, dir) =>
-      val params = minhashParams(16)
       val base = docShingles(s, dir)
-      val sig = base.select(
-        col("doc_id") +: params.map { case (i, a, b) =>
-          array_min(transform(col("h_arr"),
-            h => minhashPerm(h, lit(a), lit(b)))).as(s"mh$i")
-        }: _*)
-      val bands = sig.select(col("doc_id"),
-        expr("stack(4, " + (0 until 4).map { b =>
-          val cols = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
-          s"$b, concat_ws(',', $cols)"
-        }.mkString(", ") + ") AS (band, sig)"))
-      val cand = bands.select(col("doc_id").as("da"), col("band"), col("sig"))
-        .join(bands.select(col("doc_id").as("db"), col("band"), col("sig")),
-          Seq("band", "sig"))
-        .filter(col("da") < col("db"))
-        .groupBy("da", "db").agg(count(lit(1)).as("n_bands"))
+      val cand = lshCandidates(s, dir)
       // the bare CANDIDATE PAIR table is the only explicit broadcast —
       // O(candidate pairs) with no hash arrays attached. The first join
       // streams the corpus sets past it; the second joins the (small)
@@ -170,6 +189,40 @@ object DedupQueries {
           col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
         .filter(col("jaccard") >= 0.5)
         .select("da", "db", "n_bands", "jaccard")
+        .orderBy("da", "db")
+    },
+    // D2g — MinHash estimate accuracy: for every LSH banding candidate,
+    // the signature-estimated Jaccard (fraction of equal minhash
+    // components) next to the exact set Jaccard and the estimation error.
+    // The production use: tune (k, bands, rows) from a sample before
+    // committing the corpus-wide run — at 100 TB the estimate IS the
+    // dedup signal and this query is how its quality gets audited.
+    // Exactness: n_eq is an integer count, est/err are single IEEE double
+    // operations on exact inputs — reproducible on any engine.
+    "d25_minhash_estimate" -> { (s, dir) =>
+      val base = docShingles(s, dir)
+      val sig = minhashSigs(s, dir)
+      val cand = lshCandidates(s, dir)
+      val a = sig.select(col("doc_id").as("da") +:
+        (0 until 16).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
+      val b = sig.select(col("doc_id").as("db") +:
+        (0 until 16).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
+      val nEq = (0 until 16)
+        .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val setsA = base.select(col("doc_id").as("da"),
+        col("h_arr").as("ha"), size(col("h_arr")).as("na"))
+      val setsB = base.select(col("doc_id").as("db"),
+        col("h_arr").as("hb"), size(col("h_arr")).as("nb"))
+      setsA.join(broadcast(cand), "da").join(setsB, "db")
+        .join(broadcast(a), "da").join(broadcast(b), "db")
+        .withColumn("shared", size(array_intersect(col("ha"), col("hb"))))
+        .withColumn("jaccard",
+          col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+        .withColumn("n_eq", nEq)
+        .withColumn("est_jaccard", col("n_eq").cast("double") / 16.0)
+        .withColumn("err", col("est_jaccard") - col("jaccard"))
+        .select("da", "db", "n_eq", "est_jaccard", "jaccard", "err")
         .orderBy("da", "db")
     },
     // D2e — duplicate CLUSTERS: connected components over the near-dup
@@ -395,6 +448,37 @@ object DedupQueries {
          |SELECT cand.da AS da, cand.db AS db, n_bands, jaccard
          |FROM cand JOIN jac ON cand.da = jac.da AND cand.db = jac.db
          |WHERE jaccard >= 0.5 ORDER BY da, db""".stripMargin,
+    "d25_minhash_estimate" ->
+      s"""$jaccardSql,
+         |h AS (SELECT doc_id, ${oTokenHash60("shingle")} AS h FROM sh),
+         |params AS (
+         |  SELECT i, (1103515245 * (i + 1)) % 2147483647 AS a, 12345 * (i + 1) AS b
+         |  FROM (SELECT unnest(range(16)) AS i)),
+         |sig AS (
+         |  SELECT doc_id, i, MIN((a * (h % 1073741824) + b) % 2147483647) AS mh
+         |  FROM h CROSS JOIN params GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+         |  FROM sig GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT x.doc_id da, y.doc_id db, COUNT(*) n_bands
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |  GROUP BY da, db),
+         |est AS (
+         |  SELECT c.da, c.db,
+         |         CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS INT) AS n_eq
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.da
+         |  JOIN sig sb ON sb.doc_id = c.db AND sb.i = sa.i
+         |  GROUP BY c.da, c.db)
+         |SELECT est.da AS da, est.db AS db, n_eq,
+         |       CAST(n_eq AS DOUBLE) / 16.0 AS est_jaccard,
+         |       COALESCE(jaccard, 0.0) AS jaccard,
+         |       CAST(n_eq AS DOUBLE) / 16.0 - COALESCE(jaccard, 0.0) AS err
+         |FROM est LEFT JOIN jac ON est.da = jac.da AND est.db = jac.db
+         |ORDER BY da, db""".stripMargin,
     "d04_simhash" ->
       s"""WITH tok AS (
          |  SELECT DISTINCT doc_id, tok FROM (

@@ -148,6 +148,46 @@ object TextQueries {
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("source", "seq_id")
     },
+    // Gopher-style repetition filter: duplicate-bigram / duplicate-trigram
+    // ratios computed map-side per document (no shuffle at all until the
+    // final order) — the "remove boilerplate / looping text" gate every
+    // large-scale corpus prep pipeline runs. Ratios are single divisions of
+    // exact integer counts, so both engines agree bit-for-bit.
+    "d24_repetition" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("tk", tokens(col("text")))
+        .withColumn("n_tokens", size(col("tk")))
+        .withColumn("uniq2", size(array_distinct(shingles(col("tk"), 2))))
+        .withColumn("uniq3", size(array_distinct(shingles(col("tk"), 3))))
+        .withColumn("dup2_ratio",
+          when(col("n_tokens") > 1,
+            lit(1.0) - col("uniq2").cast("double") / (col("n_tokens") - 1)))
+        .withColumn("dup3_ratio",
+          when(col("n_tokens") > 2,
+            lit(1.0) - col("uniq3").cast("double") / (col("n_tokens") - 2)))
+        .withColumn("is_repetitive",
+          col("dup2_ratio") > 0.5 || col("dup3_ratio") > 0.4)
+        .select("doc_id", "n_tokens", "uniq2", "uniq3",
+          "dup2_ratio", "dup3_ratio", "is_repetitive")
+        .orderBy("doc_id")
+    },
+    // Corpus length-distribution profiling: exact percentile_cont /
+    // percentile_disc (inverse-distribution functions) of document length
+    // per language, through the SQL surface (A4). Exact percentiles hold a
+    // per-group value-count map in the aggregation buffer — fine when the
+    // value domain is bounded (doc lengths); at 100 TB with unbounded
+    // domains the approx_percentile sketch is the scale path.
+    "d26_length_quantiles" -> { (s, dir) =>
+      t(s, dir, "documents").createOrReplaceTempView("graft_documents")
+      s.sql(
+        """SELECT lang, COUNT(*) AS n_docs,
+          |  CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS p25,
+          |  CAST(percentile_cont(0.5)  WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS p50,
+          |  CAST(percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS p75,
+          |  CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p95_disc,
+          |  MAX(n_chars) AS max_chars
+          |FROM graft_documents GROUP BY lang ORDER BY lang""".stripMargin)
+    },
     // D4d — fingerprinting: whole-doc content hash + min-shingle rolling
     // fingerprint (winnowing-style representative hash).
     "d10_fingerprint" -> { (s, dir) =>
@@ -161,6 +201,34 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "d24_repetition" ->
+      """SELECT doc_id,
+        |  CAST(len(tk) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(bg)) AS INT) AS uniq2,
+        |  CAST(len(list_distinct(tg)) AS INT) AS uniq3,
+        |  CASE WHEN len(tk) > 1
+        |       THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / (len(tk) - 1) END AS dup2_ratio,
+        |  CASE WHEN len(tk) > 2
+        |       THEN 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / (len(tk) - 2) END AS dup3_ratio,
+        |  (CASE WHEN len(tk) > 1
+        |        THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / (len(tk) - 1) END) > 0.5
+        |    OR (CASE WHEN len(tk) > 2
+        |        THEN 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / (len(tk) - 2) END) > 0.4
+        |    AS is_repetitive
+        |FROM (
+        |  SELECT doc_id, tk,
+        |    list_transform(range(len(tk) - 1), i -> tk[i+1] || ' ' || tk[i+2]) AS bg,
+        |    list_transform(range(len(tk) - 2), i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) AS tg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) raw) t
+        |ORDER BY doc_id""".stripMargin,
+    "d26_length_quantiles" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS p25,
+        |  CAST(percentile_cont(0.5)  WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS p50,
+        |  CAST(percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS p75,
+        |  CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p95_disc,
+        |  MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "d07_lang_id" ->
       s"""SELECT doc_id,
          |  CAST(len(tk) AS INT) AS n_tokens,
