@@ -61,31 +61,52 @@ object DedupQueries {
             while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
             (v << 4) | ((d(7) >> 4) & 0xfL)
           }
+          // h_arr sorted ascending: canonical total order for the prefix
+          // filter below (consumers treat h_arr as a SET — min/intersect/
+          // explode — so element order is free to choose)
+          java.util.Arrays.sort(h)
           (id, sh, h)
         }
       }.toDF("doc_id", "sh_arr", "h_arr")
       .persist()
   }
 
-  /** Exact-Jaccard pairs over the shingle inverted index (no threshold).
+  /** Near-dup pairs at the 0.5 Jaccard threshold, persisted (tiny —
+    * hundreds of rows); feeds d02 (pair report) and d21 (clustering).
     *
-    * Shape notes for 100x scale: the per-doc shingle SET is built map-side
-    * (array_distinct — no global distinct shuffle); the index self-join
-    * shuffles the exploded rows once and Catalyst reuses the exchange for
-    * both sides; per-doc set sizes join as broadcasts (|docs| rows). The
-    * only wide stage is the groupBy(da, db) over co-occurrence pairs —
-    * inherent to exact Jaccard.
-    */
-  /** Near-dup pairs at the 0.5 Jaccard threshold, persisted. The FILTERED
-    * set is what gets cached (hundreds of rows — the raw co-occurrence
-    * pair table is ~1000× bigger and caching it costs more than the reuse
-    * saves); it feeds both d02 (pair report) and d21 (clustering), and
-    * CacheManager dedups the entry across calls by canonical plan, so
-    * whichever query runs first pays the inverted-index join once.
+    * Shape: inverted-index self-join on the 60-bit shingle hash with per-doc
+    * set sizes riding the exploded rows, then one groupBy(da, db) counting
+    * co-occurrences — `shared` falls out of the join itself, no per-pair
+    * array materialization. No join-strategy hint: AQE's runtime choice
+    * (measured) beats forcing shuffle_hash — the index is skewed toward hot
+    * shingles and AQE splits those reducer partitions before joining.
+    *
+    * A PPJoin-style prefix-filtered variant (index only the first
+    * n − ⌈t·n⌉ + 1 sorted hashes + t-containment size window + exact
+    * array_intersect verify) was implemented and MEASURED SLOWER here
+    * (8.3 s vs 5.3 s for the d21 chain at sf0.1): the fixture corpus draws
+    * from a small near-uniform vocabulary, so prefixes have no rare-token
+    * skew to exploit — candidate pairs barely shrink while every surviving
+    * pair pays an O(|set|) intersect that the count join never does. On a
+    * Zipfian real-text corpus the trade flips (rare shingles up front make
+    * prefixes selective), so at 100 TB prefix filtering with a global
+    * frequency order is the right default; keeping the count join here is
+    * a corpus-shape decision, not a simplification.
     */
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
     Q.memo(s, dir, "nearDupPairs") {
-      jaccardPairs(s, dir).filter(col("jaccard") >= 0.5).persist()
+      val docsSh = docShingles(s, dir)
+      val sh = docsSh.select(col("doc_id"), size(col("h_arr")).as("n_sh"),
+        explode(col("h_arr")).as("sh_h"))
+      sh.select(col("doc_id").as("da"), col("n_sh").as("na_r"), col("sh_h"))
+        .join(sh.select(col("doc_id").as("db"), col("n_sh").as("nb_r"), col("sh_h")), "sh_h")
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("shared"),
+          first("na_r").as("na"), first("nb_r").as("nb"))
+        .withColumn("jaccard",
+          col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+        .filter(col("jaccard") >= 0.5)
+        .persist()
     }
 
   /** MinHash signatures (k=16), computed MAP-SIDE from the cached per-doc
@@ -121,28 +142,6 @@ object DedupQueries {
         .groupBy("da", "db").agg(count(lit(1)).as("n_bands"))
         .persist()
     }
-
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val docsSh = docShingles(s, dir)
-    // join on the 60-bit md5-derived shingle hash, not the string: long
-    // shuffle keys are ~4x cheaper. The oracle computes the identical hash,
-    // so results agree bit-for-bit even in the (1e-7) collision case.
-    // Each doc's set size rides along the exploded rows (one extra int per
-    // row) so the pair aggregation yields na/nb directly — no post-join
-    // lookups of per-doc sizes.
-    val sh = docsSh.select(col("doc_id"), size(col("h_arr")).as("n_sh"),
-      explode(col("h_arr")).as("sh_h"))
-    // No join-strategy hint: AQE's runtime choice (measured) beats forcing
-    // shuffle_hash here — the exploded index is skewed toward hot shingles
-    // and AQE splits those reducer partitions before joining.
-    val shared = sh.select(col("doc_id").as("da"), col("n_sh").as("na_r"), col("sh_h"))
-      .join(sh.select(col("doc_id").as("db"), col("n_sh").as("nb_r"), col("sh_h")), "sh_h")
-      .filter(col("da") < col("db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("shared"),
-        first("na_r").as("na"), first("nb_r").as("nb"))
-    shared.withColumn("jaccard",
-      col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1 — exact dedup on a content hash.
