@@ -125,7 +125,8 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
       addCreated: String = null,
       addMonotonicId: String = null,
       autoIndexes: Boolean = true,
-      bucketBy: Int = 0): Table = {
+      bucketBy: Int = 0,
+      retentionMillis: Long = -1L): Table = {
     require(bucketBy == 0 || uniqueOn.nonEmpty || manifest.meta.uniqueOn.nonEmpty,
       s"bucketBy on '$name' requires unique_on (buckets hash the unique key)")
     catalog.updateMeta(name)(m => m.copy(
@@ -134,7 +135,9 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
       addCreated = Option(addCreated).orElse(m.addCreated),
       addMonotonicId = Option(addMonotonicId).orElse(m.addMonotonicId),
       autoIndexes = autoIndexes,
-      numBuckets = if (bucketBy > 0) Some(bucketBy) else m.numBuckets))
+      numBuckets = if (bucketBy > 0) Some(bucketBy) else m.numBuckets,
+      retentionMillis =
+        if (retentionMillis >= 0L) Some(retentionMillis) else m.retentionMillis))
     this
   }
 

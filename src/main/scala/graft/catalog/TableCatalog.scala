@@ -30,7 +30,13 @@ case class TableMeta(
     // hash-bucket count over uniqueOn: versions are laid out as
     // __bucket=K partition dirs so upsert rewrites only affected buckets
     // and point lookups scan a single bucket (the 100 TB upsert path)
-    numBuckets: Option[Int] = None)
+    numBuckets: Option[Int] = None,
+    // retention policy (reference node.py:403-404): non-active versions
+    // older than this are swept automatically on every version swap.
+    // None = keep forever (manual gc only). Like any vacuum, a sweep can
+    // race an in-flight lazy read of an old version — set retention above
+    // the longest expected job, not to 0.
+    retentionMillis: Option[Long] = None)
 
 /** Per-table manifest: active-version pointer + version/event history
   * (reference node.py:87-89 — one-or-zero active versions per table).
@@ -121,14 +127,18 @@ class TableCatalog(val root: Path) {
     (m2, vid)
   }
 
-  /** Swap the active pointer and append the triggering event. */
+  /** Swap the active pointer and append the triggering event; then apply
+    * the table's retention policy to the now-superseded versions.
+    */
   def setActive(name: String, vid: Option[String], eventKind: String): TableManifest =
     synchronized {
       val m = loadOrCreate(name)
       val m2 = m.copy(
         activeVersion = vid,
         events = m.events :+ TableEvent(eventKind, vid.getOrElse(""), System.currentTimeMillis()))
-      save(m2); m2
+      save(m2)
+      m2.meta.retentionMillis.foreach(gc(name, _))
+      load(name).getOrElse(m2)
     }
 
   def recordEvent(name: String, kind: String): TableManifest = synchronized {

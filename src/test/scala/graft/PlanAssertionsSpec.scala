@@ -34,6 +34,14 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("LATERAL top-n q37 decorrelates to a ranked-window join") {
+    // a correlated ORDER BY + LIMIT subquery must become WindowGroupLimit
+    // (map-side partial top-k per key), never per-row subquery execution
+    val p = plan("q37_lateral_topn")
+    assert(p.contains("WindowGroupLimit"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin with a broadcast side is the intended shape
     // for the ANN/simhash cross joins; an unbroadcast CartesianProduct is

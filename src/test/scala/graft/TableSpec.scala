@@ -201,4 +201,22 @@ class TableSpec extends SparkSpec {
     assert(!e.catalog.versionDir("t13", v1).toFile.exists)
     assert(t.read.count() == 1)
   }
+
+  test("retention policy sweeps superseded versions on version swap (node.py:403-404)") {
+    val e = engine()
+    // retention 0: superseded versions are removed as soon as a swap happens
+    val t = e.table("t14", "w").init(retentionMillis = 0L)
+    t.append(Seq((1L, "a")).toDF("id", "v")); t.flush()
+    val v1 = t.getActiveVersion.get
+    Thread.sleep(5) // v1's createdAt must be strictly older than the sweep cutoff
+    t.replace(Seq((2L, "b")).toDF("id", "v"))
+    assert(!e.catalog.versionDir("t14", v1).toFile.exists, "superseded version swept")
+    assert(t.read.as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+    // a table without a policy keeps everything (manual gc only)
+    val u = e.table("t15", "w")
+    u.append(Seq((1L, "a")).toDF("id", "v")); u.flush()
+    val uv1 = u.getActiveVersion.get
+    u.replace(Seq((2L, "b")).toDF("id", "v"))
+    assert(e.catalog.versionDir("t15", uv1).toFile.exists, "no policy => no sweep")
+  }
 }
