@@ -110,19 +110,47 @@ object DedupQueries {
     }
 
   /** MinHash signatures (k=16), computed MAP-SIDE from the cached per-doc
-    * shingle hash sets: array_min(transform(h_arr, perm_i)) per permutation
-    * — zero shuffles. Memoized: shared by d03 (LSH verify) and d25
-    * (estimate-accuracy report).
+    * shingle hash sets — zero shuffles. Memoized: shared by d03 (LSH
+    * verify) and d25 (estimate-accuracy report).
+    *
+    * Typed mapPartitions for the same reason as [[docShingles]]: the
+    * equivalent array_min(transform(h_arr, perm_i)) chain evaluates each
+    * of the 16 lambdas interpreted (~|shingles|×16 boxed ops per doc).
+    * The JVM loop applies the identical permutation arithmetic
+    * (a·(h mod 2^30) + b) mod (2^31 − 1) — all intermediates < 2^61, no
+    * overflow — so signatures are bit-identical to the expression form
+    * and to the DuckDB oracle.
     */
-  private[queries] def minhashSigs(s: SparkSession, dir: String): DataFrame =
+  private[queries] def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     Q.memo(s, dir, "minhashSigs") {
-      val params = minhashParams(16)
-      docShingles(s, dir).select(
-        col("doc_id") +: params.map { case (i, a, b) =>
-          array_min(transform(col("h_arr"),
-            h => minhashPerm(h, lit(a), lit(b)))).as(s"mh$i")
-        }: _*).persist()
+      import s.implicits._
+      val params = minhashParams(16).toArray
+      docShingles(s, dir).select(col("doc_id"), col("h_arr"))
+        .as[(Long, Array[Long])]
+        .mapPartitions { it =>
+          it.map { case (id, hs) =>
+            val mins = Array.fill(16)(Long.MaxValue)
+            var j = 0
+            while (j < hs.length) {
+              val hm = hs(j) % 1073741824L
+              var i = 0
+              while (i < 16) {
+                val v = (params(i)._2 * hm + params(i)._3) % 2147483647L
+                if (v < mins(i)) mins(i) = v
+                i += 1
+              }
+              j += 1
+            }
+            // empty shingle set => null signature components, matching
+            // array_min over an empty array
+            (id, if (hs.isEmpty) null else mins)
+          }
+        }.toDF("doc_id", "mh")
+        .select(col("doc_id") +:
+          (0 until 16).map(i => col("mh").getItem(i).as(s"mh$i")): _*)
+        .persist()
     }
+  }
 
   /** LSH banding candidates (4 bands × 4 rows): the only shuffle in the
     * MinHash pipeline is this (band, sig) self-join, whose input is 4 rows
