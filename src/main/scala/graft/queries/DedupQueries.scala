@@ -343,6 +343,33 @@ object DedupQueries {
           coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
         .orderBy("doc_id")
     },
+    // D2h — benchmark DECONTAMINATION: for every doc of a held-out eval
+    // source (src0), the fraction of its distinct 3-grams that appear
+    // anywhere in the training corpus (all other sources) — the hygiene
+    // gate run before pre-training to keep eval benchmarks out of the
+    // training set. Shape: inverted-index semi-join by shingle hash (the
+    // corpus side reduces to a distinct hash set — never doc×doc pairs),
+    // so cost scales with corpus size, not eval×corpus.
+    "d27_decontamination" -> { (s, dir) =>
+      val base = docShingles(s, dir)
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val withSrc = base.join(broadcast(src), "doc_id")
+      val evalDocs = withSrc.filter(col("source") === "src0")
+      val evalSh = evalDocs.select(col("doc_id"), explode(col("h_arr")).as("h"))
+      val corpusHashes = withSrc.filter(col("source") =!= "src0")
+        .select(explode(col("h_arr")).as("h")).distinct()
+      val hits = evalSh.join(corpusHashes, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+      evalDocs.select(col("doc_id"), size(col("h_arr")).as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+        .withColumn("contaminated_frac",
+          col("n_contaminated").cast("double") / col("n_grams"))
+        .withColumn("is_contaminated", col("contaminated_frac") >= 0.8)
+        .select("doc_id", "n_grams", "n_contaminated",
+          "contaminated_frac", "is_contaminated")
+        .orderBy("doc_id")
+    },
     // D2c — 60-bit SimHash over distinct tokens + Hamming distance to doc 0.
     "d04_simhash" -> { (s, dir) =>
       val tok = t(s, dir, "documents")
@@ -475,6 +502,27 @@ object DedupQueries {
          |SELECT cand.da AS da, cand.db AS db, n_bands, jaccard
          |FROM cand JOIN jac ON cand.da = jac.da AND cand.db = jac.db
          |WHERE jaccard >= 0.5 ORDER BY da, db""".stripMargin,
+    "d27_decontamination" ->
+      s"""WITH $shingleSql,
+         |shh AS (
+         |  SELECT s.doc_id, d.source, ${oTokenHash60("s.shingle")} AS h
+         |  FROM sh s JOIN documents d ON s.doc_id = d.doc_id),
+         |corpus AS (SELECT DISTINCT h FROM shh WHERE source != 'src0'),
+         |ev AS (SELECT doc_id, h FROM shh WHERE source = 'src0'),
+         |hits AS (
+         |  SELECT doc_id, COUNT(*) AS n_contaminated FROM ev
+         |  WHERE EXISTS (SELECT 1 FROM corpus c WHERE c.h = ev.h)
+         |  GROUP BY doc_id),
+         |totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM ev GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |       CAST(t.n_grams AS INT) AS n_grams,
+         |       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+         |       CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / t.n_grams
+         |         AS contaminated_frac,
+         |       CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / t.n_grams >= 0.8
+         |         AS is_contaminated
+         |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "d25_minhash_estimate" ->
       s"""$jaccardSql,
          |h AS (SELECT doc_id, ${oTokenHash60("shingle")} AS h FROM sh),

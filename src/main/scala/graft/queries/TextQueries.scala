@@ -188,6 +188,30 @@ object TextQueries {
           |  MAX(n_chars) AS max_chars
           |FROM graft_documents GROUP BY lang ORDER BY lang""".stripMargin)
     },
+    // Domain-mixing weights: the sampling weight per language that turns
+    // the corpus's actual token distribution into a uniform target mix —
+    // the "data mixture" computation every pre-training run does before
+    // sampling shards. Token counts aggregate as BIGINT (exact, order-
+    // independent); shares and weights are single IEEE divisions of those
+    // exact integers, so both engines agree bit-for-bit. Two tiny
+    // aggregates + a broadcast of the 1-row total — nothing scales with
+    // corpus size except the one groupBy(lang).
+    "d28_mix_weights" -> { (s, dir) =>
+      val perLang = t(s, dir, "documents")
+        .withColumn("n_tok", size(tokens(col("text"))))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("lang_tokens"))
+      val tot = perLang.agg(sum("lang_tokens").as("total_tokens"),
+        count(lit(1)).as("n_langs"))
+      perLang.crossJoin(broadcast(tot))
+        .withColumn("token_share",
+          col("lang_tokens").cast("double") / col("total_tokens"))
+        .withColumn("mix_weight",
+          col("total_tokens").cast("double") /
+            (col("n_langs") * col("lang_tokens")).cast("double"))
+        .select("lang", "n_docs", "lang_tokens", "token_share", "mix_weight")
+        .orderBy("lang")
+    },
     // D4d — fingerprinting: whole-doc content hash + min-shingle rolling
     // fingerprint (winnowing-style representative hash).
     "d10_fingerprint" -> { (s, dir) =>
@@ -221,6 +245,20 @@ object TextQueries {
         |    list_transform(range(len(tk) - 2), i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) AS tg
         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) raw) t
         |ORDER BY doc_id""".stripMargin,
+    "d28_mix_weights" ->
+      """WITH per_lang AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (
+        |  SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens,
+        |         COUNT(*) AS n_langs
+        |  FROM per_lang)
+        |SELECT lang, n_docs, lang_tokens,
+        |       CAST(lang_tokens AS DOUBLE) / total_tokens AS token_share,
+        |       CAST(total_tokens AS DOUBLE)
+        |         / CAST(n_langs * lang_tokens AS DOUBLE) AS mix_weight
+        |FROM per_lang CROSS JOIN tot ORDER BY lang""".stripMargin,
     "d26_length_quantiles" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars) AS DOUBLE) AS p25,
