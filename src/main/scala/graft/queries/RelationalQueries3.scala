@@ -62,6 +62,20 @@ object RelationalQueries3 {
             .as("corr_qty_line"))
         .orderBy("l_returnflag")
     },
+    // C31 inverse — UNPIVOT (melt): wide per-group aggregates back to long
+    // (group, metric, value) rows. Narrow map-side transform in Spark
+    // (Expand node) — no extra shuffle beyond the aggregation's own.
+    "q40_unpivot" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          dsum(col("l_discount")).as("sum_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    },
     // C18 — navigation windows: first_value / last_value / nth_value over
     // the full partition frame (the default frame stops at CURRENT ROW,
     // which makes last_value a no-op — the explicit frame is the point).
@@ -105,6 +119,17 @@ object RelationalQueries3 {
         |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
         |    AS corr_qty_line
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q40_unpivot" ->
+      s"""SELECT l_returnflag, metric, value FROM (
+         |  UNPIVOT (
+         |    SELECT l_returnflag,
+         |           ${oSum("l_quantity")} AS sum_qty,
+         |           ${oSum("l_extendedprice")} AS sum_price,
+         |           ${oSum("l_discount")} AS sum_disc
+         |    FROM lineitem GROUP BY l_returnflag)
+         |  ON sum_qty, sum_price, sum_disc
+         |  INTO NAME metric VALUE value)
+         |ORDER BY l_returnflag, metric""".stripMargin,
     "q39_window_nav" ->
       """SELECT o_custkey, rn, o_orderkey, first_key, last_key, second_key
         |FROM (
