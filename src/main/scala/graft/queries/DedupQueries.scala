@@ -241,8 +241,14 @@ object DedupQueries {
         col("h_arr").as("ha"), size(col("h_arr")).as("na"))
       val setsB = base.select(col("doc_id").as("db"),
         col("h_arr").as("hb"), size(col("h_arr")).as("nb"))
-      setsA.join(broadcast(cand), "da").join(setsB, "db")
-        .join(broadcast(a), "da").join(broadcast(b), "db")
+      // Only the BARE pair table carries a broadcast hint — every other
+      // side (sets, signatures) has corpus cardinality and must stay
+      // streamable at scale; the accumulating pair-sized result is left to
+      // AQE, which broadcasts it when its runtime size allows.
+      val withA = setsA.join(broadcast(cand), "da")
+      val withSets = setsB.join(withA, "db")
+      val full = a.join(withSets, "da").join(b, "db")
+      full
         .withColumn("shared", size(array_intersect(col("ha"), col("hb"))))
         .withColumn("jaccard",
           col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
@@ -352,8 +358,11 @@ object DedupQueries {
     // so cost scales with corpus size, not eval×corpus.
     "d27_decontamination" -> { (s, dir) =>
       val base = docShingles(s, dir)
+      // no broadcast hint: src has per-doc cardinality (same as the corpus)
+      // — at 100 TB this must be a co-partitioned shuffle join; AQE still
+      // broadcasts it on its own at small scale
       val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      val withSrc = base.join(broadcast(src), "doc_id")
+      val withSrc = base.join(src, "doc_id")
       val evalDocs = withSrc.filter(col("source") === "src0")
       val evalSh = evalDocs.select(col("doc_id"), explode(col("h_arr")).as("h"))
       val corpusHashes = withSrc.filter(col("source") =!= "src0")
