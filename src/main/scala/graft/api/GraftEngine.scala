@@ -42,11 +42,12 @@ class GraftEngine(
     */
   def table(name: String, mode: String = "r", required: Boolean = true): Table = {
     val store = bindings.getOrElse(name, name)
-    // memo FIRST: re-opening a port already resolved this execution returns
+    // memo-first: re-opening a port already resolved this execution returns
     // the same Table regardless of `required` — engine.table(p) after
     // engine.table(p, required = false) must not suddenly enforce a
-    // connectivity the caller already opted out of
-    opened.getOrElse(store, {
+    // connectivity the caller already opted out of. The connectivity
+    // require therefore runs only on FIRST open (inside the default block).
+    opened.getOrElseUpdate(store, {
       val connected = bindings.isEmpty || bindings.contains(name) ||
         bindings.valuesIterator.contains(name)
       // an unconnected REQUIRED port is a graph-config error (the platform
@@ -55,8 +56,7 @@ class GraftEngine(
       require(connected || !required,
         s"table port '$name' is not connected in this node's graph bindings; " +
           "pass required = false for an optional port")
-      opened.getOrElseUpdate(store,
-        new Table(this, store, mode, required, connected))
+      new Table(this, store, mode, required, connected)
     })
   }
 

@@ -183,22 +183,34 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     * if unbucketed. Source of truth is the `_BUCKETS` sidecar marker every
     * bucketed write drops (underscore-prefixed files are invisible to
     * Spark's file index); markerless legacy dirs fall back to max
-    * `__bucket=` index + 1 — exact whenever every bucket materialized.
-    * Tracking this per version is what makes changing `init(bucketBy = m)`
-    * on an already-bucketed table safe: meta carries the NEW count while
-    * each version remembers the count its dirs were hashed with, and
-    * upsert/lookup only take the bucket-pruned path when the two agree.
+    * `__bucket=` index + 1 — a HEURISTIC that undercounts when the top
+    * buckets happen to be empty, so it is good enough only for continuing
+    * an append layout (see flush). Tracking this per version is what makes
+    * changing `init(bucketBy = m)` on an already-bucketed table safe: meta
+    * carries the NEW count while each version remembers the count its dirs
+    * were hashed with.
     */
-  private def layoutBuckets(vid: String): Option[Int] = {
-    val dir = catalog.versionDir(name, vid)
-    val marker = dir.resolve(Table.BucketMarker)
+  private def layoutBuckets(vid: String): Option[Int] =
+    exactLayoutBuckets(vid).orElse {
+      val dir = catalog.versionDir(name, vid)
+      Option(dir.toFile.listFiles((f: java.io.File) =>
+          f.isDirectory && f.getName.startsWith("__bucket=")))
+        .filter(_.nonEmpty)
+        .map(_.map(_.getName.stripPrefix("__bucket=").toInt).max + 1)
+    }
+
+  /** Marker-attested bucket count ONLY. The bucket-PRUNED paths (upsert's
+    * partial rewrite, lookup's single-bucket scan) gate on this: a
+    * heuristic count that coincidentally equals meta's could authorize
+    * pruning against a dir physically hashed with a different modulus —
+    * missed rows and duplicate keys. No marker => no pruning, ever.
+    */
+  private def exactLayoutBuckets(vid: String): Option[Int] = {
+    val marker = catalog.versionDir(name, vid).resolve(Table.BucketMarker)
     if (java.nio.file.Files.exists(marker))
       Some(new String(java.nio.file.Files.readAllBytes(marker),
         java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
-    else Option(dir.toFile.listFiles((f: java.io.File) =>
-        f.isDirectory && f.getName.startsWith("__bucket=")))
-      .filter(_.nonEmpty)
-      .map(_.map(_.getName.stripPrefix("__bucket=").toInt).max + 1)
+    else None
   }
 
   /** Write honoring the given physical bucket count (callers appending to
@@ -237,7 +249,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
       // partition-level rewrite is only sound when the version's physical
       // layout was hashed with the CURRENT bucket count; after a bucketBy
       // change the full-rewrite branch below migrates to the new count
-      case (Some(vid), Some(n)) if layoutBuckets(vid).contains(n) =>
+      case (Some(vid), Some(n)) if exactLayoutBuckets(vid).contains(n) =>
         bucketedUpsert(incoming, vid, n)
       case _ =>
         val merged = activeDf match {
@@ -307,7 +319,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
       // bucket pruning needs the version's layout count to MATCH the meta
       // count — after a bucketBy change, fall through to the filtered full
       // read (still min/max-pruned by write-time clustering)
-      case (Some(n), Some(vid)) if layoutBuckets(vid).contains(n) =>
+      case (Some(n), Some(vid)) if exactLayoutBuckets(vid).contains(n) =>
         // evaluate pmod(hash(key...), n) driver-side — a constant
         // expression shouldn't cost a Spark job per point lookup
         val b = try {

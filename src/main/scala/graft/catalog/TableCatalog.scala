@@ -8,8 +8,12 @@ import org.json4s.jackson.Serialization
 
 /** One concrete materialization of a table (reference node.py:84-114):
   * a parquet directory under the table dir, identified by `id`.
+  * `supersededAt` is stamped when the version stops being active — the
+  * retention clock runs from THAT moment (a version active for a year then
+  * replaced is brand-new garbage, not year-old garbage).
   */
-case class VersionInfo(id: String, createdAt: Long)
+case class VersionInfo(id: String, createdAt: Long,
+    supersededAt: Option[Long] = None)
 
 /** Catalog event log entry (reference node.py:387-397 signal_create/update/
   * reset) — drives downstream node triggering in the graph runner.
@@ -133,9 +137,17 @@ class TableCatalog(val root: Path) {
   def setActive(name: String, vid: Option[String], eventKind: String): TableManifest =
     synchronized {
       val m = loadOrCreate(name)
+      val now = System.currentTimeMillis()
+      // stamp the outgoing active version: its retention clock starts here
+      val versions = m.versions.map { v =>
+        if (m.activeVersion.contains(v.id) && !vid.contains(v.id) &&
+            v.supersededAt.isEmpty) v.copy(supersededAt = Some(now))
+        else v
+      }
       val m2 = m.copy(
         activeVersion = vid,
-        events = m.events :+ TableEvent(eventKind, vid.getOrElse(""), System.currentTimeMillis()))
+        versions = versions,
+        events = m.events :+ TableEvent(eventKind, vid.getOrElse(""), now))
       save(m2)
       m2.meta.retentionMillis.foreach(gc(name, _))
       load(name).getOrElse(m2)
@@ -164,15 +176,20 @@ class TableCatalog(val root: Path) {
     start
   }
 
-  /** Retention sweep: delete version dirs that are not active and older
-    * than `keepMillis` (reference node.py:403-404 "garbage collected
-    * according to the table's retention policy").
+  /** Retention sweep: delete non-active version dirs whose retention age
+    * exceeds `keepMillis` (reference node.py:403-404 "garbage collected
+    * according to the table's retention policy"). Age counts from
+    * `supersededAt` when the version was once active; a version that was
+    * never activated (e.g. an abandoned createNewVersion write) ages from
+    * `createdAt` — writers that may outlive the retention window should
+    * activate promptly or use a longer retention.
     */
   def gc(name: String, keepMillis: Long): Int = synchronized {
     val m = loadOrCreate(name)
     val cutoff = System.currentTimeMillis() - keepMillis
     val (dead, live) = m.versions.partition(v =>
-      !m.activeVersion.contains(v.id) && v.createdAt < cutoff)
+      !m.activeVersion.contains(v.id) &&
+        v.supersededAt.getOrElse(v.createdAt) <= cutoff)
     dead.foreach { v =>
       val dir = versionDir(name, v.id)
       if (Files.exists(dir)) {

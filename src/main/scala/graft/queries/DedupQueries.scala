@@ -46,7 +46,11 @@ object DedupQueries {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
-          val tk = text.split(" ", -1)
+          // null text => no tokens (the expression chain this replaced
+          // null-propagated; empty arrays keep the row while producing
+          // the same downstream results — no shingles, no pairs)
+          val tk = if (text == null) Array.empty[String]
+            else text.split(" ", -1)
           val sh: Array[String] =
             if (tk.length >= 3)
               Array.tabulate(tk.length - 2)(i =>
@@ -158,7 +162,12 @@ object DedupQueries {
     */
   private[queries] def lshCandidates(s: SparkSession, dir: String): DataFrame =
     Q.memo(s, dir, "lshCandidates") {
-      val bands = minhashSigs(s, dir).select(col("doc_id"),
+      // shingle-less docs carry null signatures; concat_ws would collapse
+      // them all onto the empty band sig and pair them with each other —
+      // pairs the oracle (whose sig CTE simply has no rows for them) never
+      // produces. Exclude them up front, matching the oracle's semantics.
+      val bands = minhashSigs(s, dir).filter(col("mh0").isNotNull)
+        .select(col("doc_id"),
         expr("stack(4, " + (0 until 4).map { b =>
           val cols = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
           s"$b, concat_ws(',', $cols)"
@@ -363,7 +372,11 @@ object DedupQueries {
       // broadcasts it on its own at small scale
       val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
       val withSrc = base.join(src, "doc_id")
-      val evalDocs = withSrc.filter(col("source") === "src0")
+      // shingle-less docs (<3 tokens) have no rows in the oracle's
+      // exploded-shingle totals — exclude them here too, or Spark would
+      // emit an n_grams=0 row with a 0/0 fraction the oracle lacks
+      val evalDocs = withSrc.filter(col("source") === "src0" &&
+        size(col("h_arr")) > 0)
       val evalSh = evalDocs.select(col("doc_id"), explode(col("h_arr")).as("h"))
       val corpusHashes = withSrc.filter(col("source") =!= "src0")
         .select(explode(col("h_arr")).as("h")).distinct()

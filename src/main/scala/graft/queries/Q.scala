@@ -25,26 +25,47 @@ object Q {
     * which is what the µs-exact time arithmetic wants anyway (`ts div 1000`
     * ≡ DuckDB `epoch_us(ts)`).
     */
-  // Weak keys on the session so a stopped SparkSession's cached plans
-  // become GC-able in a long-lived JVM. The inner map's DataFrames
-  // strongly reference their SparkSession — held directly as the entry
-  // value they would keep the weak key strongly reachable forever — so
-  // the value is a SoftReference to the inner map: the only path from
-  // this cache to the session is then soft, and once user code drops the
-  // session the GC clears the soft ref under pressure and the weak entry
-  // follows. A spuriously cleared soft ref just rebuilds the (cheap) map.
+  // Per-session plan-handle cache. The values (DataFrames) strongly
+  // reference their SparkSession, so entries pin the session for the cache
+  // lifetime — a deliberate, bounded leak (one entry per fixture table /
+  // derived pipeline, a few dozen handles). Weak/soft indirections were
+  // tried and rejected: clearing the map under memory pressure orphans the
+  // persist()ed DataFrames it holds (their CacheManager entries stay pinned
+  // by the session while the only un-unpersistable handles are gone), which
+  // *increases* pressure. A stopped session's entries are freed by
+  // clear(session) or process exit.
   private type PlanMap =
-    java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]
   private val planCache =
-    new java.util.WeakHashMap[SparkSession, java.lang.ref.SoftReference[PlanMap]]()
+    new java.util.IdentityHashMap[SparkSession, PlanMap]()
 
   private def plansFor(spark: SparkSession): PlanMap = planCache.synchronized {
-    Option(planCache.get(spark)).flatMap(r => Option(r.get)).getOrElse {
+    Option(planCache.get(spark)).getOrElse {
       val m = new PlanMap
-      planCache.put(spark, new java.lang.ref.SoftReference(m))
+      planCache.put(spark, m)
       m
     }
   }
+
+  /** Drop a stopped session's cached handles (frees the session pin). */
+  def clear(spark: SparkSession): Unit =
+    planCache.synchronized { planCache.remove(spark) }
+
+  /** Memoize get-or-build WITHOUT computeIfAbsent: builders nest (e.g.
+    * nearDupPairs builds docShingles builds t on the same map), and
+    * ConcurrentHashMap.computeIfAbsent forbids the mapping function from
+    * touching other keys — a nested insert that lands in the outer call's
+    * reserved bin throws "Recursive update" (JDK 9+), dependent on the
+    * dir string's hash. Build-then-putIfAbsent tolerates nesting; the
+    * worst case is one redundant build on a race, with the first-inserted
+    * handle winning so all callers still share one DataFrame.
+    */
+  private def getOrBuild(m: PlanMap, k: (String, String))(
+      mk: => DataFrame): DataFrame =
+    m.get(k).getOrElse {
+      val built = mk
+      m.putIfAbsent(k, built).getOrElse(built)
+    }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
@@ -52,8 +73,8 @@ object Q {
     // Memoize the DataFrame handle (the analyzed plan, NOT the data):
     // repeated queries skip re-listing files and re-reading footers, the
     // same way a catalog would hold a resolved table handle.
-    plansFor(spark).computeIfAbsent((dir, name),
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+    getOrBuild(plansFor(spark), (dir, name))(
+      spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** Memoize a derived (usually persisted) DataFrame per (session, dir).
@@ -64,7 +85,7 @@ object Q {
     */
   private[queries] def memo(spark: SparkSession, dir: String, key: String)(
       mk: => DataFrame): DataFrame =
-    plansFor(spark).computeIfAbsent((dir, s"#$key"), _ => mk)
+    getOrBuild(plansFor(spark), (dir, s"#$key"))(mk)
 
   /** Exact, order-independent sum of a money-grade double expression.
     *
