@@ -180,6 +180,95 @@ object DedupQueries {
         .persist()
     }
 
+  /** Max edge count routed to the driver union-find in [[componentsOf]].
+    * 4M (da, db) longs ≈ 64 MB collected — well inside any driver. The
+    * near-dup pair graph is |near-dups|-sized, not corpus-sized, so even a
+    * 100 TB corpus with a few million duplicate pairs takes this path; a
+    * pathological corpus (most of it duplicated) overflows the threshold
+    * and falls back to the distributed loop.
+    */
+  private[graft] val DriverCCMaxEdges = 4L * 1000 * 1000
+
+  /** Connected components over an undirected pair graph: (doc_id, label)
+    * with label = MIN doc_id reachable. Size-ADAPTIVE, the same runtime
+    * call production CC implementations make: an overhead-dominated
+    * distributed loop on a tiny graph wastes ~2 Spark jobs per round, while
+    * a driver union-find on a huge graph OOMs — so pick by measured edge
+    * count (pairs is already materialized; count() is a cache scan).
+    */
+  private[graft] def componentsOf(s: SparkSession, pairs: DataFrame): DataFrame =
+    if (pairs.count() <= DriverCCMaxEdges) driverComponents(s, pairs)
+    else distributedComponents(s, pairs)
+
+  /** Driver-side union-find (path compression + union-by-min-root, so each
+    * tree root IS the component minimum). O(E α(E)) on one core — for the
+    * thresholded edge counts this is milliseconds, vs seconds of per-round
+    * job overhead in the distributed loop.
+    */
+  private[graft] def driverComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keysIterator.map(x => (x, find(x))).toSeq
+      .toDF("doc_id", "label")
+  }
+
+  /** Distributed min-label propagation with POINTER DOUBLING — the 100 TB
+    * path of [[componentsOf]]: labels(doc) := min of (self, neighbor
+    * labels, label-of-label), iterated to fixpoint.
+    *
+    * State is |docs-in-pairs| rows (never the transitive closure). The
+    * label-of-label term is the shortcut edge of the classic
+    * pointer-jumping trick — chains collapse in O(log diameter) rounds
+    * instead of O(diameter). Labels only decrease, so the aggregate label
+    * sum is a monotone convergence witness — one cheap action per round
+    * instead of a change-detection join. localCheckpoint per round
+    * truncates lineage (the plan would otherwise double every iteration);
+    * superseded checkpoint blocks are freed by the ContextCleaner once the
+    * old DataFrame reference drops. At this path's edge counts the labels
+    * and edges are both genuinely large: the equi-joins shuffle-partition
+    * by key and AQE picks build sides — nothing is forced broadcast.
+    */
+  private[graft] def distributedComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .union(pairs.select(col("db").as("da"), col("da").as("db")))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0) // 0 when empty
+    var labels = edges.select(col("da").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint(true)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
+      val viaEdge = labels.as("l")
+        .join(edges.as("e"), col("l.doc_id") === col("e.da"))
+        .select(col("e.db").as("doc_id"), col("l.label"))
+      val viaLabel = labels.as("x")
+        .join(labels.as("y"), col("x.label") === col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.label").as("label"))
+      val next = viaEdge.union(viaLabel).union(labels)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val s2 = labelSum(next)
+      converged = s2 == prevSum
+      prevSum = s2
+      labels = next
+    }
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1 — exact dedup on a content hash.
     "d01_dedup_exact" -> { (s, dir) =>
@@ -269,56 +358,13 @@ object DedupQueries {
     },
     // D2e — duplicate CLUSTERS: connected components over the near-dup
     // pair graph (what a real dedup pipeline needs after pair generation —
-    // keep one canonical doc per component, drop the rest). Iterative
-    // transitive closure to a fixpoint; the pair graph is tiny relative to
-    // the corpus (only near-dups appear), and each iteration is one
-    // equi-join + distinct. At larger component counts the same loop
-    // becomes the alternating big-star/small-star algorithm — the join
-    // shape is already right.
+    // keep one canonical doc per component, drop the rest). Size-adaptive
+    // via [[componentsOf]]: driver union-find below the edge threshold,
+    // distributed min-label propagation above it.
     "d21_dedup_clusters" -> { (s, dir) =>
       val pairs = nearDupPairs(s, dir).select(col("da"), col("db"))
-      // localCheckpoint per round truncates lineage — without it the plan
-      // doubles every iteration (the prior round appears in both the join
-      // and the union) and driver-side planning grows exponentially.
-      // Superseded checkpoint blocks are freed by the ContextCleaner once
-      // the old DataFrame reference drops.
-      val edges = pairs
-        .union(pairs.select(col("db").as("da"), col("da").as("db")))
-        .localCheckpoint(true)
-      // min-label propagation with POINTER DOUBLING: labels(doc) := min of
-      // (self, neighbor labels, label-of-label), iterated to fixpoint.
-      // State is |docs-in-pairs| rows (never the transitive closure).
-      // The label-of-label term is the shortcut edge of the classic
-      // pointer-jumping trick — chains collapse in O(log diameter) rounds
-      // instead of O(diameter), which is what keeps round count flat when
-      // a near-dup component is a long path rather than a clique.
-      // Labels only decrease, so the aggregate label sum is a monotone
-      // convergence witness — one cheap action per round instead of a
-      // change-detection join. The edge table (near-dup pairs only) is tiny
-      // relative to the corpus, so it broadcasts; the only shuffle per
-      // round is the groupBy, whose input AQE coalesces.
-      def labelSum(df: DataFrame): Long =
-        df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0) // 0 when empty
-      var labels = edges.select(col("da").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id")).localCheckpoint(true)
-      var prevSum = labelSum(labels)
-      var converged = false
-      while (!converged) {
-        val viaEdge = labels.as("l")
-          .join(broadcast(edges.as("e")), col("l.doc_id") === col("e.da"))
-          .select(col("e.db").as("doc_id"), col("l.label"))
-        val viaLabel = labels.as("x")
-          .join(labels.as("y"), col("x.label") === col("y.doc_id"))
-          .select(col("x.doc_id"), col("y.label").as("label"))
-        val next = viaEdge.union(viaLabel).union(labels)
-          .groupBy("doc_id").agg(min("label").as("label"))
-          .localCheckpoint(true)
-        val s2 = labelSum(next)
-        converged = s2 == prevSum
-        prevSum = s2
-        labels = next
-      }
-      labels.groupBy(col("label").as("component_id"))
+      componentsOf(s, pairs)
+        .groupBy(col("label").as("component_id"))
         .agg(count(lit(1)).as("n_members"), max("doc_id").as("max_doc"))
         .orderBy("component_id")
     },
