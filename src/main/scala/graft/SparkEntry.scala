@@ -18,13 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ RelationalQueries2.queries ++
-      RelationalQueries3.queries ++
+      RelationalQueries3.queries ++ RelationalQueries4.queries ++
       DedupQueries.queries ++ TextQueries.queries ++ VectorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ RelationalQueries2.oracle ++
-      RelationalQueries3.oracle ++
+      RelationalQueries3.oracle ++ RelationalQueries4.oracle ++
       DedupQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle
 }

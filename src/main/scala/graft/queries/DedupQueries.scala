@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -269,6 +270,14 @@ object DedupQueries {
     labels
   }
 
+  /** Memoized component labels over the near-dup pair graph — one CC run
+    * shared by d21 (cluster report) and d30 (canonical-doc selection).
+    */
+  private def components(s: SparkSession, dir: String): DataFrame =
+    Q.memo(s, dir, "components") {
+      componentsOf(s, nearDupPairs(s, dir).select(col("da"), col("db")))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1 — exact dedup on a content hash.
     "d01_dedup_exact" -> { (s, dir) =>
@@ -362,11 +371,55 @@ object DedupQueries {
     // via [[componentsOf]]: driver union-find below the edge threshold,
     // distributed min-label propagation above it.
     "d21_dedup_clusters" -> { (s, dir) =>
-      val pairs = nearDupPairs(s, dir).select(col("da"), col("db"))
-      componentsOf(s, pairs)
+      components(s, dir)
         .groupBy(col("label").as("component_id"))
         .agg(count(lit(1)).as("n_members"), max("doc_id").as("max_doc"))
         .orderBy("component_id")
+    },
+    // D2i — canonical-doc SELECTION: the end product of the dedup chain.
+    // Per near-dup cluster keep the best document (longest, doc_id as the
+    // deterministic tie-break) and account for what gets dropped — the
+    // numbers a corpus-curation report needs. One window over the (tiny)
+    // component membership table; never touches full text.
+    "d30_dedup_keep_best" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy("label")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      components(s, dir).join(docs, "doc_id")
+        .withColumn("rnk", row_number().over(w))
+        .groupBy(col("label").as("component_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rnk") === 1, col("doc_id"))).as("kept_doc"),
+          max(when(col("rnk") === 1, col("n_chars"))).as("kept_chars"),
+          coalesce(sum(when(col("rnk") > 1, col("n_chars"))), lit(0))
+            .cast("long").as("dropped_chars"))
+        .orderBy("component_id")
+    },
+    // D2j — chunk-level (passage) dedup, the C4-style boilerplate filter:
+    // split each doc into 10-token chunks, flag chunks that occur in ≥2
+    // distinct documents, report per-doc dup fraction and surviving token
+    // count. Shape: inverted index on the chunk hash (groupBy + join by
+    // h) — corpus-scalable, no pairwise stage at all.
+    "d29_chunk_dedup" -> { (s, dir) =>
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, cast(ceil(size(tk) / 10.0) as int) - 1), " +
+            "i -> concat_ws(' ', slice(tk, i * 10 + 1, 10)))")).as("chunk"))
+        .withColumn("h", tokenHash60(col("chunk")))
+      val docFreq = chunks.groupBy("h")
+        .agg(countDistinct("doc_id").as("ndocs"))
+      chunks.join(docFreq, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("ndocs") >= 2, lit(1))).as("n_dup_chunks"),
+          coalesce(sum(when(col("ndocs") < 2, size(split(col("chunk"), " ")))),
+            lit(0)).cast("long").as("n_clean_tokens"))
+        .withColumn("dup_frac",
+          col("n_dup_chunks").cast("double") / col("n_chunks"))
+        .select("doc_id", "n_chunks", "n_dup_chunks", "dup_frac",
+          "n_clean_tokens")
+        .orderBy("doc_id")
     },
     // D2f — INCREMENTAL dedup: check an incoming batch (doc_id % 10 == 0
     // as the stand-in split) against the EXISTING corpus only — the shape
@@ -549,6 +602,53 @@ object DedupQueries {
          |         FROM reach GROUP BY a)
          |SELECT component_id, COUNT(*) AS n_members, MAX(doc_id) AS max_doc
          |FROM comp GROUP BY component_id ORDER BY component_id""".stripMargin,
+    "d30_dedup_keep_best" ->
+      s"""$jaccardSql,
+         |p AS (SELECT da, db FROM jac WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT da, db FROM p
+         |  UNION SELECT db, da FROM p
+         |  UNION SELECT da, da FROM p
+         |  UNION SELECT db, db FROM p),
+         |reach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT da, db FROM edges
+         |    UNION
+         |    SELECT r.a, e.db FROM r JOIN edges e ON r.b = e.da)
+         |  SELECT a, b FROM r),
+         |comp AS (SELECT a AS doc_id, MIN(b) AS label
+         |         FROM reach GROUP BY a),
+         |m AS (
+         |  SELECT comp.doc_id, label, n_chars,
+         |         row_number() OVER (PARTITION BY label
+         |                            ORDER BY n_chars DESC, comp.doc_id) AS rnk
+         |  FROM comp JOIN documents d ON comp.doc_id = d.doc_id)
+         |SELECT label AS component_id, COUNT(*) AS n_members,
+         |       MAX(CASE WHEN rnk = 1 THEN doc_id END) AS kept_doc,
+         |       MAX(CASE WHEN rnk = 1 THEN n_chars END) AS kept_chars,
+         |       CAST(COALESCE(SUM(n_chars) FILTER (WHERE rnk > 1), 0) AS BIGINT)
+         |         AS dropped_chars
+         |FROM m GROUP BY label ORDER BY component_id""".stripMargin,
+    "d29_chunk_dedup" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id,
+         |         array_to_string(tk[i*10+1 : i*10+10], ' ') AS chunk,
+         |         len(tk[i*10+1 : i*10+10]) AS n_tok
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk,
+         |               unnest(range(CAST(ceil(
+         |                 len(string_split(text, ' ')) / 10.0) AS BIGINT))) AS i
+         |        FROM documents) raw),
+         |hashed AS (SELECT doc_id, n_tok, ${oTokenHash60("chunk")} AS h FROM ch),
+         |docfreq AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs
+         |            FROM hashed GROUP BY h)
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         |       COUNT(*) FILTER (WHERE ndocs >= 2) AS n_dup_chunks,
+         |       CAST(COUNT(*) FILTER (WHERE ndocs >= 2) AS DOUBLE) / COUNT(*)
+         |         AS dup_frac,
+         |       CAST(COALESCE(SUM(n_tok) FILTER (WHERE ndocs < 2), 0) AS BIGINT)
+         |         AS n_clean_tokens
+         |FROM hashed JOIN docfreq USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d03_dedup_minhash_lsh" ->
       s"""$jaccardSql,
          |h AS (SELECT doc_id, ${oTokenHash60("shingle")} AS h FROM sh),

@@ -221,6 +221,31 @@ object TextQueries {
           md5(lower(col("text"))).as("doc_fp"),
           array_min(transform(col("sh"), x => tokenHash60(x))).as("min_shingle_fp"))
         .orderBy("doc_id")
+    },
+    // D4h — per-doc keyword extraction by TF-IDF. The idf is the RATIONAL
+    // form N/df (not ln(N/df)): ln is not correctly-rounded-specified, so
+    // Java's Math.log and DuckDB's libm can disagree in the last ULP and
+    // break cross-engine hash equality; multiplication and division are
+    // IEEE-exact, so `tf * (N / df)` — the same monotone-in-df ranking
+    // family — reproduces bit-identically. Shape: two hash aggs (term
+    // freq, doc freq) + a broadcast of the 1-row corpus count + a top-k
+    // window per doc — every stage keyed, no corpus-sized driver state.
+    "d31_tfidf_keywords" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val docFreq = tok.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(docFreq, "tok").crossJoin(broadcast(n))
+        .withColumn("score", col("tf").cast("double") *
+          (col("n").cast("double") / col("df").cast("double")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "rnk", "tok", "tf", "df", "score")
+        .orderBy("doc_id", "rnk")
     }
   )
 
@@ -359,6 +384,25 @@ object TextQueries {
          |    list_transform(range(len(string_split(text,' ')) - 2),
          |      i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3]) AS sh
          |  FROM documents) t
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "d31_tfidf_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+        |docfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df
+        |            FROM tok GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.tok, tf, df,
+        |         CAST(tf AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+        |           AS score
+        |  FROM tf JOIN docfreq ON tf.tok = docfreq.tok CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, tok) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, tok, tf, df, score
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
   )
 }
