@@ -31,6 +31,19 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // Steady-state warmup: run the whole battery once at the smallest
+    // fixture so each query's generated code is JIT-compiled before the
+    // timed loop (measured: first call of the dedup pipelines costs ~2x
+    // their steady state purely in codegen/JIT). Plan-handle memos are
+    // keyed by dir, so nothing computed here leaks into the measured sf.
+    locally {
+      val warmDir = "/root/testdata/sf0.001"
+      if (new java.io.File(warmDir).isDirectory &&
+          !sys.env.contains("SPARK_GRAFT_NO_WARM"))
+        selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        }
+    }
     // Sorted execution order: deterministic across runs, so shared-cache
     // cold costs (e.g. the dedup shingle table) always land on the same
     // query and per-query times stay comparable round over round.
