@@ -191,6 +191,34 @@ object VectorQueries {
         }
       }.toDF("doc_id", "n_bytes", "width", "height", "n_frames")
         .orderBy("doc_id")
+    },
+    // D3d — SEMANTIC decontamination: for every held-out eval vector
+    // (label 0 as the stand-in eval set), its nearest training vector
+    // (all other labels) by cosine, flagged when similarity crosses the
+    // dup threshold — the embedding-space counterpart of d27's n-gram
+    // decontamination. Scale shape: eval sets are benchmark-sized (small
+    // by construction), so BROADCASTING the eval side and streaming the
+    // training corpus once is the 100 TB-correct plan — cost O(train ×
+    // eval)/cluster, one pass, no shuffle of the corpus; swap in the
+    // d06/d20 index path when the eval set stops being broadcastable.
+    "d32_semantic_decontamination" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val ev = v.filter(col("label") === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val tr = v.filter(col("label") =!= 0)
+        .select(col("vec_id").as("train_id"), col("embedding").as("te"),
+          col("nrm").as("tn"))
+      val w = Window.partitionBy("eval_id")
+        .orderBy(col("cosine").desc, col("train_id"))
+      tr.crossJoin(broadcast(ev))
+        .withColumn("cosine",
+          cosineWithNorms(dot(col("te"), col("qe")), col("tn"), col("qn")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumn("is_semantic_dup", col("cosine") >= 0.6)
+        .select("eval_id", "train_id", "cosine", "is_semantic_dup")
+        .orderBy("eval_id")
     }
   )
 
@@ -294,6 +322,23 @@ object VectorQueries {
         |  CAST(100 + octet_length(encode(text)) % 540 AS INT) AS width,
         |  CAST(100 + (octet_length(encode(text)) * 7) % 380 AS INT) AS height,
         |  CAST(octet_length(encode(text)) // 100 + 1 AS INT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d32_semantic_decontamination" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, embedding, ${oNorm("embedding")} AS nrm
+         |  FROM embeddings),
+         |ev AS (SELECT vec_id AS eval_id, embedding AS qe, nrm AS qn
+         |       FROM v WHERE label = 0),
+         |tr AS (SELECT vec_id AS train_id, embedding AS te, nrm AS tn
+         |       FROM v WHERE label != 0),
+         |scored AS (
+         |  SELECT eval_id, train_id,
+         |         ${oDot("tr.te", "ev.qe")} / (tr.tn * ev.qn) AS cosine,
+         |         row_number() OVER (PARTITION BY eval_id
+         |           ORDER BY ${oDot("tr.te", "ev.qe")} / (tr.tn * ev.qn) DESC,
+         |                    train_id) AS rn
+         |  FROM tr CROSS JOIN ev)
+         |SELECT eval_id, train_id, cosine, cosine >= 0.6 AS is_semantic_dup
+         |FROM scored WHERE rn = 1 ORDER BY eval_id""".stripMargin
   )
 }

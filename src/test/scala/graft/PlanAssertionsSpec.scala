@@ -42,6 +42,14 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q41 six-table join: filters reach the scans, no cartesian") {
+    val p = plan("q41_local_supplier_revenue")
+    // the region predicate and the order-date range must hit parquet
+    assert(p.contains("EqualTo(r_name,ASIA)"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("no query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin with a broadcast side is the intended shape
     // for the ANN/simhash cross joins; an unbroadcast CartesianProduct is
