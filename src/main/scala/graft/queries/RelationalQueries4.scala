@@ -82,6 +82,56 @@ object RelationalQueries4 {
         .join(counts, Seq("prio", "month"), "left")
         .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
         .orderBy("prio", "month")
+    },
+    // C17/C25 — COHORT RETENTION over the event stream: users bucketed by
+    // first-seen week, activity counted per (cohort, weeks-since). Weekly
+    // cohorts because the fixture event stream spans one month. All time
+    // math in epoch-µs longs (`ts` surfaces as ns — µs is the precision
+    // both engines share; week truncation is unaffected below µs). Shape:
+    // one per-user min-agg + one join back + one hash agg — the join key
+    // (user_id) is the natural partition key at scale.
+    "q44_cohort_retention" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("week",
+          timestamp_micros(expr("ts div 1000"))).cast("date").as("week"))
+      val cohort = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+      e.join(cohort, "user_id")
+        .withColumn("offset_w",
+          (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+        .groupBy("cohort_week", "offset_w")
+        .agg(countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("cohort_week", "offset_w")
+    },
+    // C14/C18 — ordered FUNNEL: signup → first click AFTER signup → first
+    // purchase AFTER that click; users counted at their deepest stage.
+    // Each stage is a filtered min-agg joined to the previous stage —
+    // strictly-ordered sequences without window-over-everything, and every
+    // join/agg keys on user_id (co-partitioned at scale). µs-exact longs
+    // for the strict > comparisons (ns tails would disagree cross-engine).
+    "q45_funnel" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("us"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("t_signup"))
+      val cl = ev.filter(col("event_type") === "click")
+        .join(su, "user_id").filter(col("us") > col("t_signup"))
+        .groupBy("user_id").agg(min("us").as("t_click"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(cl, "user_id").filter(col("us") > col("t_click"))
+        .groupBy("user_id").agg(min("us").as("t_purchase"))
+      ev.select("user_id").distinct()
+        .join(su, Seq("user_id"), "left")
+        .join(cl, Seq("user_id"), "left")
+        .join(pu, Seq("user_id"), "left")
+        .withColumn("stage",
+          when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_signup").isNotNull, 1)
+            .otherwise(0))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")
     }
   )
 
@@ -129,6 +179,44 @@ object RelationalQueries4 {
         |SELECT p.prio, m.month, COALESCE(c.n_orders, 0) AS n_orders
         |FROM prios p CROSS JOIN months m
         |LEFT JOIN cnt c ON c.prio = p.prio AND c.month = m.month
-        |ORDER BY p.prio, m.month""".stripMargin
+        |ORDER BY p.prio, m.month""".stripMargin,
+    "q44_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         CAST(date_trunc('week', make_timestamp(epoch_us(ts))) AS DATE)
+        |           AS week
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id)
+        |SELECT cohort_week,
+        |       CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS offset_w,
+        |       COUNT(DISTINCT e.user_id) AS n_users, COUNT(*) AS n_events
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY cohort_week, offset_w
+        |ORDER BY cohort_week, offset_w""".stripMargin,
+    "q45_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |su AS (SELECT user_id, MIN(us) AS t_signup FROM ev
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |cl AS (SELECT ev.user_id, MIN(us) AS t_click
+        |       FROM ev JOIN su ON ev.user_id = su.user_id
+        |       WHERE event_type = 'click' AND us > t_signup
+        |       GROUP BY ev.user_id),
+        |pu AS (SELECT ev.user_id, MIN(us) AS t_purchase
+        |       FROM ev JOIN cl ON ev.user_id = cl.user_id
+        |       WHERE event_type = 'purchase' AND us > t_click
+        |       GROUP BY ev.user_id),
+        |stages AS (
+        |  SELECT u.user_id,
+        |         CASE WHEN t_purchase IS NOT NULL THEN 3
+        |              WHEN t_click IS NOT NULL THEN 2
+        |              WHEN t_signup IS NOT NULL THEN 1
+        |              ELSE 0 END AS stage
+        |  FROM (SELECT DISTINCT user_id FROM ev) u
+        |  LEFT JOIN su ON u.user_id = su.user_id
+        |  LEFT JOIN cl ON u.user_id = cl.user_id
+        |  LEFT JOIN pu ON u.user_id = pu.user_id)
+        |SELECT stage, COUNT(*) AS n_users
+        |FROM stages GROUP BY stage ORDER BY stage""".stripMargin
   )
 }

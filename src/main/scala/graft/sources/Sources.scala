@@ -25,6 +25,14 @@ object Sources {
       options: Map[String, String] = Map.empty): DataFrame =
     withSchema(spark.read.options(options), schemaDdl).json(path)
 
+  /** ORC — the other columnar interchange format Spark ships natively
+    * (C2). Same pushdown/pruning story as parquet (vectorized reader,
+    * min/max stripe stats), so it is a drop-in for version dirs written
+    * by ORC-producing upstreams.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JDBC source from a Connection credentials bundle (C2/A29). The
     * partitioning options (partitionColumn/lowerBound/upperBound/
     * numPartitions) pass straight through — at scale a JDBC read without

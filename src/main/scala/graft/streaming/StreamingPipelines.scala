@@ -37,6 +37,23 @@ object StreamingPipelines {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("total"))
 
+  /** Event-time SESSION windows via the built-in session_window: gap-based
+    * sessions per key under a watermark — the declarative counterpart of
+    * the batch sessionization in q36 and of [[sessionize]]'s custom-state
+    * form. State is bounded by the watermark (closed sessions emit and
+    * drop), which is what keeps it runnable over an unbounded stream.
+    */
+  def sessionWindowCounts(events: DataFrame, tsCol: String, gap: String,
+      watermarkDelay: String, keyCol: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Per-key running session state via mapGroupsWithState: keeps a count +
     * last-seen timestamp per key with a processing-time timeout — the
     * custom-state rung the built-in windowed aggs can't express.

@@ -51,6 +51,39 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("orc source round-trips a frame with pushdown-friendly layout") {
+    val dir = Files.createTempDirectory("orc-").resolve("t.orc").toString
+    Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "name", "score").write.orc(dir)
+    val back = Sources.orc(spark, dir)
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+    // predicate reaches the ORC scan (same pushdown contract as parquet)
+    val p = back.filter(col("id") > 1L).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(id,1)"))
+  }
+
+  test("session_window streaming agg groups by event-time gaps") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val df = ms.toDF().toDF("ts", "user_id")
+    val agg = StreamingPipelines.sessionWindowCounts(
+      df, "ts", "5 minutes", "10 minutes", "user_id")
+    val q = StreamingPipelines.toMemorySink(agg, "sess_counts", complete = true)
+    try {
+      ms.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), 1L), // session A
+        (Timestamp.valueOf("2024-01-01 00:03:00"), 1L), // still A (gap 3m)
+        (Timestamp.valueOf("2024-01-01 00:20:00"), 1L), // new session B
+        (Timestamp.valueOf("2024-01-01 00:01:00"), 2L)) // user 2
+      q.processAllAvailable()
+      val out = spark.table("sess_counts")
+        .select("user_id", "n_events").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(out == Map(1L -> Seq(1L, 2L), 2L -> Seq(1L)))
+    } finally q.stop()
+  }
+
   test("streaming corpus prep: tail documents -> quality filter -> dedup -> catalog sink") {
     import graft.functions.TextFunctions._
     val e = new GraftEngine(spark, freshRoot())
