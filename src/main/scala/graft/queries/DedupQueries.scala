@@ -106,6 +106,11 @@ object DedupQueries {
       sh.select(col("doc_id").as("da"), col("n_sh").as("na_r"), col("sh_h"))
         .join(sh.select(col("doc_id").as("db"), col("n_sh").as("nb_r"), col("sh_h")), "sh_h")
         .filter(col("da") < col("db"))
+        // size-ratio pruning (PPJoin's length filter): J(a,b) ≤ min/max,
+        // so a pair can reach the 0.5 threshold only when the set sizes
+        // are within 2× of each other — a codegen'd comparison that drops
+        // pairs BEFORE the (da, db) aggregation shuffle ever sees them.
+        .filter(col("na_r") <= col("nb_r") * 2 && col("nb_r") <= col("na_r") * 2)
         .groupBy("da", "db").agg(count(lit(1)).as("shared"),
           first("na_r").as("na"), first("nb_r").as("nb"))
         .withColumn("jaccard",

@@ -109,10 +109,13 @@ object RelationalQueries4 {
     // strictly-ordered sequences without window-over-everything, and every
     // join/agg keys on user_id (co-partitioned at scale). µs-exact longs
     // for the strict > comparisons (ns tails would disagree cross-engine).
+    // Restricted to the stream's first day — over the full fixture month
+    // every user completes the funnel and the query degenerates to 1 row.
     "q45_funnel" -> { (s, dir) =>
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("event_type"),
           expr("ts div 1000").as("us"))
+        .filter(col("us") < 1704153600000000L) // < 2024-01-02 00:00 UTC
       val su = ev.filter(col("event_type") === "signup")
         .groupBy("user_id").agg(min("us").as("t_signup"))
       val cl = ev.filter(col("event_type") === "click")
@@ -195,7 +198,8 @@ object RelationalQueries4 {
         |ORDER BY cohort_week, offset_w""".stripMargin,
     "q45_funnel" ->
       """WITH ev AS (
-        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |  WHERE epoch_us(ts) < 1704153600000000),
         |su AS (SELECT user_id, MIN(us) AS t_signup FROM ev
         |       WHERE event_type = 'signup' GROUP BY user_id),
         |cl AS (SELECT ev.user_id, MIN(us) AS t_click
