@@ -38,7 +38,12 @@ object Bench {
     // keyed by dir, so nothing computed here leaks into the measured sf.
     locally {
       val warmDir = "/root/testdata/sf0.001"
-      if (new java.io.File(warmDir).isDirectory &&
+      // never warm with the measured dir itself: Q.memo keys by dir, so a
+      // same-dir warmup would prebuild every persisted intermediate and
+      // the timed loop would measure cache hits
+      val sameDir = new java.io.File(warmDir).getCanonicalPath ==
+        new java.io.File(sfDir).getCanonicalPath
+      if (new java.io.File(warmDir).isDirectory && !sameDir &&
           !sys.env.contains("SPARK_GRAFT_NO_WARM"))
         selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }

@@ -406,19 +406,26 @@ object DedupQueries {
     // count. Shape: inverted index on the chunk hash (groupBy + join by
     // h) — corpus-scalable, no pairwise stage at all.
     "d29_chunk_dedup" -> { (s, dir) =>
+      // chunk string + token count derived in ONE pass (struct per chunk),
+      // persisted: the frame feeds both the doc-frequency aggregation and
+      // the join probe side, and Spark does not dedup common subplans —
+      // unpersisted, the per-chunk md5 pipeline would run twice.
       val chunks = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, cast(ceil(size(tk) / 10.0) as int) - 1), " +
-            "i -> concat_ws(' ', slice(tk, i * 10 + 1, 10)))")).as("chunk"))
-        .withColumn("h", tokenHash60(col("chunk")))
+            "i -> struct(concat_ws(' ', slice(tk, i * 10 + 1, 10)) AS chunk, " +
+            "size(slice(tk, i * 10 + 1, 10)) AS n_tok))")).as("c"))
+        .select(col("doc_id"), col("c.n_tok").as("n_tok"),
+          tokenHash60(col("c.chunk")).as("h"))
+        .persist()
       val docFreq = chunks.groupBy("h")
         .agg(countDistinct("doc_id").as("ndocs"))
       chunks.join(docFreq, "h")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"),
           count(when(col("ndocs") >= 2, lit(1))).as("n_dup_chunks"),
-          coalesce(sum(when(col("ndocs") < 2, size(split(col("chunk"), " ")))),
+          coalesce(sum(when(col("ndocs") < 2, col("n_tok"))),
             lit(0)).cast("long").as("n_clean_tokens"))
         .withColumn("dup_frac",
           col("n_dup_chunks").cast("double") / col("n_chunks"))
@@ -593,10 +600,11 @@ object DedupQueries {
       s"""$jaccardSql,
          |p AS (SELECT da, db FROM jac WHERE jaccard >= 0.5),
          |edges AS (
+         |  -- symmetric closure only; (a,a) self-pairs fall out of the
+         |  -- recursion via (a,b) joined with (b,a), and every node in p
+         |  -- has at least one neighbor
          |  SELECT da, db FROM p
-         |  UNION SELECT db, da FROM p
-         |  UNION SELECT da, da FROM p
-         |  UNION SELECT db, db FROM p),
+         |  UNION SELECT db, da FROM p),
          |reach AS (
          |  WITH RECURSIVE r(a, b) AS (
          |    SELECT da, db FROM edges
@@ -611,10 +619,11 @@ object DedupQueries {
       s"""$jaccardSql,
          |p AS (SELECT da, db FROM jac WHERE jaccard >= 0.5),
          |edges AS (
+         |  -- symmetric closure only; (a,a) self-pairs fall out of the
+         |  -- recursion via (a,b) joined with (b,a), and every node in p
+         |  -- has at least one neighbor
          |  SELECT da, db FROM p
-         |  UNION SELECT db, da FROM p
-         |  UNION SELECT da, da FROM p
-         |  UNION SELECT db, db FROM p),
+         |  UNION SELECT db, da FROM p),
          |reach AS (
          |  WITH RECURSIVE r(a, b) AS (
          |    SELECT da, db FROM edges

@@ -232,8 +232,12 @@ object TextQueries {
     // window per doc — every stage keyed, no corpus-sized driver state.
     "d31_tfidf_keywords" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // persisted: feeds both the term-frequency and doc-frequency aggs —
+      // Spark doesn't dedup common subplans, so unpersisted it would
+      // tokenize the corpus twice
       val tok = t(s, dir, "documents")
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .persist()
       val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       val docFreq = tok.groupBy("tok").agg(countDistinct("doc_id").as("df"))
       val n = t(s, dir, "documents").agg(count(lit(1)).as("n"))

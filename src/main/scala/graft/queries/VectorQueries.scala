@@ -198,9 +198,13 @@ object VectorQueries {
     // dup threshold — the embedding-space counterpart of d27's n-gram
     // decontamination. Scale shape: eval sets are benchmark-sized (small
     // by construction), so BROADCASTING the eval side and streaming the
-    // training corpus once is the 100 TB-correct plan — cost O(train ×
-    // eval)/cluster, one pass, no shuffle of the corpus; swap in the
-    // d06/d20 index path when the eval set stops being broadcastable.
+    // training corpus once is the 100 TB-correct plan; the argmax is a
+    // groupBy(eval_id) of max(struct(cosine, -train_id)) — PARTIAL
+    // aggregation collapses each task's pairs to |eval| rows map-side, so
+    // nothing corpus-sized is ever shuffled (a row_number window here
+    // would shuffle+sort the whole train × eval product into |eval|
+    // partitions). Swap in the d06/d20 index path when the eval set stops
+    // being broadcastable.
     "d32_semantic_decontamination" -> { (s, dir) =>
       val v = vecs(s, dir)
       val ev = v.filter(col("label") === 0)
@@ -209,15 +213,18 @@ object VectorQueries {
       val tr = v.filter(col("label") =!= 0)
         .select(col("vec_id").as("train_id"), col("embedding").as("te"),
           col("nrm").as("tn"))
-      val w = Window.partitionBy("eval_id")
-        .orderBy(col("cosine").desc, col("train_id"))
+      // struct max = lexicographic (cosine, -train_id): highest cosine,
+      // ties to the LOWEST train id — same pick the oracle's
+      // (cosine DESC, train_id ASC) window makes
       tr.crossJoin(broadcast(ev))
         .withColumn("cosine",
           cosineWithNorms(dot(col("te"), col("qe")), col("tn"), col("qn")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy("eval_id")
+        .agg(max(struct(col("cosine"), (-col("train_id")).as("neg_id")))
+          .as("best"))
+        .select(col("eval_id"), (-col("best.neg_id")).as("train_id"),
+          col("best.cosine").as("cosine"))
         .withColumn("is_semantic_dup", col("cosine") >= 0.6)
-        .select("eval_id", "train_id", "cosine", "is_semantic_dup")
         .orderBy("eval_id")
     }
   )
