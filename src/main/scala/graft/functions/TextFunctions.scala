@@ -42,6 +42,47 @@ object TextFunctions {
   def oTokenHash60(e: String): String =
     s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
 
+  /** JVM-side value of [[tokenHash60]]: the numeric value of md5's first
+    * 15 hex chars — first 7 bytes followed by the high nibble of byte 7.
+    */
+  def hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
+  /** JVM-side MinHash band signatures of one text — the same 3-shingle →
+    * [[hash60]] → k-permutation → banding math as the d03 batch pipeline
+    * (DedupQueries docShingles/minhashSigs/lshCandidates), so a document
+    * lands in identical buckets whether it arrives via batch or stream.
+    * Fewer than 3 tokens (empty shingle set) → no bands, matching d03's
+    * exclusion of null signatures.
+    */
+  def bandSignatures(text: String, k: Int = 16, bands: Int = 4): Seq[(Int, String)] = {
+    if (text == null) return Nil
+    val tk = text.split(" ", -1)
+    if (tk.length < 3) return Nil
+    val sh = Array.tabulate(tk.length - 2)(i =>
+      tk(i) + " " + tk(i + 1) + " " + tk(i + 2)).distinct
+    val params = minhashParams(k).toArray
+    val mins = Array.fill(k)(Long.MaxValue)
+    sh.foreach { x =>
+      val hm = hash60(x) % 1073741824L
+      var i = 0
+      while (i < k) {
+        val v = (params(i)._2 * hm + params(i)._3) % 2147483647L
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    val rows = k / bands
+    (0 until bands).map(b =>
+      (b, (0 until rows).map(r => mins(b * rows + r)).mkString(",")))
+  }
+
   /** BPE-ish token segmentation regex — the ONE definition shared by the
     * token-count (d09) and sequence-pack (d19) queries and their oracles;
     * duplicating the literal would let the pipelines drift apart silently.

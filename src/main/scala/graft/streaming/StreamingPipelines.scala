@@ -99,6 +99,41 @@ object StreamingPipelines {
       .outputMode(if (complete) OutputMode.Complete else OutputMode.Update)
       .start()
 
+  /** Streaming NEAR-dup candidate filter — the LSH counterpart of
+    * [[dedupStream]]: each incoming doc fans out to its MinHash band
+    * buckets (`TextFunctions.bandSignatures`, bit-identical to the d03
+    * batch pipeline), and per-bucket state remembers the first document
+    * that claimed the bucket. A doc sharing ANY bucket with an earlier doc
+    * is a near-dup CANDIDATE (exact-verify downstream, exactly as d03
+    * verifies its banding candidates). Keyed state shards by bucket across
+    * executors; it grows with distinct buckets, so production runs bound
+    * it with a state timeout or periodic compaction.
+    */
+  case class BucketHit(doc_id: Long, band: Int, bucket: String,
+      seen_before: Boolean, first_doc: Long)
+
+  def lshCandidateStream(docs: Dataset[(Long, String)]): Dataset[BucketHit] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { case (id, text) =>
+      graft.functions.TextFunctions.bandSignatures(text)
+        .map { case (b, sig) => (s"$b:$sig", id, b) }
+    }.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (bucket: String, rows: Iterator[(String, Long, Int)],
+            state: GroupState[Long]) =>
+          // state = doc_id of the bucket's first claimant; lowest id wins
+          // within a micro-batch so replays stay deterministic
+          var first = state.getOption.getOrElse(-1L)
+          val out = rows.toArray.sortBy(_._2).map { case (_, id, band) =>
+            val seen = first >= 0
+            if (!seen) first = id
+            BucketHit(id, band, bucket, seen, first)
+          }
+          state.update(first)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup: drop rows whose `idCols` were already seen
     * within the watermark window (state is bounded by the watermark — the
     * streaming counterpart of d01's hash-groupBy dedup; at scale the state

@@ -117,4 +117,30 @@ class PropertySpec extends SparkSpec {
       assert(total.toSet == (1L to 8L).toSet, s"lost records: $total (script=$script)")
     }
   }
+
+  test("connected components: distributed loop == driver union-find on random graphs") {
+    // d21/d30's size-adaptive componentsOf picks a path by edge count;
+    // this law keeps the two paths interchangeable on arbitrary graph
+    // shapes (stars, chains, parallel edges, self-referencing denseness),
+    // not just the hand-built fixture in QueriesSmokeSpec.
+    val edgeGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+    for (i <- 1 to cases) {
+      val edges = sample(edgeGen, 100L + i).filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val pairs = edges.toDF("da", "db")
+        def labels(df: org.apache.spark.sql.DataFrame) =
+          df.orderBy("doc_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val dist = labels(graft.queries.DedupQueries.distributedComponents(spark, pairs))
+        val drv = labels(graft.queries.DedupQueries.driverComponents(spark, pairs))
+        assert(dist == drv, s"seed=${100 + i} edges=$edges")
+        // every label is the component's minimum member
+        val byLabel = drv.groupBy(_._2)
+        byLabel.foreach { case (label, members) =>
+          assert(members.map(_._1).min == label, s"seed=${100 + i}")
+        }
+      }
+    }
+  }
 }

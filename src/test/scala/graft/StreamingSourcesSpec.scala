@@ -84,6 +84,33 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lshCandidateStream flags near-dup docs via shared minhash bands") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val out = StreamingPipelines.lshCandidateStream(ms.toDS())
+    val q = StreamingPipelines.toMemorySink(out.toDF(), "lsh_cand",
+      complete = false)
+    try {
+      val a = "the quick brown fox jumps over the lazy dog again and again"
+      ms.addData((1L, a))
+      q.processAllAvailable()
+      // doc 2 = exact text of doc 1 (all bands collide); doc 3 disjoint
+      ms.addData((2L, a),
+        (3L, "completely different words forming another unrelated text body"))
+      q.processAllAvailable()
+      val rows = spark.table("lsh_cand")
+        .as[StreamingPipelines.BucketHit].collect()
+      val byDoc = rows.groupBy(_.doc_id)
+      assert(byDoc(1L).forall(h => !h.seen_before && h.first_doc == 1L))
+      assert(byDoc(2L).length == 4 &&
+        byDoc(2L).forall(h => h.seen_before && h.first_doc == 1L))
+      assert(byDoc(3L).forall(h => !h.seen_before))
+      // batch-vs-stream bucket parity: same text => same 4 band signatures
+      assert(graft.functions.TextFunctions.bandSignatures(a).map(_._1) ==
+        Seq(0, 1, 2, 3))
+    } finally q.stop()
+  }
+
   test("streaming corpus prep: tail documents -> quality filter -> dedup -> catalog sink") {
     import graft.functions.TextFunctions._
     val e = new GraftEngine(spark, freshRoot())
