@@ -117,4 +117,26 @@ class StreamSpec extends SparkSpec {
     val second = st.consumeRecords().map(_.getAs[Long]("seq")).toList
     assert(first == second)
   }
+
+  test("timestamp cursor round-trips through persisted state across executions") {
+    // checkpoint normalizes a Timestamp cursor to an ISO-8601 string; the
+    // next execution's plan compares the TimestampType column against that
+    // string literal — this pins the implicit cast actually parsing it.
+    import java.sql.Timestamp
+    val root = freshRoot()
+    val e1 = new GraftEngine(spark, root, nodeId = "consumer")
+    val t1 = e1.table("ev", "w")
+    t1.append(Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00.123456"), "a"),
+      (Timestamp.valueOf("2024-01-02 00:00:00"), "b"),
+      (Timestamp.valueOf("2024-01-03 12:34:56.789"), "c")).toDF("ts", "payload"))
+    t1.flush()
+    val st1 = t1.asStream(orderBy = "ts")
+    st1.consumeRecords().take(2).foreach(_ => ())
+    st1.checkpoint()
+    val e2 = new GraftEngine(spark, root, nodeId = "consumer")
+    val rest = e2.table("ev").asStream(orderBy = "ts")
+      .consumeRecords().map(_.getAs[String]("payload")).toList
+    assert(rest == List("c"))
+  }
 }
