@@ -118,6 +118,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("JVM bandSignatures == Catalyst expression minhash on random texts") {
+    // The streaming LSH filter buckets with TextFunctions.bandSignatures
+    // (plain JVM); the batch pipeline's oracle parity rests on the Column
+    // functions (shingles -> tokenHash60 -> minhashPerm -> array_min).
+    // This law pins the two implementations to identical signatures, so
+    // "a doc lands in the same bucket via batch or stream" stays true.
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.functions._
+    val word = Gen.oneOf("the", "a", "fox", "dog", "spark", "row", "agg")
+    val textGen = Gen.listOf(word).map(_.mkString(" "))
+    val texts = (1 to 24).map(i => sample(textGen, 200L + i)).distinct
+    val df = texts.toDF("text")
+      .withColumn("h_arr", transform(shingles(tokens(col("text"))),
+        x => tokenHash60(x)))
+    val params = minhashParams(16)
+    val sigCols = params.map { case (i, a, b) =>
+      array_min(transform(col("h_arr"),
+        h => minhashPerm(h, lit(a), lit(b)))).as(s"mh$i")
+    }
+    val expr = df.select(col("text") +: sigCols: _*).collect().map { r =>
+      r.getString(0) -> (if (r.isNullAt(1)) Nil
+        else (0 until 4).map(bnd =>
+          (bnd, (0 until 4).map(k => r.getLong(1 + bnd * 4 + k)).mkString(","))))
+    }.toMap
+    texts.foreach { t =>
+      assert(bandSignatures(t) == expr(t), s"text='$t'")
+    }
+  }
+
   test("connected components: distributed loop == driver union-find on random graphs") {
     // d21/d30's size-adaptive componentsOf picks a path by edge count;
     // this law keeps the two paths interchangeable on arbitrary graph
