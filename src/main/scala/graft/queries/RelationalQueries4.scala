@@ -135,6 +135,21 @@ object RelationalQueries4 {
             .otherwise(0))
         .groupBy("stage").agg(count(lit(1)).as("n_users"))
         .orderBy("stage")
+    },
+    // C14 string aggregation — ordered, distinct list-of-values per group
+    // rendered as one string. collect_set → array_sort → array_join is the
+    // deterministic Spark form (collect order varies with partitioning;
+    // the sort restores a total order, matching the oracle's
+    // string_agg(DISTINCT .. ORDER BY ..)). Partial-aggregates map-side
+    // like any hash agg; the per-group value list is bounded (priorities).
+    "q46_string_agg" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(
+          array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+            .as("priorities"),
+          countDistinct("o_orderpriority").as("n_priorities"))
+        .orderBy("status")
     }
   )
 
@@ -221,6 +236,12 @@ object RelationalQueries4 {
         |  LEFT JOIN cl ON u.user_id = cl.user_id
         |  LEFT JOIN pu ON u.user_id = pu.user_id)
         |SELECT stage, COUNT(*) AS n_users
-        |FROM stages GROUP BY stage ORDER BY stage""".stripMargin
+        |FROM stages GROUP BY stage ORDER BY stage""".stripMargin,
+    "q46_string_agg" ->
+      """SELECT o_orderstatus AS status,
+        |       string_agg(DISTINCT o_orderpriority, ','
+        |                  ORDER BY o_orderpriority) AS priorities,
+        |       COUNT(DISTINCT o_orderpriority) AS n_priorities
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin
   )
 }

@@ -250,6 +250,36 @@ object TextQueries {
         .filter(col("rnk") <= 3)
         .select("doc_id", "rnk", "tok", "tf", "df", "score")
         .orderBy("doc_id", "rnk")
+    },
+    // D4i — per-source corpus HEALTH report: the dashboard a curation run
+    // publishes after ingesting a source — volume, token mass, exact-dup
+    // incidence (vs the WHOLE corpus, not just within-source), quality
+    // pass rate (d08's gate), language spread. Two hash aggs (corpus-wide
+    // dup counts, then per-source rollup) — no pairwise anything.
+    "d33_corpus_report" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val hashes = docs
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg(count(lit(1)).as("n_copies"))
+      docs
+        .withColumn("content_hash", sha2(col("text"), 256))
+        .withColumn("tk", tokens(col("text")))
+        .withColumn("n_tokens", size(col("tk")))
+        .withColumn("distinct_ratio",
+          size(array_distinct(col("tk"))).cast("double") / col("n_tokens"))
+        .join(hashes, "content_hash")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0)).cast("long")
+            .as("total_tokens"),
+          count(when(col("n_copies") >= 2, lit(1))).as("n_dup_docs"),
+          count(when(
+            col("n_tokens").between(qualityMinTokens, qualityMaxTokens) &&
+              col("distinct_ratio") >= qualityMinDistinctRatio,
+            lit(1))).as("n_quality_ok"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("source")
     }
   )
 
@@ -407,6 +437,25 @@ object TextQueries {
         |                               ORDER BY score DESC, tok) AS rnk
         |  FROM scored)
         |SELECT doc_id, rnk, tok, tf, df, score
-        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "d33_corpus_report" ->
+      s"""WITH d AS (
+         |  SELECT source, lang, sha256(text) AS content_hash,
+         |         len(string_split(text, ' ')) AS n_tokens,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |           / len(string_split(text, ' ')) AS distinct_ratio
+         |  FROM documents),
+         |h AS (SELECT content_hash, COUNT(*) AS n_copies
+         |      FROM d GROUP BY content_hash)
+         |SELECT source, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |       COUNT(*) FILTER (WHERE n_copies >= 2) AS n_dup_docs,
+         |       COUNT(*) FILTER (WHERE n_tokens BETWEEN $qualityMinTokens
+         |                          AND $qualityMaxTokens
+         |                          AND distinct_ratio >= $qualityMinDistinctRatio)
+         |         AS n_quality_ok,
+         |       COUNT(DISTINCT lang) AS n_langs
+         |FROM d JOIN h USING (content_hash)
+         |GROUP BY source ORDER BY source""".stripMargin
   )
 }
