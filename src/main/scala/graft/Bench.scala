@@ -53,13 +53,18 @@ object Bench {
       // query first touches each table — measured at 2-3x on first boot).
       // Plain byte reads: no Spark state, no plan caches, just the page
       // cache the queries would populate anyway.
-      if (!sys.env.contains("SPARK_GRAFT_NO_WARM"))
+      if (!sys.env.contains("SPARK_GRAFT_NO_WARM")) {
+        val buf = new Array[Byte](1 << 20) // O(1) heap — readAllBytes
+        // would allocate whole multi-GB files (and >2GB files throw)
         Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
           .filter(_.getName.endsWith(".parquet"))
           .foreach { f =>
-            try java.nio.file.Files.readAllBytes(f.toPath)
-            catch { case _: Throwable => () }
+            try {
+              val in = new java.io.FileInputStream(f)
+              try { while (in.read(buf) >= 0) () } finally in.close()
+            } catch { case _: Throwable => () }
           }
+      }
     }
     // Sorted execution order: deterministic across runs, so shared-cache
     // cold costs (e.g. the dedup shingle table) always land on the same

@@ -145,10 +145,14 @@ object RelationalQueries4 {
     "q46_string_agg" -> { (s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus").as("status"))
-        .agg(
-          array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
-            .as("priorities"),
+        .agg(collect_set(col("o_orderpriority")).as("ps"),
           countDistinct("o_orderpriority").as("n_priorities"))
+        // all-NULL group => NULL, matching string_agg (collect_set drops
+        // nulls, and array_join of the then-empty set would yield "")
+        .withColumn("priorities",
+          when(size(col("ps")) === 0, lit(null).cast("string"))
+            .otherwise(array_join(array_sort(col("ps")), ",")))
+        .select("status", "priorities", "n_priorities")
         .orderBy("status")
     }
   )

@@ -112,25 +112,43 @@ object StreamingPipelines {
   case class BucketHit(doc_id: Long, band: Int, bucket: String,
       seen_before: Boolean, first_doc: Long)
 
-  def lshCandidateStream(docs: Dataset[(Long, String)]): Dataset[BucketHit] = {
+  /** `timeoutMs > 0` expires idle bucket state on processing time — the
+    * bound a long-running production stream needs (state otherwise grows
+    * with every distinct band signature ever seen). An expired bucket's
+    * next claimant starts a fresh lineage, trading recall across quiet
+    * periods for bounded state — the same trade the watermark makes in
+    * [[dedupStream]]. Tests settling on processAllAvailable pass 0.
+    */
+  def lshCandidateStream(docs: Dataset[(Long, String)],
+      timeoutMs: Long = 0L): Dataset[BucketHit] = {
     import docs.sparkSession.implicits._
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     docs.flatMap { case (id, text) =>
       graft.functions.TextFunctions.bandSignatures(text)
         .map { case (b, sig) => (s"$b:$sig", id, b) }
     }.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf) {
         (bucket: String, rows: Iterator[(String, Long, Int)],
             state: GroupState[Long]) =>
-          // state = doc_id of the bucket's first claimant; lowest id wins
-          // within a micro-batch so replays stay deterministic
-          var first = state.getOption.getOrElse(-1L)
-          val out = rows.toArray.sortBy(_._2).map { case (_, id, band) =>
-            val seen = first >= 0
-            if (!seen) first = id
-            BucketHit(id, band, bucket, seen, first)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // state EXISTENCE is the claimed-test (doc ids may be any
+            // Long, so no sentinel value is safe); lowest id wins within
+            // a micro-batch so replays stay deterministic
+            var first = state.getOption
+            val out = rows.toArray.sortBy(_._2).map { case (_, id, band) =>
+              val seen = first.isDefined
+              if (!seen) first = Some(id)
+              BucketHit(id, band, bucket, seen, first.get)
+            }
+            state.update(first.get)
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            out.iterator
           }
-          state.update(first)
-          out.iterator
       }
   }
 
