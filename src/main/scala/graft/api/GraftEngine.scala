@@ -30,6 +30,12 @@ class GraftEngine(
   private val openedStreams = mutable.LinkedHashMap.empty[String, Stream]
   private var params: Map[String, Any] = Map.empty
   private var bindings: Map[String, String] = Map.empty
+  // distinguishes "no bindings installed" (standalone engine — every name
+  // connected) from "bindings installed but EMPTY" (a graph node with zero
+  // declared ports — NOTHING connected): Map.empty alone can't tell the
+  // two apart, and the difference is whether the declared-dataflow check
+  // fires at all
+  private var bindingsInstalled = false
 
   /** Bind a table port (node.py:117-139); the port name resolves through
     * the node's graph bindings to a physical store (B8, edit.py:104-107).
@@ -48,8 +54,7 @@ class GraftEngine(
     // connectivity the caller already opted out of. The connectivity
     // require therefore runs only on FIRST open (inside the default block).
     opened.getOrElseUpdate(store, {
-      val connected = bindings.isEmpty || bindings.contains(name) ||
-        bindings.valuesIterator.contains(name)
+      val connected = isNameConnected(name)
       // an unconnected REQUIRED port is a graph-config error (the platform
       // rejects it at deploy; node.py:136-138) — fail loudly rather than
       // silently swallowing the node's reads/writes in a dummy
@@ -60,8 +65,14 @@ class GraftEngine(
     })
   }
 
+  private def isNameConnected(name: String): Boolean =
+    !bindingsInstalled || bindings.contains(name) ||
+      bindings.valuesIterator.contains(name)
+
   /** Install port→store bindings from graph config (B8). */
-  def withBindings(b: Map[String, String]): GraftEngine = { bindings = b; this }
+  def withBindings(b: Map[String, String]): GraftEngine = {
+    bindings = b; bindingsInstalled = true; this
+  }
 
   /** Inject node parameters (graph.yml `parameters:` block, B10). */
   def withParameters(p: Map[String, Any]): GraftEngine = { params = p; this }
@@ -76,11 +87,16 @@ class GraftEngine(
     * node.py:168-189, create.py:239-244).
     */
   def sql(query: String, tables: Seq[String] = Nil): DataFrame = {
-    // explicit names resolve as optional so an unconnected name yields a
-    // dummy that the isConnected filter below skips — the same graceful
-    // degradation the default (already-opened ports) branch has always had
-    val tabs = if (tables.nonEmpty) tables.map(n => table(n, required = false))
-      else opened.values.toSeq
+    // explicit names: unconnected names are SKIPPED (graceful degradation,
+    // same as the default already-opened-ports branch) — without opening
+    // them through table(required = false), which would memoize a dummy
+    // that a later REQUIRED table(name) call silently receives instead of
+    // failing loudly
+    val tabs = if (tables.nonEmpty) tables.flatMap { name =>
+      val store = bindings.getOrElse(name, name)
+      opened.get(store).orElse(
+        if (isNameConnected(name)) Some(table(name)) else None)
+    } else opened.values.toSeq
     tabs.filter(_.isConnected)
       .foreach(t => t.read.createOrReplaceTempView(t.sqlName))
     spark.sql(query)

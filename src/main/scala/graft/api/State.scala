@@ -35,9 +35,16 @@ class State(stateDir: Path, nodeId: String,
 
   private def persist(): Unit = {
     Files.createDirectories(stateDir)
-    Files.write(path,
+    // tmp + atomic rename (same pattern as TableCatalog.save): a crash
+    // mid-write must not leave truncated JSON — stream cursors live here,
+    // and an unparseable file would block the node until hand-repaired
+    val tmp = stateDir.resolve(s"$nodeId.json.tmp")
+    Files.write(tmp,
       JsonMethods.compact(JsonMethods.render(JObject(cache.toList: _*)))
         .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   private def toJ(v: Any): JValue = v match {

@@ -31,6 +31,14 @@ class Stream(table: Table, val orderByField: String, state: State,
   /** In-memory consumption position; persisted only on checkpoint. */
   private var cursor: Option[Any] = startingValue.orElse(loadPersisted())
 
+  /** What rollback restores: the position at execution start (INCLUDING a
+    * constructor startingValue — reloading from persisted state alone
+    * would discard it and replay records the caller declared consumed),
+    * advanced to the cursor on every checkpoint (node.py:60-63 "execution
+    * start or last checkpoint").
+    */
+  private var restorePoint: Option[Any] = cursor
+
   private def loadPersisted(): Option[Any] =
     state.get(stateKey).filter(_ != null)
 
@@ -71,13 +79,18 @@ class Stream(table: Table, val orderByField: String, state: State,
   }
 
   /** Persist consumption progress (node.py:54-58). */
-  def checkpoint(): Unit = cursor.foreach(v => state.set(stateKey, normalize(v)))
+  def checkpoint(): Unit = {
+    cursor.foreach(v => state.set(stateKey, normalize(v)))
+    restorePoint = cursor
+  }
 
   /** Revert to execution start / last checkpoint (node.py:60-63). */
-  def rollback(): Unit = cursor = loadPersisted()
+  def rollback(): Unit = cursor = restorePoint
 
   /** Restart from the beginning of the stream (node.py:65-68). */
-  def rewind(): Unit = { cursor = None; state.remove(stateKey) }
+  def rewind(): Unit = {
+    cursor = None; restorePoint = None; state.remove(stateKey)
+  }
 
   /** Position the cursor: consume records strictly greater than `value`
     * (node.py:70-76).

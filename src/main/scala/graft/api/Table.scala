@@ -161,9 +161,16 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
       catalog.setActive(name, Some(v), "create")
       v
     }
-    val buckets = if (activeFiles.nonEmpty) layoutBuckets(vid) else bucketCount
+    // appends into an existing dir follow that dir's layout, but only a
+    // marker-ATTESTED count may (re)write the marker: promoting the
+    // markerless heuristic (max __bucket index + 1, which undercounts
+    // when top buckets are empty) to marker status would later authorize
+    // bucket-pruned reads against a dir hashed with a different modulus
+    val (buckets, attest) =
+      if (activeFiles.nonEmpty) (layoutBuckets(vid), exactLayoutBuckets(vid).isDefined)
+      else (bucketCount, true)
     writeInto(clustered(decorate(conform(batch))),
-      catalog.versionDir(name, vid).toString, SaveMode.Append, buckets)
+      catalog.versionDir(name, vid).toString, SaveMode.Append, buckets, attest)
     if (!isNew) catalog.recordEvent(name, "update")
   }
 
@@ -215,15 +222,19 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
 
   /** Write honoring the given physical bucket count (callers appending to
     * an existing dir pass the DIR's layout so one version never mixes).
+    * `attestLayout = false` skips the `_BUCKETS` marker — for appends
+    * whose count came from the markerless heuristic, which must never
+    * gain marker (pruning-authorizing) status.
     */
   private def writeInto(df: DataFrame, dir: String, mode: SaveMode,
-      buckets: Option[Int]): Unit =
+      buckets: Option[Int], attestLayout: Boolean = true): Unit =
     buckets match {
       case Some(n) =>
         withBucket(df, n).write.mode(mode).partitionBy("__bucket").parquet(dir)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(dir).resolve(Table.BucketMarker),
-          n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (attestLayout)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir).resolve(Table.BucketMarker),
+            n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       case None => df.write.mode(mode).parquet(dir)
     }
 
@@ -324,10 +335,14 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
         // expression shouldn't cost a Spark job per point lookup
         val b = try {
           import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash}
+          // cast in the SESSION timezone — write-time bucketing hashed
+          // values the session interpreted, so a hardcoded UTC here would
+          // hash string-typed timestamp keys into the wrong bucket
+          val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
           val lits = keys.zip(keyValues).map { case (k, v) =>
             val dt = sch.flatMap(_.fields.find(_.name == k)).map(_.dataType)
               .getOrElse(Literal(v).dataType)
-            Literal.create(Cast(Literal(v), dt, Some("UTC")).eval(null), dt)
+            Literal.create(Cast(Literal(v), dt, tz).eval(null), dt)
           }
           val h = Murmur3Hash(lits, 42).eval(null).asInstanceOf[Int]
           ((h % n) + n) % n
@@ -455,10 +470,15 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     }
     meta.addMonotonicId match {
       case Some(mc) if !withCreated.columns.contains(mc) =>
-        val n = withCreated.count()
+        // materialize ONCE before counting: count() and zipWithIndex
+        // otherwise each recompute the full upstream plan (two extra
+        // jobs), and a non-deterministic plan could mint a different row
+        // set than the one ids were reserved for
+        val mat = withCreated.localCheckpoint(true)
+        val n = mat.count()
         val start = catalog.reserveIds(name, n)
-        val schema2 = withCreated.schema.add(mc, StringType)
-        val rdd = withCreated.rdd.zipWithIndex().map { case (r, i) =>
+        val schema2 = mat.schema.add(mc, StringType)
+        val rdd = mat.rdd.zipWithIndex().map { case (r, i) =>
           Row.fromSeq(r.toSeq :+ Table.base32(start + i + 1))
         }
         spark.createDataFrame(rdd, schema2)

@@ -51,7 +51,12 @@ case class TableManifest(
     versions: List[VersionInfo],
     events: List[TableEvent],
     meta: TableMeta,
-    versionCounter: Long = 0L)
+    versionCounter: Long = 0L,
+    // total events EVER recorded — survives the event-list trim below and
+    // is what downstream triggering compares (GraphRunner); events itself
+    // keeps only the newest [[TableCatalog.MaxEvents]] entries so the
+    // manifest stays O(1) under unbounded append workloads
+    eventCounter: Long = 0L)
 
 /** Versioned parquet catalog — the engine-side replacement for the hosted
   * platform's table store (SURVEY.md §1.1, §4.3).
@@ -147,7 +152,9 @@ class TableCatalog(val root: Path) {
       val m2 = m.copy(
         activeVersion = vid,
         versions = versions,
-        events = m.events :+ TableEvent(eventKind, vid.getOrElse(""), now))
+        events = (m.events :+ TableEvent(eventKind, vid.getOrElse(""), now))
+          .takeRight(TableCatalog.MaxEvents),
+        eventCounter = m.eventCounter + 1)
       save(m2)
       m2.meta.retentionMillis.foreach(gc(name, _))
       load(name).getOrElse(m2)
@@ -155,8 +162,10 @@ class TableCatalog(val root: Path) {
 
   def recordEvent(name: String, kind: String): TableManifest = synchronized {
     val m = loadOrCreate(name)
-    val m2 = m.copy(events = m.events :+
-      TableEvent(kind, m.activeVersion.getOrElse(""), System.currentTimeMillis()))
+    val m2 = m.copy(
+      events = (m.events :+ TableEvent(kind, m.activeVersion.getOrElse(""),
+        System.currentTimeMillis())).takeRight(TableCatalog.MaxEvents),
+      eventCounter = m.eventCounter + 1)
     save(m2); m2
   }
 
@@ -200,4 +209,11 @@ class TableCatalog(val root: Path) {
     save(m.copy(versions = live))
     dead.size
   }
+}
+
+object TableCatalog {
+  /** Event-history window kept in the manifest; `eventCounter` carries the
+    * all-time total, so trimming never affects downstream triggering.
+    */
+  val MaxEvents = 1000
 }

@@ -61,10 +61,21 @@ class GraphRunner(
   private val probeCatalog =
     new graft.catalog.TableCatalog(java.nio.file.Paths.get(catalogRoot))
 
-  /** Sum of events on this node's input stores (its trigger signal). */
+  /** Sum of events on this node's input stores (its trigger signal).
+    * Counts the manifest's all-time `eventCounter`, not the (trimmed)
+    * event list.
+    */
   private def inputEventCount(n: NodeConfig): Long =
     n.inputStores.toSeq
-      .map(s => probeCatalog.refresh(s).map(_.events.size.toLong).getOrElse(0L)).sum
+      .map(s => probeCatalog.refresh(s).map(_.eventCounter).getOrElse(0L)).sum
+
+  // Baseline each node at the catalog's CURRENT event counts: a fresh
+  // runner over an existing catalog must treat history as already
+  // processed — "trigger A" means "run A and its NEW effects", not
+  // "replay every consumer of every table ever written" (which would
+  // duplicate rows in append-output nodes on every process restart).
+  graph.functions.filterNot(_.isWebhook)
+    .foreach(n => seenEvents(n.id) = inputEventCount(n))
 
   /** Run one node now (`patterns trigger`, B13). Returns the engine so
     * callers can inspect state.
@@ -79,16 +90,20 @@ class GraphRunner(
       val sqlPath = graphDir.map(_.resolve(n.nodeFile.get)).getOrElse(
         throw new IllegalStateException("sql node needs graphDir"))
       val sql = render(new String(Files.readAllBytes(sqlPath), StandardCharsets.UTF_8), n)
-      val out = n.outputs.values.headOption.getOrElse(
+      val outPort = n.outputs.keys.headOption.getOrElse(
         throw new IllegalArgumentException(s"sql node ${n.id} needs an output store"))
-      // register input ports as views under their PORT names, run, replace output
+      // register input ports as views under their PORT names, run, replace
+      // output. eng.table() takes PORT names (it resolves port -> store
+      // through the bindings itself); passing the resolved store name back
+      // in would re-resolve it as a port and, on a port/store name
+      // collision, read — or for the output, REPLACE — the wrong table.
       val result = {
-        n.inputs.foreach { case (port, store) =>
-          eng.table(store).read.createOrReplaceTempView(port)
+        n.inputs.keys.foreach { port =>
+          eng.table(port).read.createOrReplaceTempView(port)
         }
         spark.sql(sql)
       }
-      eng.table(out, "w").replace(result)
+      eng.table(outPort, "w").replace(result)
     } else {
       val fn = n.nodeFile.flatMap(fns.get).getOrElse(
         throw new IllegalArgumentException(

@@ -134,4 +134,24 @@ class BucketedTableSpec extends SparkSpec {
     val vdir = e.catalog.versionDir("b4", t.getActiveVersion.get).toFile
     assert(vdir.listFiles().exists(_.getName.startsWith("__bucket=")))
   }
+
+  test("heuristic-layout append never mints a _BUCKETS marker") {
+    // regression: writeInto used to stamp the marker with whatever count
+    // it wrote with — promoting the markerless heuristic (max __bucket
+    // index + 1, an undercount when top buckets are empty) to the
+    // pruning-authorizing attestation would mis-route lookups/upserts
+    import spark.implicits._
+    val e = new GraftEngine(spark, freshRoot())
+    val t = e.table("b9", "w").init(uniqueOn = Seq("id"), bucketBy = 4)
+    t.upsert((1L to 12L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val vdir = e.catalog.versionDir("b9", t.getActiveVersion.get)
+    val marker = vdir.resolve("_BUCKETS")
+    assert(java.nio.file.Files.exists(marker))
+    java.nio.file.Files.delete(marker) // simulate a legacy markerless dir
+    t.append(Seq((13L, "m")).toDF("id", "v")); t.flush()
+    assert(!java.nio.file.Files.exists(marker),
+      "append must not attest a heuristic bucket count")
+    // data still complete through the filtered-full-read fallback
+    assert(t.read.count() == 13)
+  }
 }

@@ -259,4 +259,58 @@ class GraphSpec extends SparkSpec {
     assert(inner.inputs == Map("in" -> "parent_raw"))
     assert(inner.outputs == Map("out" -> "parent_out"))
   }
+
+  test("a fresh runner over an existing catalog does not replay history") {
+    // regression: seenEvents started at 0 in every new runner, so process
+    // restarts treated all historical manifest events as new and re-ran
+    // every consumer (duplicating rows in append-output nodes)
+    val yaml =
+      """functions:
+        |  - node_file: producer
+        |    id: aaaaaaa1
+        |    outputs: {out: raw2}
+        |  - node_file: consumer
+        |    id: bbbbbbb1
+        |    inputs:  {in: raw2}
+        |    outputs: {out: log2}
+        |  - node_file: noop
+        |    id: ccccccc1
+        |    outputs: {out: scratch2}
+        |stores:
+        |  - table: raw2
+        |  - table: log2
+        |  - table: scratch2
+        |""".stripMargin
+    val g = GraphLoader.parse(yaml)
+    val root = freshRoot()
+    def wire(r: GraphRunner): GraphRunner = r
+      .register("producer", eng =>
+        eng.table("out", "w").append(Seq((1L, "x")).toDF("id", "v")))
+      .register("consumer", eng =>
+        eng.table("out", "w").append(
+          eng.table("in").read.selectExpr("id", "v")))
+      .register("noop", _ => ())
+    wire(new GraphRunner(spark, g, root)).runAll()
+    val e = new graft.api.GraftEngine(spark, root)
+    val after1 = e.table("log2").read.count()
+    assert(after1 == 1L)
+    // fresh runner, unrelated trigger: consumer must NOT re-run
+    wire(new GraphRunner(spark, g, root)).trigger("ccccccc1")
+    assert(e.table("log2").read.count() == after1)
+  }
+
+  test("installed-but-empty bindings connect nothing; sql() skip never poisons the memo") {
+    // empty bindings map != no bindings: a graph node with zero declared
+    // ports must not get unrestricted store access
+    val e0 = new graft.api.GraftEngine(spark, freshRoot())
+      .withBindings(Map.empty)
+    intercept[IllegalArgumentException] { e0.table("anything") }
+    assert(!e0.table("opt", required = false).isConnected)
+    // sql() skips unconnected explicit names WITHOUT memoizing a dummy,
+    // so a later required open still fails loudly
+    val e1 = new graft.api.GraftEngine(spark, freshRoot())
+      .withBindings(Map("in" -> "t_in"))
+    e1.sql("SELECT 1 AS x", tables = Seq("ghost"))
+    intercept[IllegalArgumentException] { e1.table("ghost") }
+  }
 }

@@ -118,6 +118,27 @@ class StreamSpec extends SparkSpec {
     assert(first == second)
   }
 
+  test("rollback restores execution start INCLUDING a startingValue") {
+    // regression: rollback used to reload only the persisted cursor,
+    // discarding the constructor startingValue and replaying records the
+    // caller had declared consumed
+    val e = engineWithEvents(5)
+    val st = e.table("ev").asStream(orderBy = "seq", startingValue = Some(2L))
+    assert(st.consumeRecords().map(_.getAs[Long]("seq")).toList == List(3L, 4L, 5L))
+    st.rollback()
+    assert(st.consumeRecords().map(_.getAs[Long]("seq")).toList == List(3L, 4L, 5L))
+  }
+
+  test("rollback after checkpoint restores the checkpoint, not execution start") {
+    val e = engineWithEvents(5)
+    val st = e.table("ev").asStream(orderBy = "seq")
+    st.consumeRecords().take(2).foreach(_ => ())
+    st.checkpoint()
+    st.consumeRecords().take(2).foreach(_ => ())
+    st.rollback()
+    assert(st.consumeRecords().map(_.getAs[Long]("seq")).toList == List(3L, 4L, 5L))
+  }
+
   test("timestamp cursor round-trips through persisted state across executions") {
     // checkpoint normalizes a Timestamp cursor to an ISO-8601 string; the
     // next execution's plan compares the TimestampType column against that

@@ -219,4 +219,13 @@ class TableSpec extends SparkSpec {
     u.replace(Seq((2L, "b")).toDF("id", "v"))
     assert(e.catalog.versionDir("t15", uv1).toFile.exists, "no policy => no sweep")
   }
+
+  test("event log trims to MaxEvents while eventCounter keeps the all-time total") {
+    val c = new graft.catalog.TableCatalog(java.nio.file.Paths.get(freshRoot()))
+    (1 to graft.catalog.TableCatalog.MaxEvents + 5)
+      .foreach(_ => c.recordEvent("t16", "update"))
+    val m = c.load("t16").get
+    assert(m.events.size == graft.catalog.TableCatalog.MaxEvents)
+    assert(m.eventCounter == graft.catalog.TableCatalog.MaxEvents + 5)
+  }
 }
