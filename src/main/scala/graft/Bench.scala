@@ -37,7 +37,7 @@ object Bench {
     // their steady state purely in codegen/JIT). Plan-handle memos are
     // keyed by dir, so nothing computed here leaks into the measured sf.
     locally {
-      val warmDir = "/root/testdata/sf0.001"
+      val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
       // never warm with the measured dir itself: Q.memo keys by dir, so a
       // same-dir warmup would prebuild every persisted intermediate and
       // the timed loop would measure cache hits
@@ -77,7 +77,24 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full-precision, full-name per-query detail for humans/archaeology.
+    // Prefixed so it can never be mistaken for the machine-readable line.
+    println(s"""#detail {"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver keeps only the LAST ~2000 chars of output and json-parses
+    // the result line from that window (BENCH_r03.json: the 79-query
+    // full-precision line is ~2900 chars and got truncated -> parsed:null).
+    // So the FINAL line must be compact: short keys ("q01_lineitem_agg" ->
+    // "q01", unique across the battery) and 3-decimal seconds keep it
+    // ~1k chars for 79 queries. Falls back to full names on prefix clash.
+    val shortNames = {
+      val prefixes = results.map(_._1.takeWhile(_ != '_'))
+      if (prefixes.distinct.length == prefixes.length) prefixes
+      else results.map(_._1)
+    }
+    val compactQs = shortNames.zip(results).map { case (sk, (_, v)) =>
+      f""""$sk":$v%.3f"""
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$compactQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -42,9 +42,17 @@ class State(stateDir: Path, nodeId: String,
     Files.write(tmp,
       JsonMethods.compact(JsonMethods.render(JObject(cache.toList: _*)))
         .getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, path,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try
+      Files.move(tmp, path,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // Some filesystems (network/overlay mounts) can't rename atomically;
+      // a best-effort plain replace beats failing every state persist.
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, path,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   private def toJ(v: Any): JValue = v match {

@@ -187,7 +187,10 @@ object DedupQueries {
     }
 
   /** Max edge count routed to the driver union-find in [[componentsOf]].
-    * 4M (da, db) longs ≈ 64 MB collected — well inside any driver. The
+    * Worst case at the threshold: 8M distinct nodes in the open-addressing
+    * parent map of [[driverComponents]] ≈ 2×16M-slot long arrays = 256 MB,
+    * plus a transient result buffer — comfortably inside the 24g default
+    * driver and still safe under a SPARK_DRIVER_MEM=8g override. The
     * near-dup pair graph is |near-dups|-sized, not corpus-sized, so even a
     * 100 TB corpus with a few million duplicate pairs takes this path; a
     * pathological corpus (most of it duplicated) overflows the threshold
@@ -213,22 +216,61 @@ object DedupQueries {
     */
   private[graft] def driverComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
     import s.implicits._
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    // Open-addressing long->long parent map (linear probing, power-of-two
+    // capacity, Long.MinValue = empty): ~16 B/entry in two flat arrays vs
+    // ~100 B/entry for a boxed mutable.HashMap — at the DriverCCMaxEdges
+    // worst case (8M nodes) that's ~256 MB instead of ~1 GB of GC churn.
+    var cap = 1 << 16
+    var keys = Array.fill(cap)(Long.MinValue)
+    var vals = new Array[Long](cap)
+    var used = 0
+    def slot(k: Long): Int = {
+      var i = java.lang.Long.hashCode(k * -7046029254386353131L) & (cap - 1)
+      while (keys(i) != Long.MinValue && keys(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap <<= 1
+      keys = Array.fill(cap)(Long.MinValue); vals = new Array[Long](cap)
+      var j = 0
+      while (j < ok.length) {
+        if (ok(j) != Long.MinValue) { val i = slot(ok(j)); keys(i) = ok(j); vals(i) = ov(j) }
+        j += 1
+      }
+    }
+    def ensure(k: Long): Int = {
+      var i = slot(k)
+      if (keys(i) == Long.MinValue) {
+        keys(i) = k; vals(i) = k; used += 1
+        if (used * 2 > cap) { grow(); i = slot(k) }
+      }
+      i
+    }
     def find(x: Long): Long = {
       var r = x
-      while (parent(r) != r) r = parent(r)
+      while (vals(slot(r)) != r) r = vals(slot(r))
       var c = x
-      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      while (c != r) { val i = slot(c); val nx = vals(i); vals(i) = r; c = nx }
       r
     }
-    pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
-      parent.getOrElseUpdate(a, a)
-      parent.getOrElseUpdate(b, b)
+    // toLocalIterator: one partition of boxed rows in flight at a time
+    // instead of a fully-materialized collect() array alongside the map.
+    val it = pairs.as[(Long, Long)].toLocalIterator()
+    while (it.hasNext) {
+      val (a, b) = it.next()
+      ensure(a); ensure(b)
       val ra = find(a); val rb = find(b)
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      if (ra != rb) vals(slot(math.max(ra, rb))) = math.min(ra, rb)
     }
-    parent.keysIterator.map(x => (x, find(x))).toSeq
-      .toDF("doc_id", "label")
+    val out = Array.newBuilder[(Long, Long)]
+    out.sizeHint(used)
+    var j = 0
+    while (j < keys.length) {
+      if (keys(j) != Long.MinValue) out += ((keys(j), find(keys(j))))
+      j += 1
+    }
+    out.result().toSeq.toDF("doc_id", "label")
   }
 
   /** Distributed min-label propagation with POINTER DOUBLING — the 100 TB
@@ -541,6 +583,33 @@ object DedupQueries {
         .filter(col("cosine") > 0.4)
         .select("label", "va", "vb", "cosine")
         .orderBy("label", "va", "vb")
+    },
+    // D1/D2 audit — per-document duplicate-n-gram coverage: the fraction of
+    // a doc's distinct shingles that occur in ≥2 documents. This is the
+    // standard corpus-contamination profile (how much of each doc is
+    // boilerplate/copied) and the per-doc counterpart of d02's pair view.
+    // Shape at scale: reuses the persisted shingle table; one shuffle on
+    // the 60-bit hash builds doc-frequencies (ints, partial-agg'd
+    // map-side), one shuffle joins them back — never materializes pairs.
+    // Zero-shingle docs surface with n_grams=0 via the left join from
+    // documents, mirrored in the oracle.
+    "d34_ngram_coverage" -> { (s, dir) =>
+      val grams = docShingles(s, dir)
+        .select(col("doc_id"), explode(col("h_arr")).as("h"))
+      // h_arr is per-doc distinct, so count(*) per hash = document frequency
+      val dfreq = grams.groupBy("h").agg(count(lit(1)).as("df"))
+      val perDoc = grams.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      t(s, dir, "documents").select("doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+            .otherwise(col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
+        .orderBy("doc_id")
     }
   )
 
@@ -764,6 +833,22 @@ object DedupQueries {
          |       ${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
          |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.4
-         |ORDER BY label, va, vb""".stripMargin
+         |ORDER BY label, va, vb""".stripMargin,
+    "d34_ngram_coverage" ->
+      s"""WITH $shingleSql,
+         |shh AS (SELECT doc_id, ${oTokenHash60("shingle")} AS h FROM sh),
+         |dfreq AS (SELECT h, COUNT(*) AS df FROM shh GROUP BY h),
+         |per_doc AS (
+         |  SELECT shh.doc_id, COUNT(*) AS n_grams,
+         |         CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM shh JOIN dfreq ON shh.h = dfreq.h
+         |  GROUP BY shh.doc_id)
+         |SELECT d.doc_id,
+         |       COALESCE(n_grams, 0) AS n_grams,
+         |       COALESCE(n_dup, 0) AS n_dup,
+         |       CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
+         |            ELSE CAST(n_dup AS DOUBLE) / n_grams END AS dup_frac
+         |FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+         |ORDER BY d.doc_id""".stripMargin
   )
 }

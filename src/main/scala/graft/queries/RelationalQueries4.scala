@@ -154,6 +154,21 @@ object RelationalQueries4 {
             .otherwise(array_join(array_sort(col("ps")), ",")))
         .select("status", "priorities", "n_priorities")
         .orderBy("status")
+    },
+    // C23 — multiset set ops (INTERSECT ALL / EXCEPT ALL), completing the
+    // bag-semantics half of the q19 set-op family: per-customer order
+    // MULTIPLICITIES under status O ∩all F, minus P occurrences. Catalyst
+    // plans both as a single hash aggregate over a tagged union (count-min
+    // per side) — one shuffle each, no join; the final groupBy collapses
+    // surviving duplicates so the output is deterministic.
+    "q47_set_ops_all" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      def ck(st: String) =
+        o.filter(col("o_orderstatus") === st).select("o_custkey")
+      ck("O").intersectAll(ck("F")).exceptAll(ck("P"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("multiplicity"))
+        .orderBy("o_custkey")
     }
   )
 
@@ -246,6 +261,14 @@ object RelationalQueries4 {
         |       string_agg(DISTINCT o_orderpriority, ','
         |                  ORDER BY o_orderpriority) AS priorities,
         |       COUNT(DISTINCT o_orderpriority) AS n_priorities
-        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    "q47_set_ops_all" ->
+      """SELECT o_custkey, COUNT(*) AS multiplicity FROM (
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |   INTERSECT ALL
+        |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |) GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 }

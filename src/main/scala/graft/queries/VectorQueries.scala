@@ -226,6 +226,35 @@ object VectorQueries {
           col("best.cosine").as("cosine"))
         .withColumn("is_semantic_dup", col("cosine") >= 0.6)
         .orderBy("eval_id")
+    },
+    // D3e — contrastive pair mining: for each anchor, the HARDEST NEGATIVE
+    // (most-similar vector with a different label) and HARDEST POSITIVE
+    // (least-similar vector with the same label). Same 100 TB shape as
+    // d32: broadcast the anchor set, stream the corpus once, and collapse
+    // the cross product map-side with conditional struct-extrema partial
+    // aggregation — nothing corpus-sized is shuffled. max(struct(cos,
+    // -id)) = (cosine DESC, id ASC); min(struct(cos, id)) = (cosine ASC,
+    // id ASC); the whens null out the other-label rows and max/min skip
+    // nulls, so one aggregate pass computes both extremes.
+    "d35_hard_negatives" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val anch = v.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+          col("embedding").as("ae"), col("nrm").as("an"))
+      v.crossJoin(broadcast(anch))
+        .filter(col("vec_id") =!= col("a_id"))
+        .withColumn("cosine",
+          cosineWithNorms(dot(col("embedding"), col("ae")), col("nrm"), col("an")))
+        .groupBy("a_id")
+        .agg(
+          max(when(col("label") =!= col("a_label"),
+            struct(col("cosine"), (-col("vec_id")).as("nid")))).as("hn"),
+          min(when(col("label") === col("a_label"),
+            struct(col("cosine"), col("vec_id").as("pid")))).as("hp"))
+        .select(col("a_id"),
+          (-col("hn.nid")).as("neg_id"), col("hn.cosine").as("neg_cos"),
+          col("hp.pid").as("pos_id"), col("hp.cosine").as("pos_cos"))
+        .orderBy("a_id")
     }
   )
 
@@ -346,6 +375,32 @@ object VectorQueries {
          |                    train_id) AS rn
          |  FROM tr CROSS JOIN ev)
          |SELECT eval_id, train_id, cosine, cosine >= 0.6 AS is_semantic_dup
-         |FROM scored WHERE rn = 1 ORDER BY eval_id""".stripMargin
+         |FROM scored WHERE rn = 1 ORDER BY eval_id""".stripMargin,
+    "d35_hard_negatives" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, embedding, ${oNorm("embedding")} AS nrm
+         |  FROM embeddings),
+         |a AS (SELECT vec_id AS a_id, label AS a_label, embedding AS ae,
+         |             nrm AS an
+         |      FROM v WHERE vec_id < 50),
+         |sc AS (
+         |  SELECT a_id, a_label, v.vec_id, v.label,
+         |         ${oDot("v.embedding", "a.ae")} / (v.nrm * a.an) AS cosine
+         |  FROM v CROSS JOIN a WHERE v.vec_id != a.a_id),
+         |neg AS (
+         |  SELECT a_id, vec_id, cosine,
+         |         row_number() OVER (PARTITION BY a_id
+         |           ORDER BY cosine DESC, vec_id) AS rn
+         |  FROM sc WHERE label != a_label),
+         |pos AS (
+         |  SELECT a_id, vec_id, cosine,
+         |         row_number() OVER (PARTITION BY a_id
+         |           ORDER BY cosine ASC, vec_id) AS rn
+         |  FROM sc WHERE label = a_label)
+         |SELECT n.a_id, n.vec_id AS neg_id, n.cosine AS neg_cos,
+         |       p.vec_id AS pos_id, p.cosine AS pos_cos
+         |FROM (SELECT * FROM neg WHERE rn = 1) n
+         |LEFT JOIN (SELECT * FROM pos WHERE rn = 1) p ON n.a_id = p.a_id
+         |ORDER BY n.a_id""".stripMargin
   )
 }
