@@ -95,9 +95,48 @@ object StreamingPipelines {
     * new catalog version dir.
     */
   def toMemorySink(df: DataFrame, name: String, complete: Boolean): StreamingQuery =
-    df.writeStream.format("memory").queryName(name)
-      .outputMode(if (complete) OutputMode.Complete else OutputMode.Update)
-      .start()
+    toMemorySink(df, name,
+      if (complete) OutputMode.Complete else OutputMode.Update)
+
+  /** Explicit-mode overload: stream-stream joins only run in Append. */
+  def toMemorySink(df: DataFrame, name: String, mode: OutputMode): StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+
+  /** Watermarked STREAM-STREAM inner join — click→purchase attribution:
+    * each purchase matches same-user clicks at most `attributionWindow`
+    * before it. Expected schemas: clicks(user_id, click_id, click_ts),
+    * purchases(user_id, purchase_id, purchase_ts).
+    *
+    * Both inputs carry watermarks and the join predicate bounds their
+    * event-time distance in BOTH directions — exactly the conditions Spark
+    * needs to prove each side's join state droppable; without them an
+    * unbounded stream-stream join buffers forever. State shards by the
+    * equi-key (user_id) across executors, so the shape holds at cluster
+    * scale. Append-only output (rows emit once both watermarks pass).
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      attributionWindow: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("click_ts", watermarkDelay).alias("c")
+    val p = purchases.withWatermark("purchase_ts", watermarkDelay).alias("p")
+    c.join(p, expr(
+      s"""c.user_id = p.user_id AND
+         |p.purchase_ts >= c.click_ts AND
+         |p.purchase_ts <= c.click_ts + INTERVAL $attributionWindow""".stripMargin))
+      .select(col("c.user_id"), col("c.click_id"), col("p.purchase_id"),
+        col("c.click_ts"), col("p.purchase_ts"))
+  }
+
+  /** STREAM-STATIC enrichment: join each micro-batch against a catalog
+    * dimension snapshot. The static side re-executes per micro-batch (so a
+    * dim refresh is picked up without restarting the query) and the
+    * broadcast hint keeps the stream side shuffle-free — the standard
+    * enrichment shape for small dims; drop the hint when the dim outgrows
+    * broadcast and let AQE pick the join.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
 
   /** Streaming NEAR-dup candidate filter — the LSH counterpart of
     * [[dedupStream]]: each incoming doc fans out to its MinHash band

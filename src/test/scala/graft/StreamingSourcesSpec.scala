@@ -201,6 +201,54 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked stream-stream attribution join emits bounded matches") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamingPipelines.attributionJoin(
+      clicks.toDF().toDF("user_id", "click_id", "click_ts"),
+      purchases.toDF().toDF("user_id", "purchase_id", "purchase_ts"),
+      attributionWindow = "30 minutes", watermarkDelay = "10 minutes")
+    val q = StreamingPipelines.toMemorySink(joined, "attr",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      clicks.addData(
+        (1L, 100L, Timestamp.valueOf("2024-01-01 00:00:00")),
+        (1L, 101L, Timestamp.valueOf("2024-01-01 00:10:00")),
+        (2L, 102L, Timestamp.valueOf("2024-01-01 00:00:00")))
+      purchases.addData(
+        (1L, 900L, Timestamp.valueOf("2024-01-01 00:20:00")), // joins 100+101
+        (2L, 901L, Timestamp.valueOf("2024-01-01 01:00:00"))) // outside window
+      q.processAllAvailable()
+      // advance both watermarks far enough to close and emit all matches
+      // (disjoint users, so the advancing rows cannot join each other)
+      clicks.addData((8L, 999L, Timestamp.valueOf("2024-01-01 03:00:00")))
+      purchases.addData((9L, 998L, Timestamp.valueOf("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("attr")
+        .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+      assert(out == Set((100L, 900L), (101L, 900L)))
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment joins each micro-batch against a dim table") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val enriched = StreamingPipelines.enrichWithDim(
+      ms.toDF().toDF("user_id", "value"), dim, Seq("user_id"))
+    val q = StreamingPipelines.toMemorySink(enriched, "enriched",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    try {
+      ms.addData((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      q.processAllAvailable()
+      val out = spark.table("enriched")
+        .select("user_id", "tier").as[(Long, Option[String])].collect().toSet
+      // unmatched keys survive (left join) with a null tier
+      assert(out == Set((1L, Some("gold")), (2L, Some("basic")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("webhook ingest + respond_to_request append keyed rows (A30)") {
     val e = new GraftEngine(spark, freshRoot())
     Webhook.ingest(e, "hook", "req-1", """{"x":1}""")
