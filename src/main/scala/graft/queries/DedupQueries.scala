@@ -610,6 +610,33 @@ object DedupQueries {
           when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
             .otherwise(col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
         .orderBy("doc_id")
+    },
+    // D1/D2 audit — cross-SOURCE contamination matrix: shingle-set Jaccard
+    // between every source pair (how much of source A's content also lives
+    // in source B). Shape at scale: the corpus collapses to distinct
+    // (source, hash) rows FIRST — an inverted index aggregated to source
+    // level, linear in corpus shingles — and the pair join fans out at
+    // most |sources|² rows per hash, so pair blowup is bounded by the
+    // (tiny, fixed) source count, never by corpus size.
+    "d36_source_overlap" -> { (s, dir) =>
+      val srcHash = Q.memo(s, dir, "srcHash") {
+        docShingles(s, dir)
+          .join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
+          .select(col("source"), explode(col("h_arr")).as("h"))
+          .distinct()
+          .persist()
+      }
+      val counts = srcHash.groupBy("source").agg(count(lit(1)).as("n_h"))
+      srcHash.select(col("source").as("src_a"), col("h"))
+        .join(srcHash.select(col("source").as("src_b"), col("h")), "h")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(counts.select(col("source").as("src_a"), col("n_h").as("n_a"))), "src_a")
+        .join(broadcast(counts.select(col("source").as("src_b"), col("n_h").as("n_b"))), "src_b")
+        .withColumn("jaccard", col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")))
+        .select("src_a", "src_b", "n_shared", "n_a", "n_b", "jaccard")
+        .orderBy("src_a", "src_b")
     }
   )
 
@@ -849,6 +876,23 @@ object DedupQueries {
          |       CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
          |            ELSE CAST(n_dup AS DOUBLE) / n_grams END AS dup_frac
          |FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+    "d36_source_overlap" ->
+      s"""WITH $shingleSql,
+         |sshh AS (
+         |  SELECT DISTINCT d.source, ${oTokenHash60("sh.shingle")} AS h
+         |  FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+         |cnt AS (SELECT source, COUNT(*) AS n_h FROM sshh GROUP BY source),
+         |pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+         |  FROM sshh a JOIN sshh b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY src_a, src_b)
+         |SELECT src_a, src_b, n_shared, ca.n_h AS n_a, cb.n_h AS n_b,
+         |       CAST(n_shared AS DOUBLE) / (ca.n_h + cb.n_h - n_shared)
+         |         AS jaccard
+         |FROM pairs
+         |JOIN cnt ca ON src_a = ca.source
+         |JOIN cnt cb ON src_b = cb.source
+         |ORDER BY src_a, src_b""".stripMargin
   )
 }

@@ -169,6 +169,35 @@ object RelationalQueries4 {
         .groupBy("o_custkey")
         .agg(count(lit(1)).as("multiplicity"))
         .orderBy("o_custkey")
+    },
+    // C5/A4 — ANSI three-valued NOT IN/IN against a subquery whose result
+    // set contains NULLs, through the SQL surface: with a NULL in the set,
+    // `x NOT IN (...)` can never be TRUE (x ∉ set evaluates UNKNOWN), so
+    // n_not_in_nullset collapses to 0 while the NULL-free NOT IN keeps its
+    // anti-join semantics and IN keeps matching the non-null members. The
+    // null-aware anti join this plans to is one of the classic
+    // correctness traps rewrite engines get wrong — pinned here against
+    // the oracle.
+    "q48_not_in_nulls" -> { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("graft_customer")
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders_q48")
+      s.sql(
+        """SELECT
+          |  (SELECT COUNT(*) FROM graft_customer
+          |   WHERE c_custkey NOT IN (SELECT o_custkey FROM graft_orders_q48
+          |                           WHERE o_orderstatus = 'P')) AS n_not_in,
+          |  (SELECT COUNT(*) FROM graft_customer
+          |   WHERE c_custkey NOT IN (
+          |     SELECT CASE WHEN o_totalprice > 200000 THEN NULL
+          |                 ELSE o_custkey END
+          |     FROM graft_orders_q48
+          |     WHERE o_orderstatus = 'P')) AS n_not_in_nullset,
+          |  (SELECT COUNT(*) FROM graft_customer
+          |   WHERE c_custkey IN (
+          |     SELECT CASE WHEN o_totalprice > 200000 THEN NULL
+          |                 ELSE o_custkey END
+          |     FROM graft_orders_q48
+          |     WHERE o_orderstatus = 'P')) AS n_in_nullset""".stripMargin)
     }
   )
 
@@ -269,6 +298,21 @@ object RelationalQueries4 {
         |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
         |  EXCEPT ALL
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
-        |) GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+        |) GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q48_not_in_nulls" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                           WHERE o_orderstatus = 'P')) AS n_not_in,
+        |  (SELECT COUNT(*) FROM customer
+        |   WHERE c_custkey NOT IN (
+        |     SELECT CASE WHEN o_totalprice > 200000 THEN NULL
+        |                 ELSE o_custkey END
+        |     FROM orders WHERE o_orderstatus = 'P')) AS n_not_in_nullset,
+        |  (SELECT COUNT(*) FROM customer
+        |   WHERE c_custkey IN (
+        |     SELECT CASE WHEN o_totalprice > 200000 THEN NULL
+        |                 ELSE o_custkey END
+        |     FROM orders WHERE o_orderstatus = 'P')) AS n_in_nullset""".stripMargin
   )
 }

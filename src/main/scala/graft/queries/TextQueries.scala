@@ -232,14 +232,16 @@ object TextQueries {
     // window per doc — every stage keyed, no corpus-sized driver state.
     "d31_tfidf_keywords" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      // persisted: feeds both the term-frequency and doc-frequency aggs —
-      // Spark doesn't dedup common subplans, so unpersisted it would
-      // tokenize the corpus twice
-      val tok = t(s, dir, "documents")
+      // tf first, then df FROM tf: tf has exactly one row per (doc, tok),
+      // so per-token row counts of tf ARE document frequencies — the
+      // corpus is tokenized once and the countDistinct expand disappears.
+      // tf (not the exploded token table) is what persists: it feeds both
+      // the join and the df agg, and it's the smaller frame.
+      val tf = t(s, dir, "documents")
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         .persist()
-      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val docFreq = tok.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      val docFreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val n = t(s, dir, "documents").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("tok"))
