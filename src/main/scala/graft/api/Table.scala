@@ -384,6 +384,35 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     writeNewVersion(empty, "update", bucketed = false)
   }
 
+  /** Consolidate the ACTIVE version's file layout into a new version with
+    * identical rows — small-files compaction for append-heavy tables
+    * (every flush writes ≥1 parquet file per task, so a long-running feed
+    * degrades every downstream scan with per-file open + footer costs).
+    * Bucketed layouts rewrite through the bucket path (files merge within
+    * each `__bucket=K` dir and the `_BUCKETS` marker re-attests pruning);
+    * plain layouts coalesce to `targetFiles` — coalesce, not repartition:
+    * no shuffle, just fewer, larger files. Write-time clustering
+    * (sortWithinPartitions on the key/role columns) is reapplied so
+    * min/max file pruning survives the rewrite. The pointer swap records
+    * a "compact" event for observability but does NOT bump the trigger
+    * counter: content is unchanged, so downstream nodes must not re-run.
+    */
+  def compact(targetFiles: Int = 1): Unit = if (connected) {
+    flush()
+    activeDf.foreach { df =>
+      val (_, vid) = catalog.createVersion(name)
+      val dir = catalog.versionDir(name, vid).toString
+      bucketCount match {
+        case Some(n) =>
+          writeInto(clustered(df), dir, SaveMode.Overwrite, Some(n))
+        case None =>
+          writeInto(clustered(df.coalesce(math.max(1, targetFiles))), dir,
+            SaveMode.Overwrite, None)
+      }
+      catalog.setActive(name, Some(vid), "compact", trigger = false)
+    }
+  }
+
   /** Active pointer := fresh null version; old data stays on disk until
     * GC'd per retention policy (node.py:399-405, :216-222).
     */

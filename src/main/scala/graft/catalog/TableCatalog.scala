@@ -139,7 +139,13 @@ class TableCatalog(val root: Path) {
   /** Swap the active pointer and append the triggering event; then apply
     * the table's retention policy to the now-superseded versions.
     */
-  def setActive(name: String, vid: Option[String], eventKind: String): TableManifest =
+  /** `trigger = false` records the event in the history window but does
+    * NOT bump `eventCounter` (the downstream-trigger signal) — for
+    * content-neutral pointer swaps like compaction, where re-running
+    * consumers would reprocess identical rows.
+    */
+  def setActive(name: String, vid: Option[String], eventKind: String,
+      trigger: Boolean = true): TableManifest =
     synchronized {
       val m = loadOrCreate(name)
       val now = System.currentTimeMillis()
@@ -154,7 +160,7 @@ class TableCatalog(val root: Path) {
         versions = versions,
         events = (m.events :+ TableEvent(eventKind, vid.getOrElse(""), now))
           .takeRight(TableCatalog.MaxEvents),
-        eventCounter = m.eventCounter + 1)
+        eventCounter = m.eventCounter + (if (trigger) 1 else 0))
       save(m2)
       m2.meta.retentionMillis.foreach(gc(name, _))
       load(name).getOrElse(m2)

@@ -220,6 +220,43 @@ class TableSpec extends SparkSpec {
     assert(e.catalog.versionDir("t15", uv1).toFile.exists, "no policy => no sweep")
   }
 
+  test("compact consolidates files, keeps rows, and does not trigger downstream") {
+    val e = engine()
+    val t = e.table("t17", "w")
+    // many tiny appends => many parquet files in the active version dir
+    (1 to 5).foreach { i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")); t.flush() }
+    def parquetFiles(vid: String): Int =
+      e.catalog.versionDir("t17", vid).toFile.listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(parquetFiles(t.getActiveVersion.get) >= 5)
+    val counterBefore = t.manifest.eventCounter
+    val before = t.read.as[(Long, String)].collect().toSet
+    t.compact()
+    assert(t.read.as[(Long, String)].collect().toSet == before)
+    assert(parquetFiles(t.getActiveVersion.get) == 1)
+    // observability event recorded, trigger counter untouched
+    assert(t.manifest.events.last.kind == "compact")
+    assert(t.manifest.eventCounter == counterBefore)
+  }
+
+  test("compact preserves a bucketed layout and its pruning marker") {
+    val e = engine()
+    val t = e.table("t18", "w")
+    t.init(uniqueOn = Seq("id"), bucketBy = 4)
+    (1 to 4).foreach { i =>
+      t.append(Seq((i.toLong * 10, s"v$i")).toDF("id", "v")); t.flush()
+    }
+    val before = t.read.select("id", "v").as[(Long, String)].collect().toSet
+    t.compact()
+    val dir = e.catalog.versionDir("t18", t.getActiveVersion.get).toFile
+    assert(new java.io.File(dir, graft.api.Table.BucketMarker).exists,
+      "compacted version re-attests its bucket layout")
+    assert(dir.listFiles().count(_.getName.startsWith("__bucket=")) > 0)
+    assert(t.read.select("id", "v").as[(Long, String)].collect().toSet == before)
+    // point lookup still works against the compacted layout
+    assert(t.lookup(Seq(20L)).count() == 1)
+  }
+
   test("event log trims to MaxEvents while eventCounter keeps the all-time total") {
     val c = new graft.catalog.TableCatalog(java.nio.file.Paths.get(freshRoot()))
     (1 to graft.catalog.TableCatalog.MaxEvents + 5)
