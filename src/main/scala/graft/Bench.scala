@@ -91,10 +91,14 @@ object Bench {
       if (prefixes.distinct.length == prefixes.length) prefixes
       else results.map(_._1)
     }
+    // Locale.ROOT formatting: the f-interpolator uses the JVM default
+    // locale, which renders "0,123" under e.g. LANG=de_DE — invalid JSON.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val compactQs = shortNames.zip(results).map { case (sk, (_, v)) =>
-      f""""$sk":$v%.3f"""
+      s""""$sk":${f3(v)}"""
     }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$compactQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

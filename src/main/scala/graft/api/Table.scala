@@ -400,16 +400,19 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
   def compact(targetFiles: Int = 1): Unit = if (connected) {
     flush()
     activeDf.foreach { df =>
-      val (_, vid) = catalog.createVersion(name)
-      val dir = catalog.versionDir(name, vid).toString
-      bucketCount match {
+      val consolidated = bucketCount match {
+        // One shuffle partition per bucket BEFORE the write: all rows of a
+        // bucket land in a single task, so the partitionBy writer emits
+        // exactly one file per __bucket dir. Without this, each read
+        // partition writes its own file into every bucket it touches and
+        // a large table consolidates ~nothing. (writeInto re-derives
+        // __bucket from the same key hash, so rows stay where the shuffle
+        // put them; clustering re-sorts within each partition after.)
         case Some(n) =>
-          writeInto(clustered(df), dir, SaveMode.Overwrite, Some(n))
-        case None =>
-          writeInto(clustered(df.coalesce(math.max(1, targetFiles))), dir,
-            SaveMode.Overwrite, None)
+          withBucket(df, n).repartition(n, col("__bucket")).drop("__bucket")
+        case None => df.coalesce(math.max(1, targetFiles))
       }
-      catalog.setActive(name, Some(vid), "compact", trigger = false)
+      writeNewVersion(consolidated, "compact", trigger = false)
     }
   }
 
@@ -530,11 +533,11 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
   }
 
   private def writeNewVersion(df: DataFrame, eventKind: String,
-      bucketed: Boolean = true): Unit = {
+      bucketed: Boolean = true, trigger: Boolean = true): Unit = {
     val (_, vid) = catalog.createVersion(name)
     writeInto(clustered(df), catalog.versionDir(name, vid).toString,
       SaveMode.Overwrite, bucketCount.filter(_ => bucketed))
-    catalog.setActive(name, Some(vid), eventKind)
+    catalog.setActive(name, Some(vid), eventKind, trigger)
   }
 }
 

@@ -118,9 +118,18 @@ class TableCatalog(val root: Path) {
     Files.createDirectories(tableDir(m.name))
     val tmp = tableDir(m.name).resolve("manifest.json.tmp")
     Files.write(tmp, Serialization.write(m).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(m.name),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try
+      Files.move(tmp, manifestPath(m.name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // Same fallback as State.persist: filesystems that can't rename
+      // atomically (network/overlay mounts) get a best-effort replace
+      // rather than failing every manifest write.
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, manifestPath(m.name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     manifestCache(m.name) = m
   }
 

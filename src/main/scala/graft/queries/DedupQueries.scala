@@ -206,8 +206,19 @@ object DedupQueries {
     * count (pairs is already materialized; count() is a cache scan).
     */
   private[graft] def componentsOf(s: SparkSession, pairs: DataFrame): DataFrame =
-    if (pairs.count() <= DriverCCMaxEdges) driverComponents(s, pairs)
+    if (pairs.count() <= DriverCCMaxEdges)
+      // the driver path's open-addressing map reserves Long.MinValue as its
+      // empty-slot sentinel; a corpus actually using that id falls through
+      // to the sentinel-free distributed loop instead of corrupting labels
+      try driverComponents(s, pairs)
+      catch { case MinKeyUnsupported => distributedComponents(s, pairs) }
     else distributedComponents(s, pairs)
+
+  /** Thrown (and caught in [[componentsOf]]) when an edge carries the
+    * open-addressing sentinel id Long.MinValue.
+    */
+  private object MinKeyUnsupported extends Exception
+    with scala.util.control.NoStackTrace
 
   /** Driver-side union-find (path compression + union-by-min-root, so each
     * tree root IS the component minimum). O(E α(E)) on one core — for the
@@ -240,6 +251,7 @@ object DedupQueries {
       }
     }
     def ensure(k: Long): Int = {
+      if (k == Long.MinValue) throw MinKeyUnsupported // = empty sentinel
       var i = slot(k)
       if (keys(i) == Long.MinValue) {
         keys(i) = k; vals(i) = k; used += 1
@@ -594,8 +606,13 @@ object DedupQueries {
     // Zero-shingle docs surface with n_grams=0 via the left join from
     // documents, mirrored in the oracle.
     "d34_ngram_coverage" -> { (s, dir) =>
-      val grams = docShingles(s, dir)
-        .select(col("doc_id"), explode(col("h_arr")).as("h"))
+      // persisted: feeds both the doc-frequency agg and the join-back —
+      // unpersisted, the explode and both shuffles' map sides run twice
+      val grams = Q.memo(s, dir, "d34grams") {
+        docShingles(s, dir)
+          .select(col("doc_id"), explode(col("h_arr")).as("h"))
+          .persist()
+      }
       // h_arr is per-doc distinct, so count(*) per hash = document frequency
       val dfreq = grams.groupBy("h").agg(count(lit(1)).as("df"))
       val perDoc = grams.join(dfreq, "h")

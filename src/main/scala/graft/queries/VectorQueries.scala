@@ -397,10 +397,11 @@ object VectorQueries {
          |         row_number() OVER (PARTITION BY a_id
          |           ORDER BY cosine ASC, vec_id) AS rn
          |  FROM sc WHERE label = a_label)
-         |SELECT n.a_id, n.vec_id AS neg_id, n.cosine AS neg_cos,
+         |SELECT b.a_id, n.vec_id AS neg_id, n.cosine AS neg_cos,
          |       p.vec_id AS pos_id, p.cosine AS pos_cos
-         |FROM (SELECT * FROM neg WHERE rn = 1) n
-         |LEFT JOIN (SELECT * FROM pos WHERE rn = 1) p ON n.a_id = p.a_id
-         |ORDER BY n.a_id""".stripMargin
+         |FROM (SELECT DISTINCT a_id FROM sc) b
+         |LEFT JOIN (SELECT * FROM neg WHERE rn = 1) n ON b.a_id = n.a_id
+         |LEFT JOIN (SELECT * FROM pos WHERE rn = 1) p ON b.a_id = p.a_id
+         |ORDER BY b.a_id""".stripMargin
   )
 }
