@@ -282,6 +282,31 @@ object TextQueries {
             lit(1))).as("n_quality_ok"),
           countDistinct("lang").as("n_langs"))
         .orderBy("source")
+    },
+    // D4j — per-source PII DENSITY report (the audit view next to d13's
+    // redaction): incidence of digit runs, email-shaped tokens, and
+    // blocklist terms, plus the fraction of fully clean docs. One
+    // map-side regexp pass per doc, one hash agg — zero joins, so the
+    // shape is corpus-scan-bound at any scale. Patterns stay in the
+    // RE2 ∩ Java-regex common subset so both engines count identically.
+    "d37_pii_stats" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("digit_runs",
+          size(expr("regexp_extract_all(text, '[0-9]+', 0)")))
+        .withColumn("email_hits",
+          size(expr("regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+', 0)")))
+        .withColumn("block_hits",
+          size(expr("regexp_extract_all(text, '\\\\b(key|hash|secret)\\\\b', 0)")))
+      d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("digit_runs") > 0, 1L).otherwise(0L)).as("docs_with_digits"),
+        sum(col("digit_runs").cast("long")).as("total_digit_runs"),
+        sum(col("email_hits").cast("long")).as("total_email_hits"),
+        sum(col("block_hits").cast("long")).as("total_block_hits"),
+        (sum(when(col("digit_runs") === 0 && col("email_hits") === 0 &&
+          col("block_hits") === 0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("clean_frac"))
+        .orderBy("source")
     }
   )
 
@@ -458,6 +483,25 @@ object TextQueries {
          |         AS n_quality_ok,
          |       COUNT(DISTINCT lang) AS n_langs
          |FROM d JOIN h USING (content_hash)
-         |GROUP BY source ORDER BY source""".stripMargin
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "d37_pii_stats" ->
+      """WITH d AS (
+        |  SELECT source,
+        |         len(regexp_extract_all(text, '[0-9]+')) AS digit_runs,
+        |         len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))
+        |           AS email_hits,
+        |         len(regexp_extract_all(text, '\b(key|hash|secret)\b'))
+        |           AS block_hits
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN digit_runs > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_with_digits,
+        |  CAST(SUM(digit_runs) AS BIGINT) AS total_digit_runs,
+        |  CAST(SUM(email_hits) AS BIGINT) AS total_email_hits,
+        |  CAST(SUM(block_hits) AS BIGINT) AS total_block_hits,
+        |  CAST(SUM(CASE WHEN digit_runs = 0 AND email_hits = 0
+        |                 AND block_hits = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS clean_frac
+        |FROM d GROUP BY source ORDER BY source""".stripMargin
   )
 }
