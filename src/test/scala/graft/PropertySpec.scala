@@ -172,4 +172,26 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("compact law: row multiset invariant, trigger counter invariant") {
+    for (i <- 1 to cases) {
+      val batches = sample(Gen.nonEmptyListOf(kvNonEmpty), i).take(4)
+      val e = new GraftEngine(spark, freshRoot())
+      val t = e.table("t", "w")
+      batches.foreach { b => t.append(b.toDF("id", "v")); t.flush() }
+      val before = t.read.as[(Long, String)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val counter = t.manifest.eventCounter
+      t.compact()
+      val after = t.read.as[(Long, String)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(after == before, s"seed=$i")           // exact multiset, dups kept
+      assert(t.manifest.eventCounter == counter, s"seed=$i")
+      // compacting twice is as safe as once
+      t.compact()
+      val again = t.read.as[(Long, String)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(again == before, s"seed=$i")
+    }
+  }
 }
