@@ -76,6 +76,18 @@ object DedupQueries {
       .persist()
   }
 
+  /** Exploded per-doc distinct shingle hashes (doc_id, h) — persisted and
+    * shared by d34 (duplicate-n-gram coverage) and d36 (source overlap):
+    * both consume the same inverted-index row stream, so it materializes
+    * once per fixture dir.
+    */
+  private[queries] def gramTable(s: SparkSession, dir: String): DataFrame =
+    Q.memo(s, dir, "gramTable") {
+      docShingles(s, dir)
+        .select(col("doc_id"), explode(col("h_arr")).as("h"))
+        .persist()
+    }
+
   /** Near-dup pairs at the 0.5 Jaccard threshold, persisted (tiny —
     * hundreds of rows); feeds d02 (pair report) and d21 (clustering).
     *
@@ -606,13 +618,7 @@ object DedupQueries {
     // Zero-shingle docs surface with n_grams=0 via the left join from
     // documents, mirrored in the oracle.
     "d34_ngram_coverage" -> { (s, dir) =>
-      // persisted: feeds both the doc-frequency agg and the join-back —
-      // unpersisted, the explode and both shuffles' map sides run twice
-      val grams = Q.memo(s, dir, "d34grams") {
-        docShingles(s, dir)
-          .select(col("doc_id"), explode(col("h_arr")).as("h"))
-          .persist()
-      }
+      val grams = gramTable(s, dir)
       // h_arr is per-doc distinct, so count(*) per hash = document frequency
       val dfreq = grams.groupBy("h").agg(count(lit(1)).as("df"))
       val perDoc = grams.join(dfreq, "h")
@@ -637,9 +643,9 @@ object DedupQueries {
     // (tiny, fixed) source count, never by corpus size.
     "d36_source_overlap" -> { (s, dir) =>
       val srcHash = Q.memo(s, dir, "srcHash") {
-        docShingles(s, dir)
+        gramTable(s, dir)
           .join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
-          .select(col("source"), explode(col("h_arr")).as("h"))
+          .select("source", "h")
           .distinct()
           .persist()
       }
