@@ -396,23 +396,38 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     * min/max file pruning survives the rewrite. The pointer swap records
     * a "compact" event for observability but does NOT bump the trigger
     * counter: content is unchanged, so downstream nodes must not re-run.
+    *
+    * Like every version swap (upsert/replace/truncate), compaction moves
+    * the active pointer to a NEW directory: a live file-stream tailing the
+    * old dir (`StreamingPipelines.tailTable`/`tailParquet`) stops seeing
+    * appends and must be restarted — and the superseded dir's retention
+    * clock starts at the swap. Schedule compaction accordingly (quiet
+    * windows, streams restarted after).
     */
   def compact(targetFiles: Int = 1): Unit = if (connected) {
     flush()
     activeDf.foreach { df =>
-      val consolidated = bucketCount match {
-        // One shuffle partition per bucket BEFORE the write: all rows of a
-        // bucket land in a single task, so the partitionBy writer emits
-        // exactly one file per __bucket dir. Without this, each read
-        // partition writes its own file into every bucket it touches and
-        // a large table consolidates ~nothing. (writeInto re-derives
-        // __bucket from the same key hash, so rows stay where the shuffle
-        // put them; clustering re-sorts within each partition after.)
-        case Some(n) =>
-          withBucket(df, n).repartition(n, col("__bucket")).drop("__bucket")
-        case None => df.coalesce(math.max(1, targetFiles))
+      if (df.isEmpty)
+        // same guard as truncate: zero rows through the partitionBy writer
+        // would emit NO parquet files and lose the schema this op promises
+        // to keep — write the empty frame plain instead
+        writeNewVersion(df, "compact", bucketed = false, trigger = false)
+      else {
+        val consolidated = bucketCount match {
+          // One shuffle partition per bucket BEFORE the write: all rows of
+          // a bucket land in a single task, so the partitionBy writer
+          // emits exactly one file per __bucket dir. Without this, each
+          // read partition writes its own file into every bucket it
+          // touches and a large table consolidates ~nothing. (writeInto
+          // re-derives __bucket from the same key hash, so rows stay where
+          // the shuffle put them; clustering re-sorts within each
+          // partition after.)
+          case Some(n) =>
+            withBucket(df, n).repartition(n, col("__bucket")).drop("__bucket")
+          case None => df.coalesce(math.max(1, targetFiles))
+        }
+        writeNewVersion(consolidated, "compact", trigger = false)
       }
-      writeNewVersion(consolidated, "compact", trigger = false)
     }
   }
 

@@ -147,8 +147,7 @@ class TableCatalog(val root: Path) {
 
   /** Swap the active pointer and append the triggering event; then apply
     * the table's retention policy to the now-superseded versions.
-    */
-  /** `trigger = false` records the event in the history window but does
+    * `trigger = false` records the event in the history window but does
     * NOT bump `eventCounter` (the downstream-trigger signal) — for
     * content-neutral pointer swaps like compaction, where re-running
     * consumers would reprocess identical rows.

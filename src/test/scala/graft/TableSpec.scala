@@ -257,6 +257,21 @@ class TableSpec extends SparkSpec {
     assert(t.lookup(Seq(20L)).count() == 1)
   }
 
+  test("compact of an empty bucketed table keeps schema and existence") {
+    val e = engine()
+    val t = e.table("t19", "w")
+    t.init(uniqueOn = Seq("id"), bucketBy = 4)
+    t.append(Seq((1L, "a")).toDF("id", "v")); t.flush()
+    t.truncate()
+    assert(t.exists && t.read.count() == 0)
+    t.compact()
+    // the truncate hazard must not come back through compact: zero rows
+    // through the partitionBy writer would write no files at all
+    assert(t.exists, "compacted empty table still exists")
+    assert(t.schema.map(_.fieldNames.toSet).contains(Set("id", "v")))
+    assert(t.read.count() == 0)
+  }
+
   test("event log trims to MaxEvents while eventCounter keeps the all-time total") {
     val c = new graft.catalog.TableCatalog(java.nio.file.Paths.get(freshRoot()))
     (1 to graft.catalog.TableCatalog.MaxEvents + 5)
