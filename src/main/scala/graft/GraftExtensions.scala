@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.FloatDotProduct
+
+/** Spark-native packaging of the engine's custom expressions: register the
+  * library through the extensions hook instead of imperative per-session
+  * calls —
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * (or `.withExtensions(new GraftExtensions)` on the builder). Every
+  * session created with the conf gets `float_dot` in its function
+  * registry; cluster deployments set one conf instead of threading
+  * `FloatDotProduct.register(spark)` through user code. The injected
+  * builder is identical to the one `register` installs, so either path
+  * yields the same analyzed plans.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"float_dot requires exactly 2 arguments, got ${exprs.length}")
+        FloatDotProduct(exprs(0), exprs(1))
+      }))
+  }
+}

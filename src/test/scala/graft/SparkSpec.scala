@@ -23,5 +23,8 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    // library functions arrive via the extensions hook, the same way a
+    // cluster deployment gets them (spark.sql.extensions=graft.GraftExtensions)
+    .withExtensions(new GraftExtensions)
     .getOrCreate()
 }
