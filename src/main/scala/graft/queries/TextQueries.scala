@@ -307,6 +307,27 @@ object TextQueries {
           col("block_hits") === 0, 1L).otherwise(0L)).cast("double") /
           count(lit(1))).as("clean_frac"))
         .orderBy("source")
+    },
+    // D4k/D5 — sliding context-window split: long documents become
+    // overlapping 64-token training windows with stride 48 (16-token
+    // overlap), the standard long-context windowing step before packing
+    // (d19). Window geometry derives from the token COUNT alone —
+    // integer-only arithmetic, no token array materialization — so the
+    // op is a map-side explode whose output is O(total_tokens / stride)
+    // rows; the fingerprint is the md5 the downstream shard writer keys
+    // on. Short docs yield exactly one (possibly short) window.
+    "d38_window_split" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n_tok", size(tokens(col("text"))))
+        .withColumn("n_win",
+          expr("CASE WHEN n_tok <= 64 THEN 1 ELSE 1 + ((n_tok - 64 + 47) div 48) END"))
+        .withColumn("w", explode(sequence(lit(0), col("n_win") - 1)))
+        .select(col("doc_id"),
+          col("w").cast("long").as("window_id"),
+          (col("w") * 48).cast("long").as("start_tok"),
+          least(lit(64), col("n_tok") - col("w") * 48).cast("long").as("win_len"),
+          md5(concat_ws(":", col("doc_id"), col("w"))).as("window_fp"))
+        .orderBy("doc_id", "window_id")
     }
   )
 
@@ -502,6 +523,23 @@ object TextQueries {
         |  CAST(SUM(CASE WHEN digit_runs = 0 AND email_hits = 0
         |                 AND block_hits = 0 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / COUNT(*) AS clean_frac
-        |FROM d GROUP BY source ORDER BY source""".stripMargin
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "d38_window_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, n_tok,
+        |         CASE WHEN n_tok <= 64 THEN 1
+        |              ELSE 1 + (n_tok - 64 + 47) // 48 END AS n_win
+        |  FROM d)
+        |SELECT doc_id,
+        |       CAST(wi AS BIGINT) AS window_id,
+        |       CAST(wi * 48 AS BIGINT) AS start_tok,
+        |       CAST(least(64, n_tok - wi * 48) AS BIGINT) AS win_len,
+        |       md5(CAST(doc_id AS VARCHAR) || ':' || CAST(wi AS VARCHAR))
+        |         AS window_fp
+        |FROM w, unnest(range(n_win)) AS t(wi)
+        |ORDER BY doc_id, window_id""".stripMargin
   )
 }
