@@ -669,6 +669,28 @@ object DedupQueries {
           (col("n_a") + col("n_b") - col("n_shared")))
         .select("src_a", "src_b", "n_shared", "n_a", "n_b", "jaccard")
         .orderBy("src_a", "src_b")
+    },
+    // D2l — near-dup-cluster-SAFE train/val/test split: the assignment a
+    // decontaminated eval needs — near-duplicate documents must land in
+    // the SAME split or train/test leakage re-enters through paraphrases.
+    // Group key = the CC label for clustered docs (memoized, shared with
+    // d21/d30), the doc itself otherwise; the split bucket hashes the
+    // GROUP (never the member), so whole clusters move atomically. Shape
+    // at scale: one left join of the corpus against the (tiny,
+    // |near-dups|-sized) label table + a map-side md5 bucket — the
+    // assignment itself adds no corpus-sized shuffle.
+    "d39_cluster_split" -> { (s, dir) =>
+      val labels = components(s, dir)
+        .select(col("doc_id"), col("label").as("lbl"))
+      val h = substring(md5(col("group_key").cast("string")), 1, 1)
+      t(s, dir, "documents").select("doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("group_key", coalesce(col("lbl"), col("doc_id")))
+        // 12/2/2 hex-prefix buckets = 75% / 12.5% / 12.5%
+        .withColumn("split",
+          when(h < "c", "train").when(h < "e", "val").otherwise("test"))
+        .select("doc_id", "group_key", "split")
+        .orderBy("doc_id")
     }
   )
 
@@ -925,6 +947,29 @@ object DedupQueries {
          |FROM pairs
          |JOIN cnt ca ON src_a = ca.source
          |JOIN cnt cb ON src_b = cb.source
-         |ORDER BY src_a, src_b""".stripMargin
+         |ORDER BY src_a, src_b""".stripMargin,
+    "d39_cluster_split" ->
+      s"""$jaccardSql,
+         |p AS (SELECT da, db FROM jac WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT da, db FROM p
+         |  UNION SELECT db, da FROM p),
+         |reach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT da, db FROM edges
+         |    UNION
+         |    SELECT r.a, e.db FROM r JOIN edges e ON r.b = e.da)
+         |  SELECT a, b FROM r),
+         |comp AS (SELECT a AS doc_id, MIN(b) AS lbl FROM reach GROUP BY a),
+         |g AS (
+         |  SELECT d.doc_id, COALESCE(c.lbl, d.doc_id) AS group_key
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, group_key,
+         |       CASE WHEN substring(md5(CAST(group_key AS VARCHAR)), 1, 1) < 'c'
+         |              THEN 'train'
+         |            WHEN substring(md5(CAST(group_key AS VARCHAR)), 1, 1) < 'e'
+         |              THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM g ORDER BY doc_id""".stripMargin
   )
 }

@@ -328,6 +328,91 @@ object TextQueries {
           least(lit(64), col("n_tok") - col("w") * 48).cast("long").as("win_len"),
           md5(concat_ws(":", col("doc_id"), col("w"))).as("window_fp"))
         .orderBy("doc_id", "window_id")
+    },
+    // D4l — per-source LEXICAL-DIVERSITY audit: vocabulary size,
+    // type-token ratio, hapax fraction. The corpus-health signal d33's
+    // volume report can't see — a source whose vocabulary stops growing
+    // (low TTR, low hapax share) is templated/machine-generated content.
+    // Shape: one explode + two hash aggs keyed by (source, token) then
+    // source — partial aggregation collapses each executor's token counts
+    // before the shuffle, so wire volume is vocab-sized, not token-sized.
+    "d40_lexical_diversity" -> { (s, dir) =>
+      val tf = t(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      val perSrc = tf.groupBy("source").agg(
+        sum("cnt").as("total_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax_tokens"))
+      val docs = t(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      docs.join(perSrc, "source")
+        .withColumn("type_token_ratio",
+          col("distinct_tokens").cast("double") / col("total_tokens"))
+        .withColumn("hapax_fraction",
+          col("hapax_tokens").cast("double") / col("distinct_tokens"))
+        .select("source", "n_docs", "total_tokens", "distinct_tokens",
+          "hapax_tokens", "type_token_ratio", "hapax_fraction")
+        .orderBy("source")
+    },
+    // D5g — PADDING-WASTE report: for each candidate context length, how
+    // many fixed-size sequences the corpus shards into and what fraction
+    // of slots is padding. The capacity-planning query behind choosing a
+    // packing strategy (d19) and window geometry (d38). Integer-only
+    // (ceil-div in BIGINT), one map-side explode by context length + one
+    // tiny hash agg — corpus-scan-bound.
+    "d41_padding_waste" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(size(tokens(col("text"))).as("n_tok"))
+        .select(col("n_tok"),
+          explode(array(lit(16), lit(32), lit(64), lit(128))).as("ctx_len"))
+        .withColumn("n_seq", expr("(n_tok + ctx_len - 1) div ctx_len"))
+        .groupBy("ctx_len").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("total_tokens"),
+          sum("n_seq").as("total_sequences"),
+          sum(col("n_seq") * col("ctx_len") - col("n_tok")).as("padding_tokens"))
+        .withColumn("padding_fraction",
+          col("padding_tokens").cast("double") /
+            (col("total_sequences") * col("ctx_len")).cast("double"))
+        .orderBy("ctx_len")
+    },
+    // D4m — APPLY the mix weights (d28 computes them, this samples by
+    // them): deterministic hash-threshold sampling toward a uniform
+    // per-language token budget at half the corpus size. Every doc's
+    // keep/drop decision is a pure function of (doc_id, lang threshold) —
+    // md5-uniform, no RNG state, reproducible shard-by-shard on any
+    // engine and any partitioning, which is what makes the sampled
+    // corpus re-derivable at 100 TB. One agg for language masses, one
+    // broadcast join back, one conditional agg — no corpus-sized shuffle.
+    "d42_mix_sample" -> { (s, dir) =>
+      val withTok = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+      val perLang = withTok.groupBy("lang")
+        .agg(sum("n_tok").as("lang_tokens"))
+      val tot = perLang.agg(sum("lang_tokens").as("total_tokens"),
+        count(lit(1)).as("n_langs"))
+      // target per-lang budget = half the uniform share; p = target/mass,
+      // capped at 1; threshold = floor(p * 65536) compared against the
+      // first 16 bits of md5(doc_id) — all IEEE-exact on both engines
+      val withP = perLang.crossJoin(broadcast(tot))
+        .withColumn("target_tokens",
+          expr("total_tokens div (2 * n_langs)"))
+        .withColumn("p", least(lit(1.0),
+          col("target_tokens").cast("double") / col("lang_tokens")))
+        .withColumn("thresh", floor(col("p") * 65536).cast("long"))
+        .select("lang", "lang_tokens", "thresh")
+      val u16 = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+        16, 10).cast("long")
+      withTok.join(broadcast(withP), "lang")
+        .withColumn("keep", u16 < col("thresh"))
+        .groupBy("lang").agg(
+          max("lang_tokens").as("lang_tokens"),
+          max("thresh").as("sample_threshold"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("kept_tokens"))
+        .orderBy("lang")
     }
   )
 
@@ -540,6 +625,69 @@ object TextQueries {
         |       md5(CAST(doc_id AS VARCHAR) || ':' || CAST(wi AS VARCHAR))
         |         AS window_fp
         |FROM w, unnest(range(n_win)) AS t(wi)
-        |ORDER BY doc_id, window_id""".stripMargin
+        |ORDER BY doc_id, window_id""".stripMargin,
+    "d40_lexical_diversity" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT source, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+        |per_src AS (
+        |  SELECT source,
+        |         CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+        |         COUNT(*) AS distinct_tokens,
+        |         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS hapax_tokens
+        |  FROM tf GROUP BY source),
+        |docs AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+        |SELECT d.source, n_docs, total_tokens, distinct_tokens, hapax_tokens,
+        |       CAST(distinct_tokens AS DOUBLE) / total_tokens
+        |         AS type_token_ratio,
+        |       CAST(hapax_tokens AS DOUBLE) / distinct_tokens
+        |         AS hapax_fraction
+        |FROM docs d JOIN per_src p ON d.source = p.source
+        |ORDER BY d.source""".stripMargin,
+    "d41_padding_waste" ->
+      """WITH d AS (
+        |  SELECT len(string_split(text, ' ')) AS n_tok FROM documents),
+        |x AS (
+        |  SELECT n_tok, ctx_len, (n_tok + ctx_len - 1) // ctx_len AS n_seq
+        |  FROM d, unnest([16, 32, 64, 128]) AS t(ctx_len))
+        |SELECT CAST(ctx_len AS INT) AS ctx_len, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(n_seq) AS BIGINT) AS total_sequences,
+        |       CAST(SUM(n_seq * ctx_len - n_tok) AS BIGINT) AS padding_tokens,
+        |       CAST(SUM(n_seq * ctx_len - n_tok) AS DOUBLE) /
+        |         (CAST(SUM(n_seq) AS BIGINT) * ctx_len) AS padding_fraction
+        |FROM x GROUP BY ctx_len ORDER BY ctx_len""".stripMargin,
+    "d42_mix_sample" ->
+      """WITH wt AS (
+        |  SELECT lang, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |pl AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS lang_tokens
+        |       FROM wt GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens,
+        |               COUNT(*) AS n_langs
+        |        FROM pl),
+        |wp AS (
+        |  SELECT lang, lang_tokens,
+        |         CAST(FLOOR(
+        |           LEAST(CAST(1.0 AS DOUBLE),
+        |                 CAST(total_tokens // (2 * n_langs) AS DOUBLE)
+        |                   / lang_tokens) * 65536) AS BIGINT) AS thresh
+        |  FROM pl, tot)
+        |SELECT w.lang,
+        |       MAX(lang_tokens) AS lang_tokens,
+        |       MAX(thresh) AS sample_threshold,
+        |       CAST(SUM(CASE WHEN u16 < thresh THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_kept,
+        |       CAST(SUM(CASE WHEN u16 < thresh THEN n_tok ELSE 0 END) AS BIGINT)
+        |         AS kept_tokens
+        |FROM (SELECT lang, n_tok,
+        |             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |                  AS BIGINT) AS u16
+        |      FROM wt) w
+        |JOIN wp ON w.lang = wp.lang
+        |GROUP BY w.lang ORDER BY w.lang""".stripMargin
   )
 }
