@@ -413,6 +413,29 @@ object TextQueries {
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("kept_tokens"))
         .orderBy("lang")
+    },
+    // D4n — BPE MERGE-PAIR statistics (tokenizer induction, step 1): count
+    // every adjacent token pair in the corpus and keep the top-20 merge
+    // candidates — the pair a byte-pair-encoding trainer would merge first,
+    // plus document spread (a pair frequent in ONE doc is repetition, d24's
+    // signal; frequent across MANY docs is a unit worth a vocab slot).
+    // Shape: pairs are built map-side inside the scan (zip_with over two
+    // slices — no self-join, no positional explode), then one hash agg on
+    // the pair string with partial aggregation, then TakeOrdered(20). At
+    // 100 TB the agg key space is vocab², bounded and skew-free.
+    "d44_bpe_pairs" -> { (s, dir) =>
+      val toks = tokens(col("text"))
+      val len = greatest(size(toks) - 1, lit(0))
+      val pairs = zip_with(
+        slice(toks, lit(1), len), slice(toks, lit(2), len),
+        (a, b) => concat(a, lit(" "), b))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(pairs).as("pair"))
+        .groupBy("pair").agg(
+          count(lit(1)).as("n_occurrences"),
+          countDistinct("doc_id").as("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("pair"))
+        .limit(20)
     }
   )
 
@@ -688,6 +711,19 @@ object TextQueries {
         |                  AS BIGINT) AS u16
         |      FROM wt) w
         |JOIN wp ON w.lang = wp.lang
-        |GROUP BY w.lang ORDER BY w.lang""".stripMargin
+        |GROUP BY w.lang ORDER BY w.lang""".stripMargin,
+    "d44_bpe_pairs" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pairs AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(t)),
+        |           i -> t[i] || ' ' || t[i + 1])) AS pair
+        |  FROM tk)
+        |SELECT pair,
+        |       COUNT(*) AS n_occurrences,
+        |       COUNT(DISTINCT doc_id) AS n_docs
+        |FROM pairs GROUP BY pair
+        |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin
   )
 }

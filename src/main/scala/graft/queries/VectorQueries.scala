@@ -227,6 +227,53 @@ object VectorQueries {
         .withColumn("is_semantic_dup", col("cosine") >= 0.6)
         .orderBy("eval_id")
     },
+    // D3f — QUANTIZED ANN (int8 symmetric) + recall audit: per-vector scale
+    // 127/max|component|, components rounded half-up to int8 range, top-3
+    // by INTEGER dot product, each hit flagged against the exact-cosine
+    // top-3 (the d05 baseline). This is the memory path at 100 TB — int8
+    // vectors are 4x smaller than float32, the integer dot is exact (no
+    // accumulation-order concern at any parallelism: |q|,|v| ≤ 127, 64
+    // dims → |dot| ≤ 127²·64 < 2^20, sums in BIGINT), and the recall
+    // column is the quality gate for switching search to the quantized
+    // representation. Same broadcast-queries/one-corpus-scan shape as d05.
+    "d43_quantized_knn" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      // per-vector symmetric int8 quantization (double math is IEEE-exact
+      // and identical in the oracle; zero vectors quantize to all-zero)
+      val maxabs = array_max(transform(col("embedding"),
+        x => abs(x.cast("double"))))
+      val qv = v
+        .withColumn("scl",
+          when(maxabs > 0.0, lit(127.0) / maxabs).otherwise(lit(0.0)))
+        .withColumn("qe", transform(col("embedding"),
+          x => floor(x.cast("double") * col("scl") + 0.5).cast("long")))
+        .select("vec_id", "qe")
+      val q = qv.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+      // exact-cosine top-3 (the d05 ranking) as the recall reference
+      val wEx = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val exact = v.crossJoin(broadcast(queriesSet(v)))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine",
+          cosineWithNorms(dot(col("embedding"), col("qe")), col("nrm"), col("qn")))
+        .withColumn("rank", row_number().over(wEx))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("vec_id"), lit(true).as("in_exact_top3"))
+      val wQ = Window.partitionBy("q_id")
+        .orderBy(col("qdot").desc, col("vec_id"))
+      qv.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("qdot",
+          aggregate(zip_with(col("qe"), col("qq"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x))
+        .withColumn("rank", row_number().over(wQ))
+        .filter(col("rank") <= 3)
+        .join(exact, Seq("q_id", "vec_id"), "left")
+        .select(col("q_id"), col("rank"), col("vec_id"), col("qdot"),
+          coalesce(col("in_exact_top3"), lit(false)).as("in_exact_top3"))
+        .orderBy("q_id", "rank")
+    },
     // D3e — contrastive pair mining: for each anchor, the HARDEST NEGATIVE
     // (most-similar vector with a different label) and HARDEST POSITIVE
     // (least-similar vector with the same label). Same 100 TB shape as
@@ -376,6 +423,47 @@ object VectorQueries {
          |  FROM tr CROSS JOIN ev)
          |SELECT eval_id, train_id, cosine, cosine >= 0.6 AS is_semantic_dup
          |FROM scored WHERE rn = 1 ORDER BY eval_id""".stripMargin,
+    "d43_quantized_knn" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding, ${oNorm("embedding")} AS nrm FROM embeddings),
+         |sc AS (
+         |  SELECT vec_id, embedding, nrm,
+         |         CASE WHEN list_max(list_transform(embedding,
+         |                x -> abs(CAST(x AS DOUBLE)))) > 0
+         |              THEN 127.0 / list_max(list_transform(embedding,
+         |                x -> abs(CAST(x AS DOUBLE))))
+         |              ELSE 0.0 END AS scl
+         |  FROM v),
+         |qv AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * scl + 0.5) AS BIGINT)) AS qe
+         |  FROM sc),
+         |q AS (SELECT vec_id AS q_id, qe AS qq FROM qv WHERE vec_id < 10),
+         |fq AS (SELECT vec_id AS q_id, embedding AS fqe, nrm AS qn
+         |       FROM v WHERE vec_id < 10),
+         |exact AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT fq.q_id, v.vec_id,
+         |           row_number() OVER (PARTITION BY fq.q_id
+         |             ORDER BY ${oDot("v.embedding", "fq.fqe")} / (v.nrm * fq.qn) DESC,
+         |                      v.vec_id) AS rank
+         |    FROM v CROSS JOIN fq WHERE v.vec_id != fq.q_id) x
+         |  WHERE rank <= 3),
+         |quant AS (
+         |  SELECT q.q_id, qv.vec_id,
+         |         CAST(list_sum(list_transform(list_zip(qv.qe, q.qq),
+         |           p -> p[1] * p[2])) AS BIGINT) AS qdot,
+         |         row_number() OVER (PARTITION BY q.q_id
+         |           ORDER BY CAST(list_sum(list_transform(list_zip(qv.qe, q.qq),
+         |             p -> p[1] * p[2])) AS BIGINT) DESC,
+         |                    qv.vec_id) AS rank
+         |  FROM qv CROSS JOIN q WHERE qv.vec_id != q.q_id)
+         |SELECT qu.q_id, qu.rank, qu.vec_id, qu.qdot,
+         |       e.vec_id IS NOT NULL AS in_exact_top3
+         |FROM quant qu
+         |LEFT JOIN exact e ON qu.q_id = e.q_id AND qu.vec_id = e.vec_id
+         |WHERE qu.rank <= 3 ORDER BY qu.q_id, qu.rank""".stripMargin,
     "d35_hard_negatives" ->
       s"""WITH v AS (
          |  SELECT vec_id, label, embedding, ${oNorm("embedding")} AS nrm
