@@ -198,6 +198,31 @@ object RelationalQueries4 {
           |                 ELSE o_custkey END
           |     FROM graft_orders_q48
           |     WHERE o_orderstatus = 'P')) AS n_in_nullset""".stripMargin)
+    },
+    // Recursive CTE (Spark 4 WITH RECURSIVE → UnionLoop): walk a synthetic
+    // referral tree (parent(k) = k DIV 2 — derived from the key, so both
+    // engines see the identical hierarchy) from every customer up to the
+    // root, then roll account balances up by tree depth. Depth is
+    // O(log |customer|) (~11 at sf0.1), so the loop runs a bounded number
+    // of Spark jobs regardless of SF; each iteration is a pure map (no
+    // join back to the full table), which is the shape that stays cheap at
+    // 100 TB — the recursion carries only (start, cur, depth) triples.
+    "q49_recursive_cte" -> { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("graft_customer_q49")
+      s.sql(
+        """WITH RECURSIVE chain (start_key, cur, depth) AS (
+          |  SELECT c_custkey, c_custkey, 0 FROM graft_customer_q49
+          |  UNION ALL
+          |  SELECT start_key, cur DIV 2, depth + 1 FROM chain WHERE cur > 1
+          |)
+          |SELECT d.root_depth,
+          |       COUNT(*) AS n_cust,
+          |       CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE)
+          |         AS bal_total
+          |FROM (SELECT start_key, MAX(depth) AS root_depth
+          |      FROM chain GROUP BY start_key) d
+          |JOIN graft_customer_q49 ON d.start_key = c_custkey
+          |GROUP BY d.root_depth ORDER BY d.root_depth""".stripMargin)
     }
   )
 
@@ -313,6 +338,20 @@ object RelationalQueries4 {
         |   WHERE c_custkey IN (
         |     SELECT CASE WHEN o_totalprice > 200000 THEN NULL
         |                 ELSE o_custkey END
-        |     FROM orders WHERE o_orderstatus = 'P')) AS n_in_nullset""".stripMargin
+        |     FROM orders WHERE o_orderstatus = 'P')) AS n_in_nullset""".stripMargin,
+    "q49_recursive_cte" ->
+      """WITH RECURSIVE chain (start_key, cur, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT start_key, cur // 2, depth + 1 FROM chain WHERE cur > 1
+        |)
+        |SELECT d.root_depth,
+        |       COUNT(*) AS n_cust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE)
+        |         AS bal_total
+        |FROM (SELECT start_key, MAX(depth) AS root_depth
+        |      FROM chain GROUP BY start_key) d
+        |JOIN customer ON d.start_key = c_custkey
+        |GROUP BY d.root_depth ORDER BY d.root_depth""".stripMargin
   )
 }

@@ -436,6 +436,81 @@ object TextQueries {
           countDistinct("doc_id").as("n_docs"))
         .orderBy(col("n_occurrences").desc, col("pair"))
         .limit(20)
+    },
+    // D4o — quality-filter FUNNEL: the per-stage retention accounting a
+    // curation run publishes (how many docs survive length → diversity →
+    // language → exact-dedup, cumulatively). One map-side flag pass + one
+    // corpus hash agg for the dedup keeper + a single-row aggregate
+    // stacked into per-stage rows — no stage reruns the corpus scan, so
+    // adding funnel stages at 100 TB costs columns, not passes.
+    "d46_quality_funnel" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("h", sha2(col("text"), 256))
+        .withColumn("tk", tokens(col("text")))
+        .withColumn("n_tokens", size(col("tk")))
+        .withColumn("dr",
+          size(array_distinct(col("tk"))).cast("double") / col("n_tokens"))
+      val keepers = d.groupBy("h").agg(min("doc_id").as("keeper"))
+      d.join(keepers, "h")
+        .withColumn("f1",
+          col("n_tokens").between(qualityMinTokens, qualityMaxTokens))
+        .withColumn("f2", col("f1") && col("dr") >= qualityMinDistinctRatio)
+        .withColumn("f3", col("f2") && col("lang") === "en")
+        .withColumn("f4", col("f3") && col("doc_id") === col("keeper"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("f1"), 1L).otherwise(0L)).as("n_len"),
+          sum(when(col("f2"), 1L).otherwise(0L)).as("n_div"),
+          sum(when(col("f3"), 1L).otherwise(0L)).as("n_lang"),
+          sum(when(col("f4"), 1L).otherwise(0L)).as("n_uniq"))
+        .selectExpr(
+          """stack(5,
+            |  0, 'total',        n_total, CAST(n_total AS DOUBLE) / n_total,
+            |  1, 'length',       n_len,   CAST(n_len   AS DOUBLE) / n_total,
+            |  2, 'diversity',    n_div,   CAST(n_div   AS DOUBLE) / n_total,
+            |  3, 'lang_en',      n_lang,  CAST(n_lang  AS DOUBLE) / n_total,
+            |  4, 'exact_unique', n_uniq,  CAST(n_uniq  AS DOUBLE) / n_total
+            |) AS (stage, stage_name, n_docs, retained)""".stripMargin)
+        .orderBy("stage")
+    },
+    // D4p — BM25 retrieval scoring against the corpus's own top-3 global
+    // terms (deterministic query set). idf uses the log-free rational
+    // variant (N - df + ½)/(df + ½) — same ranking family, and exact
+    // given identical IEEE inputs (ln is not cross-engine bit-stable).
+    // Per-term scores quantize to nano-units (BIGINT) before the per-doc
+    // sum, so the float-sum never crosses a partial-aggregation boundary.
+    // Shape: tf hash agg → tiny broadcast query-term + corpus-stats
+    // frames → map-side scoring → per-doc agg → TakeOrdered(10).
+    "d47_bm25" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dl = docs.select(col("doc_id"),
+        size(tokens(col("text"))).as("dl"))
+      val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tok"))
+        .withColumn("avgdl",
+          col("total_tok").cast("double") / col("n_docs"))
+        .select("n_docs", "avgdl")
+      val qterms = tf.groupBy("tok")
+        .agg(sum("tf").as("n_occ"), count(lit(1)).as("df"))
+        .orderBy(col("n_occ").desc, col("tok"))
+        .limit(3)
+      tf.join(broadcast(qterms), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(st))
+        .withColumn("idf",
+          (col("n_docs").cast("double") - col("df") + 0.5) /
+            (col("df").cast("double") + 0.5))
+        .withColumn("den",
+          col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+        .withColumn("score_q",
+          floor(col("idf") * ((col("tf").cast("double") * lit(2.2)) / col("den"))
+            * lit(1000000000.0)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum("score_q").as("bm25_q"))
+        .orderBy(col("bm25_q").desc, col("doc_id"))
+        .limit(10)
     }
   )
 
@@ -724,6 +799,66 @@ object TextQueries {
         |       COUNT(*) AS n_occurrences,
         |       COUNT(DISTINCT doc_id) AS n_docs
         |FROM pairs GROUP BY pair
-        |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin
+        |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin,
+    "d46_quality_funnel" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, sha256(text) AS h,
+         |         len(string_split(text, ' ')) AS n_tokens,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |           / len(string_split(text, ' ')) AS dr
+         |  FROM documents),
+         |c AS (SELECT h, MIN(doc_id) AS keeper FROM d GROUP BY h),
+         |f AS (
+         |  SELECT d.*, keeper,
+         |         (n_tokens BETWEEN $qualityMinTokens AND $qualityMaxTokens)
+         |           AS f1
+         |  FROM d JOIN c USING (h)),
+         |a AS (
+         |  SELECT COUNT(*) AS n_total,
+         |    COUNT(*) FILTER (WHERE f1) AS n_len,
+         |    COUNT(*) FILTER (WHERE f1 AND dr >= $qualityMinDistinctRatio)
+         |      AS n_div,
+         |    COUNT(*) FILTER (WHERE f1 AND dr >= $qualityMinDistinctRatio
+         |                       AND lang = 'en') AS n_lang,
+         |    COUNT(*) FILTER (WHERE f1 AND dr >= $qualityMinDistinctRatio
+         |                       AND lang = 'en' AND doc_id = keeper) AS n_uniq
+         |  FROM f)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS INT) AS stage, 'total' AS stage_name,
+         |         n_total AS n_docs,
+         |         CAST(n_total AS DOUBLE) / n_total AS retained FROM a
+         |  UNION ALL SELECT CAST(1 AS INT), 'length', n_len,
+         |         CAST(n_len AS DOUBLE) / n_total FROM a
+         |  UNION ALL SELECT CAST(2 AS INT), 'diversity', n_div,
+         |         CAST(n_div AS DOUBLE) / n_total FROM a
+         |  UNION ALL SELECT CAST(3 AS INT), 'lang_en', n_lang,
+         |         CAST(n_lang AS DOUBLE) / n_total FROM a
+         |  UNION ALL SELECT CAST(4 AS INT), 'exact_unique', n_uniq,
+         |         CAST(n_uniq AS DOUBLE) / n_total FROM a
+         |) s ORDER BY stage""".stripMargin,
+    "d47_bm25" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+        |       FROM documents),
+        |st AS (SELECT COUNT(*) AS n_docs,
+        |              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |qt AS (SELECT tok, SUM(tf) AS n_occ, COUNT(*) AS df FROM tf
+        |       GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 3),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    floor(
+        |      ((CAST(n_docs AS DOUBLE) - df + 0.5)
+        |         / (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * 2.2)
+        |         / (CAST(tf AS DOUBLE)
+        |            + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+        |      * 1000000000.0) AS score_q
+        |  FROM tf JOIN qt USING (tok) JOIN dl USING (doc_id) CROSS JOIN st)
+        |SELECT doc_id, COUNT(*) AS n_terms,
+        |       CAST(SUM(CAST(score_q AS BIGINT)) AS BIGINT) AS bm25_q
+        |FROM sc GROUP BY doc_id ORDER BY bm25_q DESC, doc_id LIMIT 10""".stripMargin
   )
 }

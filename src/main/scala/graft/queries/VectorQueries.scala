@@ -302,6 +302,56 @@ object VectorQueries {
           (-col("hn.nid")).as("neg_id"), col("hn.cosine").as("neg_cos"),
           col("hp.pid").as("pos_id"), col("hp.cosine").as("pos_cos"))
         .orderBy("a_id")
+    },
+    // D3g — deterministic k-means (2 Lloyd iterations, k=8, seeds = the
+    // first 8 vectors): the corpus-clustering primitive behind domain
+    // discovery / semantic sharding of a training set. Exact and
+    // order-independent end to end: assignment is max-cosine (ties →
+    // lowest seed id) and the recomputed centroid is an integer-quantized
+    // component mean (micro-units, the d17 trick), so a partition-parallel
+    // run and the single-threaded oracle build bit-identical iteration-2
+    // centroids. Scale shape per iteration: one broadcast of k centroid
+    // rows against a single corpus scan + one (cluster, pos) hash agg —
+    // nothing corpus-sized shuffles unkeyed, and iterations are a fixed
+    // constant (more Lloyd rounds = more of the same jobs, not more state).
+    "d45_kmeans" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val init = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+          col("nrm").as("cn"))
+      val wA = Window.partitionBy("vec_id")
+        .orderBy(col("cos").desc, col("c_id"))
+      val a1 = v.crossJoin(broadcast(init))
+        .withColumn("cos",
+          cosineWithNorms(dot(col("embedding"), col("ce")), col("nrm"), col("cn")))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("c_id").as("c1"))
+      val cent2 = a1
+        .select(col("c1"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("q", floor(col("v").cast("double") * 1000000).cast("long"))
+        .groupBy("c1", "pos")
+        .agg(count(lit(1)).as("n"), sum("q").as("sq"))
+        .withColumn("m", col("sq").cast("double") / (col("n") * 1000000))
+        .groupBy("c1")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("c1").as("c_id2"),
+          transform(col("pm"), x => x.getField("m")).as("ce2"))
+        .withColumn("cn2", sqrt(dotHof(col("ce2"), col("ce2"))))
+      val wB = Window.partitionBy("vec_id")
+        .orderBy(col("cos2").desc, col("c_id2"))
+      v.crossJoin(broadcast(cent2))
+        .withColumn("cos2",
+          cosineWithNorms(dotHof(col("embedding"), col("ce2")),
+            col("nrm"), col("cn2")))
+        .withColumn("rn", row_number().over(wB))
+        .filter(col("rn") === 1)
+        .groupBy(col("c_id2").as("cluster"))
+        .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec"),
+          sum(floor(element_at(col("embedding"), 1).cast("double") * 1000000)
+            .cast("long")).as("comp0_q"))
+        .orderBy("cluster")
     }
   )
 
@@ -490,6 +540,47 @@ object VectorQueries {
          |FROM (SELECT DISTINCT a_id FROM sc) b
          |LEFT JOIN (SELECT * FROM neg WHERE rn = 1) n ON b.a_id = n.a_id
          |LEFT JOIN (SELECT * FROM pos WHERE rn = 1) p ON b.a_id = p.a_id
-         |ORDER BY b.a_id""".stripMargin
+         |ORDER BY b.a_id""".stripMargin,
+    "d45_kmeans" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding, ${oNorm("embedding")} AS nrm
+         |  FROM embeddings),
+         |init AS (SELECT vec_id AS c_id, embedding AS ce, nrm AS cn
+         |         FROM v WHERE vec_id < 8),
+         |a1 AS (
+         |  SELECT vec_id, embedding, c1 FROM (
+         |    SELECT v.vec_id, v.embedding, init.c_id AS c1,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${oDot("v.embedding", "init.ce")}
+         |                        / (v.nrm * init.cn) DESC,
+         |                      init.c_id) AS rn
+         |    FROM v CROSS JOIN init) x WHERE rn = 1),
+         |ex AS (
+         |  SELECT c1, unnest(range(len(embedding))) AS pos,
+         |         unnest(embedding) AS val
+         |  FROM a1),
+         |m AS (
+         |  SELECT c1, pos, COUNT(*) AS n,
+         |         SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT))
+         |           AS sq
+         |  FROM ex GROUP BY c1, pos),
+         |cent2 AS (
+         |  SELECT c1 AS c_id2,
+         |         list(CAST(sq AS DOUBLE) / (n * 1000000) ORDER BY pos)
+         |           AS ce2
+         |  FROM m GROUP BY c1),
+         |cent2n AS (SELECT c_id2, ce2, ${oNorm("ce2")} AS cn2 FROM cent2),
+         |a2 AS (
+         |  SELECT vec_id, embedding, c_id2 FROM (
+         |    SELECT v.vec_id, v.embedding, c.c_id2,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${oDot("v.embedding", "c.ce2")}
+         |                        / (v.nrm * c.cn2) DESC,
+         |                      c.c_id2) AS rn
+         |    FROM v CROSS JOIN cent2n c) x WHERE rn = 1)
+         |SELECT c_id2 AS cluster, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec,
+         |       CAST(SUM(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
+         |                     AS BIGINT)) AS BIGINT) AS comp0_q
+         |FROM a2 GROUP BY c_id2 ORDER BY cluster""".stripMargin
   )
 }

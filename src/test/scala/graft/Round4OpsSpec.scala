@@ -1,0 +1,58 @@
+package graft
+
+/** Semantic invariants for the round-4 additions (beyond the smoke run and
+  * the DuckDB oracle): recursive-CTE hierarchy accounting (q49), k-means
+  * partition laws (d45), funnel monotonicity (d46), and BM25 ranking
+  * sanity (d47).
+  */
+class Round4OpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("q49 recursive CTE: depth histogram partitions all customers") {
+    val rows = run("q49_recursive_cte").collect()
+    val total = rows.map(_.getLong(1)).sum
+    val nCust = spark.read.parquet(s"$dir/customer.parquet").count()
+    assert(total == nCust)
+    // parent(k) = k DIV 2 ⇒ depth(k) = floor(log2(k)) for k ≥ 1; the max
+    // depth row must match the largest key's bit length.
+    val maxKey = spark.read.parquet(s"$dir/customer.parquet")
+      .agg(org.apache.spark.sql.functions.max("c_custkey")).head.getLong(0)
+    val maxDepth = rows.map(_.getInt(0)).max
+    assert(maxDepth == 63 - java.lang.Long.numberOfLeadingZeros(maxKey))
+  }
+
+  test("d45 k-means: clusters partition the corpus, seeds self-assign") {
+    val rows = run("d45_kmeans").collect()
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nVecs) // every vector assigned once
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    // cluster ids are seed vec_ids
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 8))
+  }
+
+  test("d46 funnel: retention is monotone non-increasing from total") {
+    val rows = run("d46_quality_funnel").orderBy("stage").collect()
+    val counts = rows.map(_.getLong(2))
+    assert(rows.head.getString(1) == "total")
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a })
+    assert(rows.head.getDouble(3) == 1.0)
+    val total = counts.head.toDouble
+    rows.foreach(r => assert(r.getDouble(3) == r.getLong(2) / total))
+  }
+
+  test("d47 BM25: scores are positive and strictly rank-ordered") {
+    val rows = run("d47_bm25").collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getLong(2))
+    assert(scores.forall(_ > 0))
+    // ordered by (score desc, doc_id asc) — ties must not reorder
+    val ids = rows.map(_.getLong(0))
+    assert(scores.zip(scores.tail).zipWithIndex.forall { case ((a, b), i) =>
+      a > b || (a == b && ids(i) < ids(i + 1))
+    })
+    // 1..3 query terms can match a doc
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 3))
+  }
+}
