@@ -17,6 +17,18 @@ object TextQueries {
   private val stop = Seq("the", "a", "of", "to", "and")
   private val stopSqlList = stop.map(s => s"'$s'").mkString("(", ", ", ")")
 
+  /** Per-(doc, token) term frequencies — the corpus tokenized ONCE,
+    * persisted, and shared by every consumer (d31 TF-IDF, d47 BM25: term
+    * joins, document frequencies, global term ranks all derive from it).
+    */
+  private def docTf(s: SparkSession, dir: String): DataFrame =
+    Q.memo(s, dir, "docTf") {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .persist()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D4a — n-gram-free language ID heuristic: stopword hit-rate. The
     // decision rule is the operator; thresholds are corpus-calibrated.
@@ -236,11 +248,9 @@ object TextQueries {
       // so per-token row counts of tf ARE document frequencies — the
       // corpus is tokenized once and the countDistinct expand disappears.
       // tf (not the exploded token table) is what persists: it feeds both
-      // the join and the df agg, and it's the smaller frame.
-      val tf = t(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        .persist()
+      // the join and the df agg, and it's the smaller frame. Memoized so
+      // d47 (BM25) reuses the identical materialization.
+      val tf = docTf(s, dir)
       val docFreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val n = t(s, dir, "documents").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("doc_id")
@@ -482,9 +492,7 @@ object TextQueries {
     // frames → map-side scoring → per-doc agg → TakeOrdered(10).
     "d47_bm25" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val tf = docs
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val tf = docTf(s, dir)
       val dl = docs.select(col("doc_id"),
         size(tokens(col("text"))).as("dl"))
       val st = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tok"))
