@@ -239,14 +239,19 @@ object VectorQueries {
     "d43_quantized_knn" -> { (s, dir) =>
       val v = vecs(s, dir)
       // per-vector symmetric int8 quantization (double math is IEEE-exact
-      // and identical in the oracle; zero vectors quantize to all-zero)
+      // and identical in the oracle; zero vectors quantize to all-zero).
+      // Codes are stored as FLOAT: every int8 value is exact in float, so
+      // the codegen'd float_dot (double accumulation of integer products
+      // ≤ 127² × dims ≈ 2^20 ≪ 2^53 — exact) replaces the interpreted
+      // zip_with/aggregate HOF and the BIGINT cast recovers the oracle's
+      // integer dot bit-for-bit.
       val maxabs = array_max(transform(col("embedding"),
         x => abs(x.cast("double"))))
       val qv = v
         .withColumn("scl",
           when(maxabs > 0.0, lit(127.0) / maxabs).otherwise(lit(0.0)))
         .withColumn("qe", transform(col("embedding"),
-          x => floor(x.cast("double") * col("scl") + 0.5).cast("long")))
+          x => floor(x.cast("double") * col("scl") + 0.5).cast("float")))
         .select("vec_id", "qe")
       val q = qv.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("qe").as("qq"))
@@ -264,9 +269,7 @@ object VectorQueries {
         .orderBy(col("qdot").desc, col("vec_id"))
       qv.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("qdot",
-          aggregate(zip_with(col("qe"), col("qq"), (a, b) => a * b),
-            lit(0L), (acc, x) => acc + x))
+        .withColumn("qdot", dot(col("qe"), col("qq")).cast("long"))
         .withColumn("rank", row_number().over(wQ))
         .filter(col("rank") <= 3)
         .join(exact, Seq("q_id", "vec_id"), "left")
