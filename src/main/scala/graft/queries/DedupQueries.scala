@@ -691,6 +691,35 @@ object DedupQueries {
           when(h < "c", "train").when(h < "e", "val").otherwise("test"))
         .select("doc_id", "group_key", "split")
         .orderBy("doc_id")
+    },
+    // D1f — EXACT-SUBSTRING decontamination: the strict complement of
+    // d27's n-gram-overlap test. Each eval doc (src0, the d27 convention)
+    // contributes its 5-token prefix as a needle; a training doc is
+    // contaminated if any needle occurs verbatim inside its text. The
+    // needle set is eval-sized (tiny), so it broadcasts and the corpus is
+    // scanned ONCE with a per-row substring probe — at 100 TB the same
+    // shape holds until the eval set outgrows a broadcast, at which point
+    // d27's inverted-index join is the fallback (needles are n-grams too).
+    "d48_substring_decontamination" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val needles = docs
+        .filter(col("source") === "src0" &&
+          size(tokens(col("text"))) >= 5)
+        .select(concat_ws(" ", slice(tokens(col("text")), 1, 5)).as("needle"))
+        .distinct()
+      val train = docs.filter(col("source") =!= "src0")
+        .select("doc_id", "source", "text")
+      val hits = train.crossJoin(broadcast(needles))
+        .filter(col("text").contains(col("needle")))
+        .select("doc_id").distinct()
+        .withColumn("hit", lit(1L))
+      train.join(hits, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+        .withColumn("contaminated_frac",
+          col("n_contaminated").cast("double") / col("n_docs"))
+        .orderBy("source")
     }
   )
 
@@ -970,6 +999,24 @@ object DedupQueries {
          |            WHEN substring(md5(CAST(group_key AS VARCHAR)), 1, 1) < 'e'
          |              THEN 'val'
          |            ELSE 'test' END AS split
-         |FROM g ORDER BY doc_id""".stripMargin
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "d48_substring_decontamination" ->
+      """WITH needles AS (
+        |  SELECT DISTINCT array_to_string(
+        |           list_slice(string_split(text, ' '), 1, 5), ' ') AS needle
+        |  FROM documents
+        |  WHERE source = 'src0' AND len(string_split(text, ' ')) >= 5),
+        |train AS (SELECT doc_id, source, text FROM documents
+        |          WHERE source != 'src0'),
+        |hits AS (
+        |  SELECT DISTINCT t.doc_id FROM train t
+        |  JOIN needles n ON contains(t.text, n.needle))
+        |SELECT t.source, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END)
+        |            AS BIGINT) AS n_contaminated,
+        |       CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END)
+        |            AS DOUBLE) / COUNT(*) AS contaminated_frac
+        |FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        |GROUP BY t.source ORDER BY t.source""".stripMargin
   )
 }

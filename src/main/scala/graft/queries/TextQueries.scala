@@ -519,6 +519,35 @@ object TextQueries {
         .agg(count(lit(1)).as("n_terms"), sum("score_q").as("bm25_q"))
         .orderBy(col("bm25_q").desc, col("doc_id"))
         .limit(10)
+    },
+    // D4q — per-source TOKEN-BUDGET downsampling: materialize "take ~B
+    // tokens from every source", the step after d28/d42 decide mixing
+    // proportions. Selection order is a deterministic md5 rank (d14's
+    // trick — RNG-free, reproducible across engines); the running token
+    // total is a per-source window, i.e. a keyed shuffle that stays
+    // partition-parallel at 100 TB (no global sort). A doc is kept while
+    // the budget is unexhausted BEFORE it, so each source fills its
+    // budget and overshoots by at most one document.
+    "d49_token_budget" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val budget = 3000L
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .withColumn("kept", col("cum") - col("n_tokens") < budget)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("tokens_total"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+            .as("tokens_kept"))
+        .withColumn("kept_frac",
+          col("tokens_kept").cast("double") / col("tokens_total"))
+        .orderBy("source")
     }
   )
 
@@ -867,6 +896,27 @@ object TextQueries {
         |  FROM tf JOIN qt USING (tok) JOIN dl USING (doc_id) CROSS JOIN st)
         |SELECT doc_id, COUNT(*) AS n_terms,
         |       CAST(SUM(CAST(score_q AS BIGINT)) AS BIGINT) AS bm25_q
-        |FROM sc GROUP BY doc_id ORDER BY bm25_q DESC, doc_id LIMIT 10""".stripMargin
+        |FROM sc GROUP BY doc_id ORDER BY bm25_q DESC, doc_id LIMIT 10""".stripMargin,
+    "d49_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         len(string_split(text, ' ')) AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+        |            ORDER BY rk, doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+        |       CAST(SUM(CASE WHEN cum - n_tokens < 3000 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN cum - n_tokens < 3000 THEN n_tokens
+        |                     ELSE 0 END) AS BIGINT) AS tokens_kept,
+        |       CAST(SUM(CASE WHEN cum - n_tokens < 3000 THEN n_tokens
+        |                     ELSE 0 END) AS DOUBLE)
+        |         / CAST(SUM(n_tokens) AS DOUBLE) AS kept_frac
+        |FROM c GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -42,6 +42,27 @@ class Round4OpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(3) == r.getLong(2) / total))
   }
 
+  test("d48 substring decontamination: eval source excluded, bounded counts") {
+    val rows = run("d48_substring_decontamination").collect()
+    assert(rows.forall(_.getString(0) != "src0"))
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) == r.getLong(2).toDouble / r.getLong(1))
+    }
+  }
+
+  test("d49 token budget: each source fills its budget or keeps everything") {
+    val budget = 3000L
+    run("d49_token_budget").collect().foreach { r =>
+      val (nDocs, total, nKept, kept) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nKept >= 1 && nKept <= nDocs && kept <= total)
+      // either the whole source fit, or the kept set reached the budget
+      assert(nKept == nDocs || kept >= budget)
+      assert(r.getDouble(5) == kept.toDouble / total)
+    }
+  }
+
   test("d47 BM25: scores are positive and strictly rank-ordered") {
     val rows = run("d47_bm25").collect()
     assert(rows.length == 10)
