@@ -50,6 +50,25 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("d47 BM25 top-10 plans as TakeOrderedAndProject, not a full sort") {
+    assert(plan("d47_bm25").contains("TakeOrderedAndProject"))
+  }
+
+  test("d49 token-budget window shuffles BY SOURCE (keyed, no global sort)") {
+    // the running-sum window must demand hashpartitioning(source), so the
+    // budget fill stays partition-parallel; a rangepartitioning exchange
+    // feeding the Window would mean a global sort of the corpus
+    val p = plan("d49_token_budget")
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(source"))
+  }
+
+  test("d45 k-means joins broadcast the centroid side (k rows), never SMJ") {
+    val p = plan("d45_kmeans")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("no query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin with a broadcast side is the intended shape
     // for the ANN/simhash cross joins; an unbroadcast CartesianProduct is
