@@ -720,6 +720,41 @@ object DedupQueries {
         .withColumn("contaminated_frac",
           col("n_contaminated").cast("double") / col("n_docs"))
         .orderBy("source")
+    },
+    // D2g — n-gram NOVELTY curve: scanning the corpus in doc_id order,
+    // how many never-before-seen 3-grams does each ingest decile
+    // contribute? The diminishing-returns curve behind "is more of this
+    // source still adding new content" scaling decisions. First
+    // occurrence = min(doc_id) per gram hash (one keyed agg on the shared
+    // gram table); deciles derive from the doc_id RANGE (map-side integer
+    // math against a broadcast 1-row max — no global row_number, so the
+    // bucketing itself never serializes the corpus through one partition).
+    "d50_novelty_curve" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").select("doc_id")
+      val mx = docs.agg(max("doc_id").as("mx"))
+      val db = docs.crossJoin(broadcast(mx))
+        .withColumn("bucket", expr("(doc_id * 10) DIV (mx + 1)"))
+        .select("doc_id", "bucket")
+      val grams = gramTable(s, dir)
+      val tot = grams.join(db, "doc_id")
+        .groupBy("bucket").agg(count(lit(1)).as("n_grams"))
+      val firsts = grams.groupBy("h").agg(min("doc_id").as("doc_id"))
+      val newb = firsts.join(db, "doc_id")
+        .groupBy("bucket").agg(count(lit(1)).as("n_new"))
+      val nd = db.groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+      val wCum = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      nd.join(tot, Seq("bucket"), "left").join(newb, Seq("bucket"), "left")
+        .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("cum_new", sum("n_new").over(wCum))
+        .withColumn("novelty_frac",
+          when(col("n_grams") === 0, lit(0.0))
+            .otherwise(col("n_new").cast("double") / col("n_grams")))
+        .select("bucket", "n_docs", "n_grams", "n_new", "cum_new",
+          "novelty_frac")
+        .orderBy("bucket")
     }
   )
 
@@ -1017,6 +1052,29 @@ object DedupQueries {
         |       CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END)
         |            AS DOUBLE) / COUNT(*) AS contaminated_frac
         |FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
-        |GROUP BY t.source ORDER BY t.source""".stripMargin
+        |GROUP BY t.source ORDER BY t.source""".stripMargin,
+    "d50_novelty_curve" ->
+      s"""WITH $shingleSql,
+         |shh AS (SELECT doc_id, ${oTokenHash60("shingle")} AS h FROM sh),
+         |mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+         |db AS (SELECT doc_id, (doc_id * 10) // (mx + 1) AS bucket
+         |       FROM documents CROSS JOIN mx),
+         |tot AS (SELECT bucket, COUNT(*) AS n_grams
+         |        FROM shh JOIN db USING (doc_id) GROUP BY bucket),
+         |firsts AS (SELECT h, MIN(doc_id) AS doc_id FROM shh GROUP BY h),
+         |newb AS (SELECT bucket, COUNT(*) AS n_new
+         |         FROM firsts JOIN db USING (doc_id) GROUP BY bucket),
+         |nd AS (SELECT bucket, COUNT(*) AS n_docs FROM db GROUP BY bucket)
+         |SELECT nd.bucket, n_docs,
+         |       COALESCE(n_grams, 0) AS n_grams,
+         |       COALESCE(n_new, 0) AS n_new,
+         |       CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY nd.bucket
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            AS BIGINT) AS cum_new,
+         |       CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
+         |            ELSE CAST(COALESCE(n_new, 0) AS DOUBLE) / n_grams
+         |       END AS novelty_frac
+         |FROM nd LEFT JOIN tot USING (bucket) LEFT JOIN newb USING (bucket)
+         |ORDER BY nd.bucket""".stripMargin
   )
 }

@@ -63,6 +63,20 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("d50 novelty curve: cumulative news converge to the distinct-gram total") {
+    val rows = run("d50_novelty_curve").orderBy("bucket").collect()
+    assert(rows.length == 10)
+    // cum_new is the running sum of n_new and ends at the corpus-wide
+    // distinct gram count (every gram is first-seen exactly once)
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getLong(3)
+      assert(r.getLong(4) == cum)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getLong(3) <= r.getLong(2)) // new ≤ instances in bucket
+    }
+  }
+
   test("d47 BM25: scores are positive and strictly rank-ordered") {
     val rows = run("d47_bm25").collect()
     assert(rows.length == 10)
