@@ -755,6 +755,32 @@ object DedupQueries {
         .select("bucket", "n_docs", "n_grams", "n_new", "cum_new",
           "novelty_frac")
         .orderBy("bucket")
+    },
+    // D2h — CONTAINMENT near-dup pairs: shared / min(|A|,|B|) ≥ 0.9, the
+    // asymmetric complement of d02's Jaccard. A small doc embedded in a
+    // big one scores J = |small|/|big| (arbitrarily low — d02's size-ratio
+    // prune discards exactly these pairs BY DESIGN), but containment 1.0.
+    // Same inverted-index equi-join shape as d02, minus the Jaccard prune
+    // (which would be wrong here); at 100 TB the prune that IS valid is
+    // prefix filtering on the smaller set's rarest shingles — noted, not
+    // needed at fixture scale.
+    "d51_containment" -> { (s, dir) =>
+      val g = gramTable(s, dir)
+      val cnt = g.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val shared = g.select(col("doc_id").as("da"), col("h"))
+        .join(g.select(col("doc_id").as("db"), col("h")), "h")
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+      // no broadcast hint on cnt: it's per-doc cardinality (corpus-sized
+      // at 100 TB) — AQE broadcasts it on its own at fixture scale
+      shared
+        .join(cnt.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
+        .join(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+        .withColumn("containment",
+          col("shared").cast("double") / least(col("na"), col("nb")))
+        .filter(col("containment") >= 0.9)
+        .select("da", "db", "shared", "na", "nb", "containment")
+        .orderBy("da", "db")
     }
   )
 
@@ -1075,6 +1101,21 @@ object DedupQueries {
          |            ELSE CAST(COALESCE(n_new, 0) AS DOUBLE) / n_grams
          |       END AS novelty_frac
          |FROM nd LEFT JOIN tot USING (bucket) LEFT JOIN newb USING (bucket)
-         |ORDER BY nd.bucket""".stripMargin
+         |ORDER BY nd.bucket""".stripMargin,
+    "d51_containment" ->
+      s"""WITH $shingleSql,
+         |cnt AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY doc_id),
+         |shh AS (SELECT doc_id, ${oTokenHash60("shingle")} AS sh_h FROM sh),
+         |shared AS (
+         |  SELECT a.doc_id da, b.doc_id db, COUNT(*) shared
+         |  FROM shh a JOIN shh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+         |  GROUP BY da, db)
+         |SELECT da, db, shared, ca.n_sh AS na, cb.n_sh AS nb,
+         |       CAST(shared AS DOUBLE) / least(ca.n_sh, cb.n_sh)
+         |         AS containment
+         |FROM shared JOIN cnt ca ON da = ca.doc_id
+         |JOIN cnt cb ON db = cb.doc_id
+         |WHERE CAST(shared AS DOUBLE) / least(ca.n_sh, cb.n_sh) >= 0.9
+         |ORDER BY da, db""".stripMargin
   )
 }

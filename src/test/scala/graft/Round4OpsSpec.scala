@@ -77,6 +77,17 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("d51 containment: bounded by 1, consistent with set sizes") {
+    run("d51_containment").collect().foreach { r =>
+      val (da, db, shared, na, nb, c) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(da < db)
+      assert(shared <= math.min(na, nb))
+      assert(c >= 0.9 && c <= 1.0)
+      assert(c == shared.toDouble / math.min(na, nb))
+    }
+  }
+
   test("d47 BM25: scores are positive and strictly rank-ordered") {
     val rows = run("d47_bm25").collect()
     assert(rows.length == 10)
