@@ -25,10 +25,17 @@ object Bench {
     }
     // Local-iteration helper: SPARK_GRAFT_ONLY=q01,d21 times a subset
     // (driver never sets it, so the per-round bench is unaffected).
+    // PREFIX match, same semantics as Verify — exact matching here used
+    // to silently time zero queries when given a Verify-style prefix.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case Some(names) =>
+        val sel = SparkEntry.queries.filter(kv => names.exists(kv._1.startsWith))
+        if (sel.isEmpty)
+          System.err.println(
+            s"[bench] SPARK_GRAFT_ONLY matched no queries: ${names.mkString(",")}")
+        sel
       case None => SparkEntry.queries
     }
     // Steady-state warmup: run the whole battery once at the smallest

@@ -405,6 +405,11 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     * windows, streams restarted after).
     */
   def compact(targetFiles: Int = 1): Unit = if (connected) {
+    // bucketed layouts always consolidate to one file PER BUCKET dir —
+    // reject a non-default target instead of silently ignoring it
+    require(bucketCount.isEmpty || targetFiles == 1,
+      s"compact(targetFiles=$targetFiles): bucketed tables emit one file " +
+        "per __bucket dir; targetFiles is only meaningful for plain layouts")
     flush()
     activeDf.foreach { df =>
       if (df.isEmpty)

@@ -89,13 +89,27 @@ class TableCatalog(val root: Path) {
 
   def load(name: String): Option[TableManifest] = synchronized {
     manifestCache.get(name).orElse {
-      if (!exists(name)) None
-      else {
-        val m = Serialization.read[TableManifest](
-          new String(Files.readAllBytes(manifestPath(name)), StandardCharsets.UTF_8))
-        manifestCache(name) = m
-        Some(m)
-      }
+      def parse(p: Path): TableManifest = Serialization.read[TableManifest](
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      val tmp = tableDir(name).resolve("manifest.json.tmp")
+      // Recovery for save()'s non-atomic fallback window (mounts without
+      // atomic rename degrade to copy-then-delete): tmp, when present, is
+      // always a COMPLETELY written manifest — so a truncated/missing
+      // final file recovers from tmp instead of surfacing a parse error
+      // or (worse) letting loadOrCreate silently mint an empty manifest
+      // that loses the active-version pointer.
+      val recovered: Option[TableManifest] =
+        if (exists(name)) {
+          try Some(parse(manifestPath(name)))
+          catch { case _: Throwable =>
+            if (Files.exists(tmp)) Some(parse(tmp))
+            // tmp already consumed => the replace finished; re-read once
+            else Some(parse(manifestPath(name)))
+          }
+        } else if (Files.exists(tmp)) Some(parse(tmp)) // crash before move
+        else None
+      recovered.foreach(m => manifestCache(name) = m)
+      recovered
     }
   }
 
@@ -125,10 +139,14 @@ class TableCatalog(val root: Path) {
     catch {
       // Same fallback as State.persist: filesystems that can't rename
       // atomically (network/overlay mounts) get a best-effort replace
-      // rather than failing every manifest write.
+      // rather than failing every manifest write. COPY-then-delete (not
+      // move): if the copy dies mid-write, tmp survives as a complete
+      // manifest and load() recovers from it — a degraded move could
+      // consume tmp and strand a truncated final file.
       case _: java.nio.file.AtomicMoveNotSupportedException =>
-        Files.move(tmp, manifestPath(m.name),
+        Files.copy(tmp, manifestPath(m.name),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Files.delete(tmp)
     }
     manifestCache(m.name) = m
   }

@@ -280,4 +280,27 @@ class TableSpec extends SparkSpec {
     assert(m.events.size == graft.catalog.TableCatalog.MaxEvents)
     assert(m.eventCounter == graft.catalog.TableCatalog.MaxEvents + 5)
   }
+
+  test("manifest load recovers from a surviving tmp after a crashed save") {
+    // save()'s non-atomic fallback is copy-then-delete, so a crash mid-copy
+    // can leave {missing-or-truncated final, COMPLETE tmp}. A fresh catalog
+    // (no warm cache) must recover the manifest — not mint an empty one.
+    val root = freshRoot()
+    val c = new graft.catalog.TableCatalog(java.nio.file.Paths.get(root))
+    c.recordEvent("t17", "create")
+    val saved = c.load("t17").get
+    val dir = c.tableDir("t17")
+    val fin = dir.resolve("manifest.json")
+    // simulate the crash window: final gone, tmp holds the full manifest
+    java.nio.file.Files.move(fin, dir.resolve("manifest.json.tmp"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val fresh = new graft.catalog.TableCatalog(java.nio.file.Paths.get(root))
+    assert(fresh.load("t17").map(_.eventCounter).contains(saved.eventCounter))
+    // truncated final + complete tmp must also recover
+    java.nio.file.Files.copy(dir.resolve("manifest.json.tmp"), fin)
+    val bytes = java.nio.file.Files.readAllBytes(fin)
+    java.nio.file.Files.write(fin, java.util.Arrays.copyOf(bytes, bytes.length / 2))
+    val fresh2 = new graft.catalog.TableCatalog(java.nio.file.Paths.get(root))
+    assert(fresh2.load("t17").map(_.eventCounter).contains(saved.eventCounter))
+  }
 }
