@@ -86,6 +86,26 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
 
   // --- read surface (node.py:141-189) ---
 
+  /** TIME-TRAVEL read: scan a specific retained version by id. Superseded
+    * version dirs survive until retention GC, and a version is immutable
+    * once superseded, so the scan is reproducible — the audit/debug
+    * counterpart of `read` ("what did this table hold before that
+    * upsert?"). Unknown or already-GC'd versions fail loudly rather than
+    * returning an empty frame a caller could mistake for "no rows".
+    */
+  def readVersion(vid: String): DataFrame = {
+    require(connected, s"table $name: not connected")
+    require(manifest.versions.exists(_.id == vid),
+      s"table $name: unknown version '$vid' (known: " +
+        s"${manifest.versions.map(_.id).mkString(", ")})")
+    val dir = catalog.versionDir(name, vid)
+    require(java.nio.file.Files.isDirectory(dir),
+      s"table $name: version '$vid' has been garbage-collected")
+    spark.read.option("mergeSchema", "true")
+      .parquet(dir.toString)
+      .drop("__bucket")
+  }
+
   /** Full scan of the active version (node.py:156-166). */
   def read: DataFrame =
     activeDf.getOrElse(spark.createDataFrame(

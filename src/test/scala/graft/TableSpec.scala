@@ -281,6 +281,27 @@ class TableSpec extends SparkSpec {
     assert(m.eventCounter == graft.catalog.TableCatalog.MaxEvents + 5)
   }
 
+  test("readVersion time-travels to superseded versions; GC'd/unknown fail loudly") {
+    val e = engine()
+    val t = e.table("t19", "w")
+    t.init(uniqueOn = Seq("id"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v")); t.flush()
+    val v1 = t.getActiveVersion.get
+    t.upsert(Seq((2L, "B"), (3L, "c")).toDF("id", "v"))
+    val v2 = t.getActiveVersion.get
+    assert(v1 != v2)
+    // the superseded version still reads exactly as written
+    assert(t.readVersion(v1).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    assert(t.readVersion(v2).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B"), (3L, "c")))
+    intercept[IllegalArgumentException](t.readVersion("v999999"))
+    // simulate retention GC of the old dir: loud failure, not empty frame
+    val dir = e.catalog.versionDir("t19", v1).toFile
+    dir.listFiles().foreach(_.delete()); dir.delete()
+    intercept[IllegalArgumentException](t.readVersion(v1))
+  }
+
   test("manifest load recovers from a surviving tmp after a crashed save") {
     // save()'s non-atomic fallback is copy-then-delete, so a crash mid-copy
     // can leave {missing-or-truncated final, COMPLETE tmp}. A fresh catalog
