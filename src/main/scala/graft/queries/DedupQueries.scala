@@ -781,6 +781,31 @@ object DedupQueries {
         .filter(col("containment") >= 0.9)
         .select("da", "db", "shared", "na", "nb", "containment")
         .orderBy("da", "db")
+    },
+    // D2i — lexical-vs-SEMANTIC dup agreement: every verified lexical
+    // near-dup pair (d02's J ≥ 0.5 set) rescored by embedding cosine —
+    // the audit that tells a curation run whether its cheap lexical
+    // dedup and its expensive semantic dedup see the same duplicates
+    // (low cosine on a high-Jaccard pair = template/boilerplate overlap
+    // embeddings correctly blur). INNER join on the embedding table: at
+    // larger SF only a prefix of docs carries vectors, and a pair is
+    // auditable only when both sides do. Shape: |pairs| is tiny; the
+    // embedding attach is two keyed lookups, nothing corpus-sized moves.
+    "d53_dup_agreement" -> { (s, dir) =>
+      graft.functions.FloatDotProduct.register(s)
+      val v = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", l2norm(col("embedding")))
+      nearDupPairs(s, dir).select("da", "db", "jaccard")
+        .join(v.select(col("vec_id").as("da"), col("embedding").as("ea"),
+          col("nrm").as("na")), "da")
+        .join(v.select(col("vec_id").as("db"), col("embedding").as("eb"),
+          col("nrm").as("nb")), "db")
+        .withColumn("cosine",
+          cosineWithNorms(dot(col("ea"), col("eb")), col("na"), col("nb")))
+        .withColumn("semantic_agree", col("cosine") >= 0.9)
+        .select("da", "db", "jaccard", "cosine", "semantic_agree")
+        .orderBy("da", "db")
     }
   )
 
@@ -1116,6 +1141,18 @@ object DedupQueries {
          |FROM shared JOIN cnt ca ON da = ca.doc_id
          |JOIN cnt cb ON db = cb.doc_id
          |WHERE CAST(shared AS DOUBLE) / least(ca.n_sh, cb.n_sh) >= 0.9
+         |ORDER BY da, db""".stripMargin,
+    "d53_dup_agreement" ->
+      s"""$jaccardSql,
+         |v AS (SELECT vec_id, embedding, ${oNorm("embedding")} AS nrm
+         |      FROM embeddings)
+         |SELECT da, db, jaccard,
+         |       ${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+         |         AS cosine,
+         |       ${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+         |         >= 0.9 AS semantic_agree
+         |FROM jac JOIN v a ON da = a.vec_id JOIN v b ON db = b.vec_id
+         |WHERE jaccard >= 0.5
          |ORDER BY da, db""".stripMargin
   )
 }

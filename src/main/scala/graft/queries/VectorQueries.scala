@@ -43,6 +43,23 @@ object VectorQueries {
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         col("nrm").as("qn"))
 
+  /** Integer-quantized per-key mean vectors, as (key, ce: array<double>,
+    * cn: norm): micro-unit floor-quantize → BIGINT sums per (key, pos) —
+    * exact and order-independent (the d17 trick) — reassembled in pos
+    * order. One keyed shuffle, partial-agg friendly; shared by d45
+    * (Lloyd iteration-2 centroids) and d52 (label-centroid outliers).
+    */
+  private def quantCentroids(df: DataFrame, keyName: String): DataFrame =
+    df.select(col(keyName), posexplode(col("embedding")).as(Seq("pos", "vv")))
+      .withColumn("q", floor(col("vv").cast("double") * 1000000).cast("long"))
+      .groupBy(keyName, "pos")
+      .agg(count(lit(1)).as("n"), sum("q").as("sq"))
+      .withColumn("m", col("sq").cast("double") / (col("n") * 1000000))
+      .groupBy(keyName)
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col(keyName), transform(col("pm"), x => x.getField("m")).as("ce"))
+      .withColumn("cn", sqrt(dotHof(col("ce"), col("ce"))))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D3a — brute-force top-3 cosine neighbors for each of 10 query vectors.
     "d05_knn_bruteforce" -> { (s, dir) =>
@@ -331,17 +348,9 @@ object VectorQueries {
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("nrm"),
           col("c_id").as("c1"))
-      val cent2 = a1
-        .select(col("c1"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .withColumn("q", floor(col("v").cast("double") * 1000000).cast("long"))
-        .groupBy("c1", "pos")
-        .agg(count(lit(1)).as("n"), sum("q").as("sq"))
-        .withColumn("m", col("sq").cast("double") / (col("n") * 1000000))
-        .groupBy("c1")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("c1").as("c_id2"),
-          transform(col("pm"), x => x.getField("m")).as("ce2"))
-        .withColumn("cn2", sqrt(dotHof(col("ce2"), col("ce2"))))
+      val cent2 = quantCentroids(a1.select(col("c1"), col("embedding")), "c1")
+        .select(col("c1").as("c_id2"), col("ce").as("ce2"),
+          col("cn").as("cn2"))
       val wB = Window.partitionBy("vec_id")
         .orderBy(col("cos2").desc, col("c_id2"))
       v.crossJoin(broadcast(cent2))
@@ -355,6 +364,26 @@ object VectorQueries {
           sum(floor(element_at(col("embedding"), 1).cast("double") * 1000000)
             .cast("long")).as("comp0_q"))
         .orderBy("cluster")
+    },
+    // D3h — label-centroid OUTLIERS: the 3 vectors least similar to their
+    // own label's mean — the mislabeled/noise-candidate report a curation
+    // run reviews before training. Centroids are the exact quantized
+    // means (shared helper with d45); scoring is one corpus scan against
+    // the |labels|-row centroid table; per-label top-k is a keyed window.
+    "d52_label_outliers" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val cent = quantCentroids(v.select(col("label"), col("embedding")),
+        "label")
+      val w = Window.partitionBy("label")
+        .orderBy(col("cosine").asc, col("vec_id"))
+      v.join(cent, "label")
+        .withColumn("cosine",
+          cosineWithNorms(dotHof(col("embedding"), col("ce")),
+            col("nrm"), col("cn")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("label", "rnk", "vec_id", "cosine")
+        .orderBy("label", "rnk")
     }
   )
 
@@ -584,6 +613,35 @@ object VectorQueries {
          |SELECT c_id2 AS cluster, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec,
          |       CAST(SUM(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
          |                     AS BIGINT)) AS BIGINT) AS comp0_q
-         |FROM a2 GROUP BY c_id2 ORDER BY cluster""".stripMargin
+         |FROM a2 GROUP BY c_id2 ORDER BY cluster""".stripMargin,
+    "d52_label_outliers" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, embedding, ${oNorm("embedding")} AS nrm
+         |  FROM embeddings),
+         |ex AS (
+         |  SELECT label, unnest(range(len(embedding))) AS pos,
+         |         unnest(embedding) AS val
+         |  FROM v),
+         |m AS (
+         |  SELECT label, pos, COUNT(*) AS n,
+         |         SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT))
+         |           AS sq
+         |  FROM ex GROUP BY label, pos),
+         |cent AS (
+         |  SELECT label,
+         |         list(CAST(sq AS DOUBLE) / (n * 1000000) ORDER BY pos)
+         |           AS ce
+         |  FROM m GROUP BY label),
+         |cn AS (SELECT label, ce, ${oNorm("ce")} AS cn FROM cent),
+         |sc AS (
+         |  SELECT v.label, v.vec_id,
+         |         ${oDot("v.embedding", "c.ce")} / (v.nrm * c.cn) AS cosine,
+         |         row_number() OVER (PARTITION BY v.label
+         |           ORDER BY ${oDot("v.embedding", "c.ce")} / (v.nrm * c.cn)
+         |                      ASC,
+         |                    v.vec_id) AS rnk
+         |  FROM v JOIN cn c ON v.label = c.label)
+         |SELECT label, rnk, vec_id, cosine FROM sc
+         |WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin
   )
 }

@@ -88,6 +88,27 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("d52 label outliers: 3 per label, ascending similarity") {
+    val byLabel = run("d52_label_outliers").collect()
+      .groupBy(_.getInt(0))
+    byLabel.values.foreach { rs =>
+      assert(rs.length == 3)
+      assert(rs.sortBy(_.getInt(1)).map(_.getDouble(3)).sliding(2).forall {
+        case Array(a, b) => a <= b
+        case _ => true
+      })
+    }
+  }
+
+  test("d53 dup agreement: audits exactly the lexical pairs with vectors") {
+    run("d53_dup_agreement").collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.5) // came from the J >= 0.5 pair set
+      assert(r.getDouble(3) <= 1.0000001)
+      assert(r.getBoolean(4) == (r.getDouble(3) >= 0.9))
+    }
+  }
+
   test("d47 BM25: scores are positive and strictly rank-ordered") {
     val rows = run("d47_bm25").collect()
     assert(rows.length == 10)
