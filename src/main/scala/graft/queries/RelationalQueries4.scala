@@ -223,6 +223,32 @@ object RelationalQueries4 {
           |      FROM chain GROUP BY start_key) d
           |JOIN graft_customer_q49 ON d.start_key = c_custkey
           |GROUP BY d.root_depth ORDER BY d.root_depth""".stripMargin)
+    },
+    // Bitwise aggregate family (bit_or / bit_count): per-user event-type
+    // flag masks — the compact "which behaviors has this user shown"
+    // encoding — then the population histogram over masks. Two hash aggs;
+    // the mask shuffle payload is 8 bytes per user regardless of how many
+    // event types a user has (the same payload-compression idea as d36's
+    // source bitmaps).
+    "q50_bit_flags" -> { (s, dir) =>
+      val idx = when(col("event_type") === "click", 0)
+        .when(col("event_type") === "error", 1)
+        .when(col("event_type") === "purchase", 2)
+        .when(col("event_type") === "signup", 3)
+        .otherwise(4) // view
+      t(s, dir, "events")
+        // systematic 1-in-7 sample (q30's determinism trick): on the full
+        // stream every user exhibits every type and all masks collapse to
+        // one value — the sample leaves partial behavior profiles
+        .filter(col("event_id") % 7 === 0)
+        .withColumn("idx", idx)
+        .select(col("user_id"), col("idx"))
+        .withColumn("b", expr("shiftleft(CAST(1 AS BIGINT), idx)"))
+        .groupBy("user_id").agg(expr("bit_or(b)").as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("n_users"))
+        .withColumn("n_types", expr("bit_count(mask)").cast("int"))
+        .select("mask", "n_types", "n_users")
+        .orderBy("mask")
     }
   )
 
@@ -352,6 +378,19 @@ object RelationalQueries4 {
         |FROM (SELECT start_key, MAX(depth) AS root_depth
         |      FROM chain GROUP BY start_key) d
         |JOIN customer ON d.start_key = c_custkey
-        |GROUP BY d.root_depth ORDER BY d.root_depth""".stripMargin
+        |GROUP BY d.root_depth ORDER BY d.root_depth""".stripMargin,
+    "q50_bit_flags" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         bit_or(CAST(1 AS BIGINT) << (CASE event_type
+        |                  WHEN 'click' THEN 0
+        |                  WHEN 'error' THEN 1
+        |                  WHEN 'purchase' THEN 2
+        |                  WHEN 'signup' THEN 3
+        |                  ELSE 4 END)) AS mask
+        |  FROM events WHERE event_id % 7 = 0 GROUP BY user_id)
+        |SELECT mask, CAST(bit_count(mask) AS INT) AS n_types,
+        |       COUNT(*) AS n_users
+        |FROM u GROUP BY mask ORDER BY mask""".stripMargin
   )
 }

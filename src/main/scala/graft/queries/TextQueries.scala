@@ -548,6 +548,31 @@ object TextQueries {
         .withColumn("kept_frac",
           col("tokens_kept").cast("double") / col("tokens_total"))
         .orderBy("source")
+    },
+    // D4r — quality-score CALIBRATION curve: does the cheap lexical-
+    // diversity score actually separate duplicates? Docs bucket by
+    // floor(distinct_ratio × 10) and each bucket reports volume,
+    // exact-dup incidence, and token mass — the "is this filter
+    // threshold doing anything" audit run before a corpus-wide gate
+    // ships. One map-side pass + one corpus hash agg + a 10-row rollup.
+    "d54_quality_calibration" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("h", sha2(col("text"), 256))
+        .withColumn("tk", tokens(col("text")))
+        .withColumn("n_tokens", size(col("tk")))
+        .withColumn("dr",
+          size(array_distinct(col("tk"))).cast("double") / col("n_tokens"))
+      val copies = d.groupBy("h").agg(count(lit(1)).as("n_copies"))
+      d.join(copies, "h")
+        .withColumn("bucket",
+          least(floor(col("dr") * 10).cast("int"), lit(9)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_copies") >= 2, 1L).otherwise(0L)).as("n_dup_docs"),
+          sum("n_tokens").as("total_tokens"))
+        .withColumn("dup_rate",
+          col("n_dup_docs").cast("double") / col("n_docs"))
+        .orderBy("bucket")
     }
   )
 
@@ -917,6 +942,23 @@ object TextQueries {
         |       CAST(SUM(CASE WHEN cum - n_tokens < 3000 THEN n_tokens
         |                     ELSE 0 END) AS DOUBLE)
         |         / CAST(SUM(n_tokens) AS DOUBLE) AS kept_frac
-        |FROM c GROUP BY source ORDER BY source""".stripMargin
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "d54_quality_calibration" ->
+      """WITH d AS (
+        |  SELECT doc_id, sha256(text) AS h,
+        |         len(string_split(text, ' ')) AS n_tokens,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS dr
+        |  FROM documents),
+        |c AS (SELECT h, COUNT(*) AS n_copies FROM d GROUP BY h)
+        |SELECT CAST(least(floor(dr * 10), 9) AS INT) AS bucket,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_dup_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END)
+        |            AS DOUBLE) / COUNT(*) AS dup_rate
+        |FROM d JOIN c USING (h)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

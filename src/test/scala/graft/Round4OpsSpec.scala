@@ -109,6 +109,23 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("q50 bit flags: masks are 5-bit, n_types is the popcount") {
+    run("q50_bit_flags").collect().foreach { r =>
+      val mask = r.getLong(0)
+      assert(mask >= 1 && mask <= 31)
+      assert(r.getInt(1) == java.lang.Long.bitCount(mask))
+      assert(r.getLong(2) >= 1)
+    }
+  }
+
+  test("d54 calibration: buckets within range, rates consistent") {
+    run("d54_quality_calibration").collect().foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) <= 9)
+      assert(r.getLong(2) <= r.getLong(1)) // dups <= docs
+      assert(r.getDouble(4) == r.getLong(2).toDouble / r.getLong(1))
+    }
+  }
+
   test("d47 BM25: scores are positive and strictly rank-ordered") {
     val rows = run("d47_bm25").collect()
     assert(rows.length == 10)
