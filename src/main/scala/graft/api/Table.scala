@@ -101,9 +101,25 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     val dir = catalog.versionDir(name, vid)
     require(java.nio.file.Files.isDirectory(dir),
       s"table $name: version '$vid' has been garbage-collected")
-    spark.read.option("mergeSchema", "true")
-      .parquet(dir.toString)
-      .drop("__bucket")
+    // a legitimately EMPTY version (reset / crashed-before-write) reads as
+    // an empty frame — the same answer read() gives for the active one —
+    // rather than Spark's misleading "Unable to infer schema" error
+    val hasFiles = {
+      val d = dir.toFile
+      val top = d.listFiles(f => f.getName.endsWith(".parquet"))
+      val nested = Option(d.listFiles(f =>
+        f.isDirectory && f.getName.startsWith("__bucket=")))
+        .getOrElse(Array.empty)
+        .flatMap(b => Option(b.listFiles(f => f.getName.endsWith(".parquet")))
+          .getOrElse(Array.empty[java.io.File]))
+      (Option(top).getOrElse(Array.empty) ++ nested).nonEmpty
+    }
+    if (!hasFiles)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], new StructType())
+    else
+      spark.read.option("mergeSchema", "true")
+        .parquet(dir.toString)
+        .drop("__bucket")
   }
 
   /** Full scan of the active version (node.py:156-166). */

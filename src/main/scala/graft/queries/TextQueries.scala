@@ -556,14 +556,18 @@ object TextQueries {
     // threshold doing anything" audit run before a corpus-wide gate
     // ships. One map-side pass + one corpus hash agg + a 10-row rollup.
     "d54_quality_calibration" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
+      import org.apache.spark.sql.expressions.Window
+      // n_copies as a window count over the hash — ONE pass over the
+      // sha256+tokenize projections (a groupBy+self-join formulation
+      // re-evaluates that dominant scan lineage twice; no exchange reuse)
+      t(s, dir, "documents")
         .withColumn("h", sha2(col("text"), 256))
         .withColumn("tk", tokens(col("text")))
         .withColumn("n_tokens", size(col("tk")))
         .withColumn("dr",
           size(array_distinct(col("tk"))).cast("double") / col("n_tokens"))
-      val copies = d.groupBy("h").agg(count(lit(1)).as("n_copies"))
-      d.join(copies, "h")
+        .withColumn("n_copies",
+          count(lit(1)).over(Window.partitionBy("h")))
         .withColumn("bucket",
           least(floor(col("dr") * 10).cast("int"), lit(9)))
         .groupBy("bucket")

@@ -376,7 +376,7 @@ object VectorQueries {
         "label")
       val w = Window.partitionBy("label")
         .orderBy(col("cosine").asc, col("vec_id"))
-      v.join(cent, "label")
+      v.join(broadcast(cent), "label")
         .withColumn("cosine",
           cosineWithNorms(dotHof(col("embedding"), col("ce")),
             col("nrm"), col("cn")))

@@ -44,6 +44,7 @@ class Round4OpsSpec extends SparkSpec {
 
   test("d48 substring decontamination: eval source excluded, bounded counts") {
     val rows = run("d48_substring_decontamination").collect()
+    assert(rows.nonEmpty)
     assert(rows.forall(_.getString(0) != "src0"))
     rows.foreach { r =>
       assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
@@ -53,7 +54,9 @@ class Round4OpsSpec extends SparkSpec {
 
   test("d49 token budget: each source fills its budget or keeps everything") {
     val budget = 3000L
-    run("d49_token_budget").collect().foreach { r =>
+    val d49rows = run("d49_token_budget").collect()
+    assert(d49rows.nonEmpty)
+    d49rows.foreach { r =>
       val (nDocs, total, nKept, kept) =
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
       assert(nKept >= 1 && nKept <= nDocs && kept <= total)
@@ -78,7 +81,9 @@ class Round4OpsSpec extends SparkSpec {
   }
 
   test("d51 containment: bounded by 1, consistent with set sizes") {
-    run("d51_containment").collect().foreach { r =>
+    val d51rows = run("d51_containment").collect()
+    assert(d51rows.nonEmpty)
+    d51rows.foreach { r =>
       val (da, db, shared, na, nb, c) = (r.getLong(0), r.getLong(1),
         r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
       assert(da < db)
@@ -91,6 +96,7 @@ class Round4OpsSpec extends SparkSpec {
   test("d52 label outliers: 3 per label, ascending similarity") {
     val byLabel = run("d52_label_outliers").collect()
       .groupBy(_.getInt(0))
+    assert(byLabel.nonEmpty)
     byLabel.values.foreach { rs =>
       assert(rs.length == 3)
       assert(rs.sortBy(_.getInt(1)).map(_.getDouble(3)).sliding(2).forall {
@@ -101,7 +107,9 @@ class Round4OpsSpec extends SparkSpec {
   }
 
   test("d53 dup agreement: audits exactly the lexical pairs with vectors") {
-    run("d53_dup_agreement").collect().foreach { r =>
+    val d53rows = run("d53_dup_agreement").collect()
+    assert(d53rows.nonEmpty) // join keys align: the pair set has vectors
+    d53rows.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
       assert(r.getDouble(2) >= 0.5) // came from the J >= 0.5 pair set
       assert(r.getDouble(3) <= 1.0000001)
@@ -110,7 +118,9 @@ class Round4OpsSpec extends SparkSpec {
   }
 
   test("q50 bit flags: masks are 5-bit, n_types is the popcount") {
-    run("q50_bit_flags").collect().foreach { r =>
+    val q50rows = run("q50_bit_flags").collect()
+    assert(q50rows.length > 1) // the sample must leave VARIED masks
+    q50rows.foreach { r =>
       val mask = r.getLong(0)
       assert(mask >= 1 && mask <= 31)
       assert(r.getInt(1) == java.lang.Long.bitCount(mask))
@@ -119,7 +129,9 @@ class Round4OpsSpec extends SparkSpec {
   }
 
   test("d54 calibration: buckets within range, rates consistent") {
-    run("d54_quality_calibration").collect().foreach { r =>
+    val d54rows = run("d54_quality_calibration").collect()
+    assert(d54rows.nonEmpty)
+    d54rows.foreach { r =>
       assert(r.getInt(0) >= 0 && r.getInt(0) <= 9)
       assert(r.getLong(2) <= r.getLong(1)) // dups <= docs
       assert(r.getDouble(4) == r.getLong(2).toDouble / r.getLong(1))
