@@ -4,6 +4,8 @@ import java.nio.file.Files
 import java.nio.charset.StandardCharsets
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -140,6 +142,46 @@ class StreamingSourcesSpec extends SparkSpec {
       // doc 2 deduped (same content hash as 1), doc 3 quality-filtered
       assert(kept == Set(1L, 4L))
     } finally q.stop()
+  }
+
+  test("stateful dedup runs on the RocksDB state store (the 100 TB state backend)") {
+    // HDFS-backed state keeps every key on-heap; RocksDB spills to local
+    // disk and is the production choice once dedup state outgrows memory.
+    // Same pipeline, swapped provider — and the progress metrics must
+    // prove RocksDB actually held the state.
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, String, Timestamp)]
+      ms.addData(
+        (1L, "h1", Timestamp.valueOf("2024-01-01 00:00:01")),
+        (2L, "h1", Timestamp.valueOf("2024-01-01 00:00:02")), // dup of 1
+        (3L, "h3", Timestamp.valueOf("2024-01-01 00:00:03")))
+      val cleaned = StreamingPipelines.dedupStream(
+        ms.toDF().toDF("doc_id", "content_hash", "ts"),
+        "ts", "10 minutes", "content_hash")
+      val q = StreamingPipelines.toMemorySink(cleaned, "rocks_dedup",
+        complete = false)
+      try {
+        q.processAllAvailable()
+        val kept = spark.table("rocks_dedup")
+          .select("doc_id").as[Long].collect().toSet
+        assert(kept == Set(1L, 3L))
+        val metrics = q.lastProgress.stateOperators
+        assert(metrics.nonEmpty)
+        assert(metrics.exists(_.customMetrics.keySet.asScala
+          .exists(_.toLowerCase.contains("rocksdb"))))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("catalog-to-catalog streaming: tailTable -> transform -> writeToTable") {
