@@ -384,6 +384,31 @@ object VectorQueries {
         .filter(col("rnk") <= 3)
         .select("label", "rnk", "vec_id", "cosine")
         .orderBy("label", "rnk")
+    },
+    // D3i — embedding DRIFT by ingest decile: cosine of each decile's
+    // centroid against the global centroid — the dataset-shift monitor a
+    // pipeline runs as a corpus grows ("are the newest vectors still the
+    // same distribution?"). Deciles are id-range buckets (d50's trick, no
+    // global row_number); both centroid levels are exact quantized means
+    // (quantCentroids), so the drift scores are bit-reproducible. Two
+    // keyed aggs over one corpus scan lineage + an 11-row join.
+    "d55_embedding_drift" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val mx = v.agg(max("vec_id").as("mx"))
+      val vb = v.crossJoin(broadcast(mx))
+        .withColumn("bucket", expr("(vec_id * 10) DIV (mx + 1)"))
+      val bCent = quantCentroids(vb.select(col("bucket"), col("embedding")),
+        "bucket")
+      val gCent = quantCentroids(
+        v.select(lit(0).as("g"), col("embedding")), "g")
+        .select(col("ce").as("gce"), col("cn").as("gcn"))
+      val sizes = vb.groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+      sizes.join(bCent, "bucket").crossJoin(broadcast(gCent))
+        .withColumn("cos_to_global",
+          cosineWithNorms(dotHof(col("ce"), col("gce")),
+            col("cn"), col("gcn")))
+        .select("bucket", "n_vecs", "cos_to_global")
+        .orderBy("bucket")
     }
   )
 
@@ -642,6 +667,41 @@ object VectorQueries {
          |                    v.vec_id) AS rnk
          |  FROM v JOIN cn c ON v.label = c.label)
          |SELECT label, rnk, vec_id, cosine FROM sc
-         |WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin
+         |WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin,
+    "d55_embedding_drift" ->
+      s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+         |mx AS (SELECT MAX(vec_id) AS mx FROM v),
+         |vb AS (SELECT vec_id, embedding,
+         |              (vec_id * 10) // (mx + 1) AS bucket
+         |       FROM v CROSS JOIN mx),
+         |bex AS (SELECT bucket, unnest(range(len(embedding))) AS pos,
+         |               unnest(embedding) AS val
+         |        FROM vb),
+         |bm AS (SELECT bucket, pos, COUNT(*) AS n,
+         |              SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000)
+         |                  AS BIGINT)) AS sq
+         |       FROM bex GROUP BY bucket, pos),
+         |bc AS (SELECT bucket,
+         |              list(CAST(sq AS DOUBLE) / (n * 1000000)
+         |                   ORDER BY pos) AS ce
+         |       FROM bm GROUP BY bucket),
+         |bcn AS (SELECT bucket, ce, ${oNorm("ce")} AS cn FROM bc),
+         |gex AS (SELECT unnest(range(len(embedding))) AS pos,
+         |               unnest(embedding) AS val
+         |        FROM v),
+         |gm AS (SELECT pos, COUNT(*) AS n,
+         |              SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000)
+         |                  AS BIGINT)) AS sq
+         |       FROM gex GROUP BY pos),
+         |gc AS (SELECT list(CAST(sq AS DOUBLE) / (n * 1000000)
+         |                   ORDER BY pos) AS gce
+         |       FROM gm),
+         |gcn AS (SELECT gce, ${oNorm("gce")} AS gcn FROM gc),
+         |sizes AS (SELECT bucket, COUNT(*) AS n_vecs FROM vb
+         |          GROUP BY bucket)
+         |SELECT s.bucket, n_vecs,
+         |       ${oDot("b.ce", "g.gce")} / (b.cn * g.gcn) AS cos_to_global
+         |FROM sizes s JOIN bcn b ON s.bucket = b.bucket CROSS JOIN gcn g
+         |ORDER BY s.bucket""".stripMargin
   )
 }

@@ -138,6 +138,14 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("d55 drift: deciles partition the vectors, similarity bounded by 1") {
+    val rows = run("d55_embedding_drift").collect()
+    assert(rows.length == 10)
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nVecs)
+    rows.foreach(r => assert(r.getDouble(2) <= 1.0000001))
+  }
+
   test("d47 BM25: scores are positive and strictly rank-ordered") {
     val rows = run("d47_bm25").collect()
     assert(rows.length == 10)
