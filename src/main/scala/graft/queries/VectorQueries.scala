@@ -49,7 +49,7 @@ object VectorQueries {
     * order. One keyed shuffle, partial-agg friendly; shared by d45
     * (Lloyd iteration-2 centroids) and d52 (label-centroid outliers).
     */
-  private def quantCentroids(df: DataFrame, keyName: String): DataFrame =
+  private[graft] def quantCentroids(df: DataFrame, keyName: String): DataFrame =
     df.select(col(keyName), posexplode(col("embedding")).as(Seq("pos", "vv")))
       .withColumn("q", floor(col("vv").cast("double") * 1000000).cast("long"))
       .groupBy(keyName, "pos")

@@ -194,4 +194,40 @@ class PropertySpec extends SparkSpec {
       assert(again == before, s"seed=$i")
     }
   }
+
+  test("quantCentroids law: Spark quantized means == single-threaded JVM fold") {
+    // the exact-mean kernel behind d45/d52/d55 must be order-independent:
+    // a partition-parallel Spark aggregation and a sequential JVM loop
+    // over the same random vectors must produce bit-identical centroids
+    // and norms, for any grouping
+    for (i <- 1 to cases) {
+      val rnd = new scala.util.Random(i)
+      val dims = 8
+      val rows = (0 until 20 + 5 * i).map { j =>
+        (j % 4, Array.fill(dims)(rnd.nextFloat() * 2f - 1f))
+      }
+      val df = spark.createDataFrame(rows).toDF("k", "embedding")
+        .repartition(7) // force multi-partition partial aggregation
+      val got = graft.queries.VectorQueries.quantCentroids(df, "k")
+        .collect()
+        .map(r => r.getInt(0) ->
+          ((r.getSeq[Double](1).toArray, r.getDouble(2))))
+        .toMap
+      rows.groupBy(_._1).foreach { case (k, vs) =>
+        val sums = Array.fill(dims)(0L)
+        vs.foreach { case (_, arr) =>
+          var d = 0
+          while (d < dims) {
+            sums(d) += math.floor(arr(d).toDouble * 1000000).toLong; d += 1
+          }
+        }
+        val denom = vs.length.toLong * 1000000
+        val ce = sums.map(s => s.toDouble / denom)
+        val cn = math.sqrt(ce.foldLeft(0.0)((acc, x) => acc + x * x))
+        val (gce, gcn) = got(k)
+        assert(gce.sameElements(ce), s"seed=$i key=$k centroid")
+        assert(gcn == cn, s"seed=$i key=$k norm")
+      }
+    }
+  }
 }
