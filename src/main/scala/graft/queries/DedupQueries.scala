@@ -853,6 +853,23 @@ object DedupQueries {
         .withColumn("semantic_agree", col("cosine") >= 0.9)
         .select("da", "db", "jaccard", "cosine", "semantic_agree")
         .orderBy("da", "db")
+    },
+    // D1g — TEMPLATE detection by shared opening: docs that begin with the
+    // same 8 tokens are template instances (form letters, scraped page
+    // chrome) even when their tails differ — the case full-hash dedup
+    // (d01) misses and pairwise near-dup (d02) only catches when the
+    // shared fraction is large. One hash groupBy on the prefix hash —
+    // exactly d01's scale shape, no pairwise stage.
+    "d56_template_prefixes" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(size(tokens(col("text"))) >= 8)
+        .withColumn("prefix_hash",
+          md5(concat_ws(" ", slice(tokens(col("text")), 1, 8))))
+        .groupBy("prefix_hash")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"),
+          countDistinct("source").as("n_sources"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("prefix_hash")
     }
   )
 
@@ -1200,6 +1217,19 @@ object DedupQueries {
          |         >= 0.9 AS semantic_agree
          |FROM jac JOIN v a ON da = a.vec_id JOIN v b ON db = b.vec_id
          |WHERE jaccard >= 0.5
-         |ORDER BY da, db""".stripMargin
+         |ORDER BY da, db""".stripMargin,
+    "d56_template_prefixes" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         md5(array_to_string(
+        |           list_slice(string_split(text, ' '), 1, 8), ' '))
+        |           AS prefix_hash
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8)
+        |SELECT prefix_hash, COUNT(*) AS n_docs,
+        |       MIN(doc_id) AS first_doc,
+        |       COUNT(DISTINCT source) AS n_sources
+        |FROM d GROUP BY prefix_hash
+        |HAVING COUNT(*) >= 2 ORDER BY prefix_hash""".stripMargin
   )
 }
