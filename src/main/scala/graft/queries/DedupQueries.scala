@@ -778,11 +778,8 @@ object DedupQueries {
     // bucketing itself never serializes the corpus through one partition).
     "d50_novelty_curve" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val docs = t(s, dir, "documents").select("doc_id")
-      val mx = docs.agg(max("doc_id").as("mx"))
-      val db = docs.crossJoin(broadcast(mx))
-        .withColumn("bucket", expr("(doc_id * 10) DIV (mx + 1)"))
-        .select("doc_id", "bucket")
+      val db = Q.withDecileBucket(
+        t(s, dir, "documents").select("doc_id"), "doc_id")
       val grams = gramTable(s, dir)
       val tot = grams.join(db, "doc_id")
         .groupBy("bucket").agg(count(lit(1)).as("n_grams"))

@@ -87,6 +87,20 @@ object Q {
       mk: => DataFrame): DataFrame =
     getOrBuild(plansFor(spark), (dir, s"#$key"))(mk)
 
+  /** Id-range DECILE bucket: floor(id·10 / (max+1)) against a broadcast
+    * 1-row max — map-side integer math, no global row_number, so the
+    * bucketing never serializes the frame through one partition. Shared
+    * by d50 (novelty curve) and d55 (embedding drift) so their decile
+    * boundaries stay comparable; the DuckDB mirror is
+    * `(id * 10) // (mx + 1)`.
+    */
+  private[queries] def withDecileBucket(df: DataFrame, idCol: String): DataFrame = {
+    val mx = df.agg(max(idCol).as("mx"))
+    df.crossJoin(broadcast(mx))
+      .withColumn("bucket", expr(s"($idCol * 10) DIV (mx + 1)"))
+      .drop("mx")
+  }
+
   /** Exact, order-independent sum of a money-grade double expression.
     *
     * Scale 6 matters: fixture money columns carry exactly 2 decimals, so any

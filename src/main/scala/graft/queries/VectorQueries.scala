@@ -44,10 +44,13 @@ object VectorQueries {
         col("nrm").as("qn"))
 
   /** Integer-quantized per-key mean vectors, as (key, ce: array<double>,
-    * cn: norm): micro-unit floor-quantize → BIGINT sums per (key, pos) —
-    * exact and order-independent (the d17 trick) — reassembled in pos
-    * order. One keyed shuffle, partial-agg friendly; shared by d45
-    * (Lloyd iteration-2 centroids) and d52 (label-centroid outliers).
+    * cn: norm, n_members): micro-unit floor-quantize → BIGINT sums per
+    * (key, pos) — exact and order-independent (the d17 trick) —
+    * reassembled in pos order. One keyed shuffle, partial-agg friendly;
+    * shared by d45 (Lloyd iteration-2 centroids), d52 (label-centroid
+    * outliers), and d55 (drift). n_members rides along for free (every
+    * pos of a key sees the same count), so consumers never re-scan the
+    * corpus just to size the groups.
     */
   private[graft] def quantCentroids(df: DataFrame, keyName: String): DataFrame =
     df.select(col(keyName), posexplode(col("embedding")).as(Seq("pos", "vv")))
@@ -56,9 +59,12 @@ object VectorQueries {
       .agg(count(lit(1)).as("n"), sum("q").as("sq"))
       .withColumn("m", col("sq").cast("double") / (col("n") * 1000000))
       .groupBy(keyName)
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col(keyName), transform(col("pm"), x => x.getField("m")).as("ce"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"),
+        max("n").as("n_members"))
+      .select(col(keyName), transform(col("pm"), x => x.getField("m")).as("ce"),
+        col("n_members"))
       .withColumn("cn", sqrt(dotHof(col("ce"), col("ce"))))
+      .select(col(keyName), col("ce"), col("cn"), col("n_members"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D3a — brute-force top-3 cosine neighbors for each of 10 query vectors.
@@ -394,20 +400,20 @@ object VectorQueries {
     // keyed aggs over one corpus scan lineage + an 11-row join.
     "d55_embedding_drift" -> { (s, dir) =>
       val v = vecs(s, dir)
-      val mx = v.agg(max("vec_id").as("mx"))
-      val vb = v.crossJoin(broadcast(mx))
-        .withColumn("bucket", expr("(vec_id * 10) DIV (mx + 1)"))
+      val vb = Q.withDecileBucket(v, "vec_id")
+      // bucket sizes ride out of quantCentroids (n_members) — no second
+      // corpus aggregation just to count the groups
       val bCent = quantCentroids(vb.select(col("bucket"), col("embedding")),
         "bucket")
       val gCent = quantCentroids(
         v.select(lit(0).as("g"), col("embedding")), "g")
         .select(col("ce").as("gce"), col("cn").as("gcn"))
-      val sizes = vb.groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
-      sizes.join(bCent, "bucket").crossJoin(broadcast(gCent))
+      bCent.crossJoin(broadcast(gCent))
         .withColumn("cos_to_global",
           cosineWithNorms(dotHof(col("ce"), col("gce")),
             col("cn"), col("gcn")))
-        .select("bucket", "n_vecs", "cos_to_global")
+        .select(col("bucket"), col("n_members").as("n_vecs"),
+          col("cos_to_global"))
         .orderBy("bucket")
     }
   )

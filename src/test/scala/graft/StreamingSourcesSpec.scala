@@ -144,15 +144,24 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("stateful dedup runs on the RocksDB state store (the 100 TB state backend)") {
+  test("stateful dedup + LSH candidate stream run on RocksDB state store") {
     // HDFS-backed state keeps every key on-heap; RocksDB spills to local
-    // disk and is the production choice once dedup state outgrows memory.
-    // Same pipeline, swapped provider — and the progress metrics must
-    // prove RocksDB actually held the state.
+    // disk and is the production choice once streaming state outgrows
+    // memory. Both state encodings are exercised: dropDuplicates state
+    // (dedupStream) and flatMapGroupsWithState user state
+    // (lshCandidateStream) — and the progress metrics must prove RocksDB
+    // actually held the state. NOTE: the provider conf is session-global;
+    // the try/finally swap is safe because suites run sequentially in the
+    // forked test JVM (sbt default) — revisit if tests ever parallelize.
     implicit val ctx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def rocksHeldState(q: org.apache.spark.sql.streaming.StreamingQuery): Boolean = {
+      val metrics = q.lastProgress.stateOperators
+      metrics.nonEmpty && metrics.exists(_.customMetrics.keySet.asScala
+        .exists(_.toLowerCase.contains("rocksdb")))
+    }
     try {
       val ms = MemoryStream[(Long, String, Timestamp)]
       ms.addData(
@@ -169,11 +178,24 @@ class StreamingSourcesSpec extends SparkSpec {
         val kept = spark.table("rocks_dedup")
           .select("doc_id").as[Long].collect().toSet
         assert(kept == Set(1L, 3L))
-        val metrics = q.lastProgress.stateOperators
-        assert(metrics.nonEmpty)
-        assert(metrics.exists(_.customMetrics.keySet.asScala
-          .exists(_.toLowerCase.contains("rocksdb"))))
+        assert(rocksHeldState(q))
       } finally q.stop()
+      // flatMapGroupsWithState (user-defined state encoding) on RocksDB
+      val ms2 = MemoryStream[(Long, String)]
+      val out = StreamingPipelines.lshCandidateStream(ms2.toDS())
+      val q2 = StreamingPipelines.toMemorySink(out.toDF(), "rocks_lsh",
+        complete = false)
+      try {
+        val a = "the quick brown fox jumps over the lazy dog again and again"
+        ms2.addData((1L, a))
+        q2.processAllAvailable()
+        ms2.addData((2L, a)) // exact text => all bands collide
+        q2.processAllAvailable()
+        val hits = spark.table("rocks_lsh")
+          .select("doc_id").as[Long].collect().toSet
+        assert(hits.contains(2L))
+        assert(rocksHeldState(q2))
+      } finally q2.stop()
     } finally {
       prev match {
         case Some(p) =>
