@@ -76,6 +76,50 @@ object DedupQueries {
       .persist()
   }
 
+  /** Per-doc 60-bit SimHash (doc_id, simhash) — the majority-vote bit
+    * signature over distinct-token hashes. Persisted and shared by d04
+    * (hamming report) and d58 (multi-index Hamming candidate search).
+    *
+    * Computed MAP-SIDE in one typed pass (the minhashSigs pattern): the
+    * per-token 60-counter vote loop runs in the JVM against [[hash60]],
+    * which is law-pinned equal to the `tokenHash60` Catalyst expression —
+    * measured ~10x faster than the explode × 60-bit-mask aggregation it
+    * replaces (30M agg rows at sf0.1 became one scan), and bit-identical
+    * to the DuckDB oracle. Docs with NULL text produce no row, matching
+    * the expression form's explode(null) semantics.
+    */
+  private[graft] def docSimhash(s: SparkSession, dir: String): DataFrame =
+    Q.memo(s, dir, "docSimhash") {
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, text) =>
+            if (text == null) None
+            else {
+              val toks = text.split(" ", -1).distinct
+              val counts = new Array[Int](60)
+              var i = 0
+              while (i < toks.length) {
+                val h = graft.functions.TextFunctions.hash60(toks(i))
+                var j = 0
+                while (j < 60) {
+                  if (((h >> j) & 1L) != 0L) counts(j) += 1
+                  else counts(j) -= 1
+                  j += 1
+                }
+                i += 1
+              }
+              var sim = 0L
+              var j = 0
+              while (j < 60) { if (counts(j) > 0) sim |= (1L << j); j += 1 }
+              Some((id, sim))
+            }
+          }
+        }.toDF("doc_id", "simhash")
+        .persist()
+    }
+
   /** Exploded per-doc distinct shingle hashes (doc_id, h) — persisted and
     * shared by d34 (duplicate-n-gram coverage) and d36 (source overlap):
     * both consume the same inverted-index row stream, so it materializes
@@ -571,18 +615,7 @@ object DedupQueries {
     },
     // D2c — 60-bit SimHash over distinct tokens + Hamming distance to doc 0.
     "d04_simhash" -> { (s, dir) =>
-      val tok = t(s, dir, "documents")
-        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-        .withColumn("h", tokenHash60(col("tok")))
-      val masks = {
-        import s.implicits._
-        (0 until 60).map(j => (j, 1L << j)).toDF("j", "mask")
-      }
-      val sim = tok.crossJoin(broadcast(masks))
-        .groupBy("doc_id", "j", "mask")
-        .agg(sum(when(col("h").bitwiseAND(col("mask")) =!= 0, 1).otherwise(-1)).as("s"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("s") > 0, col("mask")).otherwise(0L)).as("simhash"))
+      val sim = docSimhash(s, dir)
       val ref = sim.filter(col("doc_id") === 0)
         .select(col("simhash").as("simhash0"))
       sim.crossJoin(broadcast(ref))
@@ -867,8 +900,56 @@ object DedupQueries {
           countDistinct("source").as("n_sources"))
         .filter(col("n_docs") >= 2)
         .orderBy("prefix_hash")
+    },
+    // D2k — SimHash near-dup pairs via MULTI-INDEX Hamming search: split
+    // the 60-bit signature into four 15-bit bands; by pigeonhole, two
+    // signatures within Hamming distance ≤ 3 MUST agree on at least one
+    // band, so banding is a COMPLETE (no false negative) candidate
+    // generator at that radius — the classic web-dedup recipe. Candidate
+    // fanout is bounded by band-bucket sizes (an equi-join, never all
+    // pairs); exact bit_count verification touches candidates only.
+    "d58_simhash_hamming" -> { (s, dir) =>
+      val banded = docSimhash(s, dir)
+        .select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("simhash"), b * 15)
+                .bitwiseAND(lit(32767L)).as("bv"))): _*)).as("bb"))
+        .select(col("doc_id"), col("simhash"),
+          col("bb.band").as("band"), col("bb.bv").as("bv"))
+      val a = banded.select(col("band"), col("bv"),
+        col("doc_id").as("da"), col("simhash").as("sa"))
+      val b2 = banded.select(col("band"), col("bv"),
+        col("doc_id").as("db"), col("simhash").as("sb"))
+      a.join(b2, Seq("band", "bv"))
+        .filter(col("da") < col("db"))
+        .select("da", "db", "sa", "sb").distinct()
+        .withColumn("hamming",
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+        .filter(col("hamming") <= 3)
+        .select("da", "db", "hamming")
+        .orderBy("da", "db")
     }
   )
+
+  /** DuckDB mirror of [[docSimhash]] — yields the `sim(doc_id, simhash)`
+    * CTE; shared by the d04 and d58 oracles.
+    */
+  private val simhashSql =
+    s"""tok AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents) raw),
+       |h AS (SELECT doc_id, ${oTokenHash60("tok")} AS h FROM tok),
+       |bits AS (
+       |  SELECT doc_id, j, (1::BIGINT << j) AS mask,
+       |         SUM(CASE WHEN (h & (1::BIGINT << j)) != 0 THEN 1 ELSE -1 END) AS s
+       |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) js
+       |  GROUP BY doc_id, j),
+       |sim AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN s > 0 THEN mask ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
 
   private val shingleSql =
     """sh AS (
@@ -1063,25 +1144,26 @@ object DedupQueries {
          |FROM est LEFT JOIN jac ON est.da = jac.da AND est.db = jac.db
          |ORDER BY da, db""".stripMargin,
     "d04_simhash" ->
-      s"""WITH tok AS (
-         |  SELECT DISTINCT doc_id, tok FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |    FROM documents) raw),
-         |h AS (SELECT doc_id, ${oTokenHash60("tok")} AS h FROM tok),
-         |bits AS (
-         |  SELECT doc_id, j, (1::BIGINT << j) AS mask,
-         |         SUM(CASE WHEN (h & (1::BIGINT << j)) != 0 THEN 1 ELSE -1 END) AS s
-         |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) js
-         |  GROUP BY doc_id, j),
-         |sim AS (
-         |  SELECT doc_id,
-         |         CAST(SUM(CASE WHEN s > 0 THEN mask ELSE 0 END) AS BIGINT) AS simhash
-         |  FROM bits GROUP BY doc_id)
+      s"""WITH $simhashSql
          |SELECT doc_id, sim.simhash AS simhash,
          |       bit_count(xor(sim.simhash, ref.simhash0)) AS hamming_to_doc0
          |FROM sim CROSS JOIN
          |  (SELECT simhash AS simhash0 FROM sim WHERE doc_id = 0) ref
          |ORDER BY doc_id""".stripMargin,
+    "d58_simhash_hamming" ->
+      s"""WITH $simhashSql,
+         |banded AS (
+         |  SELECT doc_id, simhash, b AS band,
+         |         (simhash >> (b * 15)) & 32767 AS bv
+         |  FROM sim CROSS JOIN (SELECT unnest(range(4)) AS b) bs),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         |         a.simhash AS sa, b.simhash AS sb
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY da, db""".stripMargin,
     "d12_embed_neardup" ->
       s"""WITH v AS (
          |  SELECT vec_id, label, embedding, ${oNorm("embedding")} AS nrm

@@ -225,13 +225,19 @@ object TextQueries {
         .orderBy("lang")
     },
     // D4d — fingerprinting: whole-doc content hash + min-shingle rolling
-    // fingerprint (winnowing-style representative hash).
+    // fingerprint (winnowing-style representative hash). The min rides on
+    // the shared JVM docShingles table: min over the per-doc DISTINCT
+    // shingle hashes equals min over all shingles, so the interpreted
+    // per-shingle md5 HOF (measured 9.9s at sf0.1 — transform lambdas
+    // never enter codegen) collapses to an array_min over the persisted
+    // arrays the dedup family already built.
     "d10_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents")
-        .withColumn("sh", shingles(tokens(col("text"))))
-        .select(col("doc_id"),
-          md5(lower(col("text"))).as("doc_fp"),
-          array_min(transform(col("sh"), x => tokenHash60(x))).as("min_shingle_fp"))
+        .select(col("doc_id"), md5(lower(col("text"))).as("doc_fp"))
+        .join(DedupQueries.docShingles(s, dir)
+          .select(col("doc_id"), array_min(col("h_arr")).as("min_shingle_fp")),
+          Seq("doc_id"), "left")
+        .select("doc_id", "doc_fp", "min_shingle_fp")
         .orderBy("doc_id")
     },
     // D4h — per-doc keyword extraction by TF-IDF. The idf is the RATIONAL

@@ -415,6 +415,34 @@ object VectorQueries {
         .select(col("bucket"), col("n_members").as("n_vecs"),
           col("cos_to_global"))
         .orderBy("bucket")
+    },
+    // D3j — 1-NN leave-one-out ACCURACY: classify each probe vector by
+    // its nearest other vector's label and score per-label accuracy —
+    // the standard embedding-quality audit ("do neighborhoods respect
+    // labels?"). Probes are a broadcast sample (the evaluation practice
+    // at scale); the corpus is scanned once; at 100 TB the d06 IVF /
+    // d20 LSH index replaces the brute-force scan, same probe protocol.
+    "d57_knn_accuracy" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val probes = v.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("p_id"), col("label").as("p_label"),
+          col("embedding").as("pe"), col("nrm").as("pn"))
+      val w = Window.partitionBy("p_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      v.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("p_id"))
+        .withColumn("cosine",
+          cosineWithNorms(dot(col("embedding"), col("pe")),
+            col("nrm"), col("pn")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("p_label")
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("label") === col("p_label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("accuracy",
+          col("n_correct").cast("double") / col("n_probes"))
+        .orderBy("p_label")
     }
   )
 
@@ -708,6 +736,28 @@ object VectorQueries {
          |SELECT s.bucket, n_vecs,
          |       ${oDot("b.ce", "g.gce")} / (b.cn * g.gcn) AS cos_to_global
          |FROM sizes s JOIN bcn b ON s.bucket = b.bucket CROSS JOIN gcn g
-         |ORDER BY s.bucket""".stripMargin
+         |ORDER BY s.bucket""".stripMargin,
+    "d57_knn_accuracy" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, embedding, ${oNorm("embedding")} AS nrm
+         |  FROM embeddings),
+         |p AS (SELECT vec_id AS p_id, label AS p_label, embedding AS pe,
+         |             nrm AS pn
+         |      FROM v WHERE vec_id < 200),
+         |nn AS (
+         |  SELECT p_id, p_label, label FROM (
+         |    SELECT p.p_id, p.p_label, v.label,
+         |           row_number() OVER (PARTITION BY p.p_id
+         |             ORDER BY ${oDot("v.embedding", "p.pe")}
+         |                        / (v.nrm * p.pn) DESC,
+         |                      v.vec_id) AS rn
+         |    FROM v CROSS JOIN p WHERE v.vec_id != p.p_id) x
+         |  WHERE rn = 1)
+         |SELECT p_label, COUNT(*) AS n_probes,
+         |       CAST(SUM(CASE WHEN label = p_label THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_correct,
+         |       CAST(SUM(CASE WHEN label = p_label THEN 1 ELSE 0 END)
+         |            AS DOUBLE) / COUNT(*) AS accuracy
+         |FROM nn GROUP BY p_label ORDER BY p_label""".stripMargin
   )
 }

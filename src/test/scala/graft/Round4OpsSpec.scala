@@ -146,6 +146,31 @@ class Round4OpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(2) <= 1.0000001))
   }
 
+  test("d57 1-NN accuracy: probe counts partition the probe set, rates bounded") {
+    val rows = run("d57_knn_accuracy").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == 200) // every probe classified once
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) == r.getLong(2).toDouble / r.getLong(1))
+    }
+  }
+
+  test("d58 simhash banding is COMPLETE at radius 3 (pigeonhole check)") {
+    // every pair the exact O(n²) scan finds within Hamming ≤ 3 must be in
+    // the banded candidate output — on the small fixture we can afford
+    // the exhaustive reference
+    val sims = graft.queries.DedupQueries.docSimhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = (for {
+      (da, sa) <- sims; (db, sb) <- sims
+      if da < db && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (da, db)).toSet
+    val banded = run("d58_simhash_hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == exact)
+  }
+
   test("d47 BM25: scores are positive and strictly rank-ordered") {
     val rows = run("d47_bm25").collect()
     assert(rows.length == 10)
