@@ -92,8 +92,14 @@ object DedupQueries {
     Q.memo(s, dir, "docSimhash") {
       import s.implicits._
       t(s, dir, "documents").select(col("doc_id"), col("text"))
+        // single-file fixture => 1 input partition; spread rows BEFORE
+        // the vote loop so it runs on every core (same as docShingles)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .as[(Long, String)]
         .mapPartitions { it =>
+          // one digest per partition, reset per token — getInstance in
+          // the hot loop is a provider lookup + allocation per call
+          val md = java.security.MessageDigest.getInstance("MD5")
           it.flatMap { case (id, text) =>
             if (text == null) None
             else {
@@ -101,7 +107,12 @@ object DedupQueries {
               val counts = new Array[Int](60)
               var i = 0
               while (i < toks.length) {
-                val h = graft.functions.TextFunctions.hash60(toks(i))
+                val d = md.digest(
+                  toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                var v = 0L
+                var k = 0
+                while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+                val h = (v << 4) | ((d(7) >> 4) & 0xfL)
                 var j = 0
                 while (j < 60) {
                   if (((h >> j) & 1L) != 0L) counts(j) += 1
