@@ -249,6 +249,38 @@ object RelationalQueries4 {
         .withColumn("n_types", expr("bit_count(mask)").cast("int"))
         .select("mask", "n_types", "n_users")
         .orderBy("mask")
+    },
+    // Winsorization / outlier clipping — the standard numeric-feature
+    // prep step: clamp to the exact [p1, p99] of the distribution and
+    // account for what was clipped. percentile_DISC (not cont): disc
+    // picks actual data values, so no interpolation formula whose FP
+    // evaluation order could differ across engines. Clipped sums quantize
+    // to micro-units before aggregation — floor of an identical double is
+    // an identical BIGINT, and integer sums are order-independent (a
+    // DECIMAL cast of an arbitrary double would hit Spark's
+    // shortest-representation rounding vs DuckDB's binary-expansion
+    // rounding and diverge in the last decimal).
+    "q51_winsorize" -> { (s, dir) =>
+      t(s, dir, "events").createOrReplaceTempView("graft_events_q51")
+      s.sql(
+        """WITH b AS (
+          |  SELECT
+          |    CAST(percentile_disc(0.01) WITHIN GROUP (ORDER BY value)
+          |         AS DOUBLE) AS lo,
+          |    CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY value)
+          |         AS DOUBLE) AS hi
+          |  FROM graft_events_q51)
+          |SELECT event_type,
+          |       COUNT(*) AS n_events,
+          |       CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_clipped_low,
+          |       CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_clipped_high,
+          |       CAST(SUM(CAST(floor(least(greatest(value, lo), hi)
+          |                           * 1000000) AS BIGINT)) AS BIGINT)
+          |         AS clipped_sum_micro
+          |FROM graft_events_q51 CROSS JOIN b
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }
   )
 
@@ -391,6 +423,23 @@ object RelationalQueries4 {
         |  FROM events WHERE event_id % 7 = 0 GROUP BY user_id)
         |SELECT mask, CAST(bit_count(mask) AS INT) AS n_types,
         |       COUNT(*) AS n_users
-        |FROM u GROUP BY mask ORDER BY mask""".stripMargin
+        |FROM u GROUP BY mask ORDER BY mask""".stripMargin,
+    "q51_winsorize" ->
+      """WITH b AS (
+        |  SELECT
+        |    CAST(quantile_disc(value, 0.01) AS DOUBLE) AS lo,
+        |    CAST(quantile_disc(value, 0.99) AS DOUBLE) AS hi
+        |  FROM events)
+        |SELECT event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_clipped_low,
+        |       CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_clipped_high,
+        |       CAST(SUM(CAST(floor(least(greatest(value, lo), hi)
+        |                           * 1000000) AS BIGINT)) AS BIGINT)
+        |         AS clipped_sum_micro
+        |FROM events CROSS JOIN b
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
