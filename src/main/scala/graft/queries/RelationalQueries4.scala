@@ -281,6 +281,24 @@ object RelationalQueries4 {
           |         AS clipped_sum_micro
           |FROM graft_events_q51 CROSS JOIN b
           |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+    // C16 depth — the grouping() indicator function over CUBE: the bit
+    // that tells a report row "this NULL means ALL, not missing data".
+    // Null ordering is pinned explicitly (NULLS FIRST) because the
+    // engines' ASC defaults differ (Spark nulls first, DuckDB nulls
+    // last) — the one place a correct query can still order differently.
+    "q52_grouping_id" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem_q52")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+          |       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+          |       COUNT(*) AS n_items
+          |FROM graft_lineitem_q52
+          |GROUP BY CUBE(l_returnflag, l_linestatus)
+          |ORDER BY g_rf, g_ls,
+          |         l_returnflag ASC NULLS FIRST,
+          |         l_linestatus ASC NULLS FIRST""".stripMargin)
     }
   )
 
@@ -440,6 +458,16 @@ object RelationalQueries4 {
         |                           * 1000000) AS BIGINT)) AS BIGINT)
         |         AS clipped_sum_micro
         |FROM events CROSS JOIN b
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q52_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls,
+        |         l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin
   )
 }

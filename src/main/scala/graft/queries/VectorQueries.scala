@@ -443,6 +443,33 @@ object VectorQueries {
         .withColumn("accuracy",
           col("n_correct").cast("double") / col("n_probes"))
         .orderBy("p_label")
+    },
+    // D3k — ROBUST scaling statistics (median + MAD) per label for an
+    // embedding component: the outlier-insensitive normalization a
+    // feature pipeline prefers over mean/stddev when the data has heavy
+    // tails. Entirely in the integer micro-unit domain (quantize →
+    // percentile_DISC → integer deviations → percentile_DISC), so every
+    // value is an actual data point and no float formula crosses engines.
+    "d59_robust_scaling" -> { (s, dir) =>
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_emb_d59")
+      s.sql(
+        """WITH q AS (
+          |  SELECT label,
+          |         CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000)
+          |              AS BIGINT) AS c0
+          |  FROM graft_emb_d59),
+          |med AS (
+          |  SELECT label,
+          |         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c0)
+          |              AS BIGINT) AS median_q
+          |  FROM q GROUP BY label),
+          |dev AS (
+          |  SELECT q.label, median_q, abs(c0 - median_q) AS ad
+          |  FROM q JOIN med ON q.label = med.label)
+          |SELECT label, COUNT(*) AS n_vecs, MAX(median_q) AS median_q,
+          |       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)
+          |            AS BIGINT) AS mad_q
+          |FROM dev GROUP BY label ORDER BY label""".stripMargin)
     }
   )
 
@@ -758,6 +785,22 @@ object VectorQueries {
          |            AS BIGINT) AS n_correct,
          |       CAST(SUM(CASE WHEN label = p_label THEN 1 ELSE 0 END)
          |            AS DOUBLE) / COUNT(*) AS accuracy
-         |FROM nn GROUP BY p_label ORDER BY p_label""".stripMargin
+         |FROM nn GROUP BY p_label ORDER BY p_label""".stripMargin,
+    "d59_robust_scaling" ->
+      """WITH q AS (
+        |  SELECT label,
+        |         CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
+        |              AS BIGINT) AS c0
+        |  FROM embeddings),
+        |med AS (
+        |  SELECT label, CAST(quantile_disc(c0, 0.5) AS BIGINT) AS median_q
+        |  FROM q GROUP BY label),
+        |dev AS (
+        |  SELECT q.label, median_q, abs(c0 - median_q) AS ad
+        |  FROM q JOIN med ON q.label = med.label)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |       CAST(MAX(median_q) AS BIGINT) AS median_q,
+        |       CAST(quantile_disc(ad, 0.5) AS BIGINT) AS mad_q
+        |FROM dev GROUP BY label ORDER BY label""".stripMargin
   )
 }
