@@ -583,6 +583,35 @@ object TextQueries {
         .withColumn("dup_rate",
           col("n_dup_docs").cast("double") / col("n_docs"))
         .orderBy("bucket")
+    },
+    // D4s — per-column DATA PROFILE: the ANALYZE-style table report
+    // (row count, null count, exact distinct count per column) a catalog
+    // publishes after ingest. One aggregate pass (Spark expands the
+    // multi-distinct into one Expand + agg); at 100 TB the exact
+    // countDistincts swap for approx_count_distinct (HLL) — the profile
+    // shape is the operator, exactness here is for the oracle.
+    "d60_data_profile" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("nn_id"),
+          countDistinct("doc_id").as("nd_id"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).as("nn_text"),
+          countDistinct("text").as("nd_text"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L)).as("nn_lang"),
+          countDistinct("lang").as("nd_lang"),
+          sum(when(col("source").isNull, 1L).otherwise(0L)).as("nn_src"),
+          countDistinct("source").as("nd_src"),
+          sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("nn_nc"),
+          countDistinct("n_chars").as("nd_nc"))
+        .selectExpr(
+          """stack(5,
+            |  'doc_id',  n, nn_id,   nd_id,
+            |  'lang',    n, nn_lang, nd_lang,
+            |  'n_chars', n, nn_nc,   nd_nc,
+            |  'source',  n, nn_src,  nd_src,
+            |  'text',    n, nn_text, nd_text
+            |) AS (column_name, n_rows, n_nulls, n_distinct)""".stripMargin)
+        .orderBy("column_name")
     }
   )
 
@@ -969,6 +998,28 @@ object TextQueries {
         |       CAST(SUM(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END)
         |            AS DOUBLE) / COUNT(*) AS dup_rate
         |FROM d JOIN c USING (h)
-        |GROUP BY bucket ORDER BY bucket""".stripMargin
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "d60_data_profile" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_id,
+        |    COUNT(DISTINCT doc_id) AS nd_id,
+        |    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_text,
+        |    COUNT(DISTINCT text) AS nd_text,
+        |    CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_lang,
+        |    COUNT(DISTINCT lang) AS nd_lang,
+        |    CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_src,
+        |    COUNT(DISTINCT source) AS nd_src,
+        |    CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_nc,
+        |    COUNT(DISTINCT n_chars) AS nd_nc
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'doc_id' AS column_name, n AS n_rows, nn_id AS n_nulls,
+        |         nd_id AS n_distinct FROM a
+        |  UNION ALL SELECT 'lang', n, nn_lang, nd_lang FROM a
+        |  UNION ALL SELECT 'n_chars', n, nn_nc, nd_nc FROM a
+        |  UNION ALL SELECT 'source', n, nn_src, nd_src FROM a
+        |  UNION ALL SELECT 'text', n, nn_text, nd_text FROM a
+        |) s ORDER BY column_name""".stripMargin
   )
 }
