@@ -470,6 +470,25 @@ object VectorQueries {
           |       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)
           |            AS BIGINT) AS mad_q
           |FROM dev GROUP BY label ORDER BY label""".stripMargin)
+    },
+    // D5e — multimodal COVERAGE audit: which documents have an embedding
+    // at all (vec_id aligns with doc_id by fixture construction — at
+    // larger SF only a prefix is embedded, the realistic "embedding job
+    // lags ingestion" state). The completeness report a pipeline checks
+    // before semantic dedup/search is allowed to gate anything. One left
+    // semi-ish join + per-source rollup, no data movement beyond keys.
+    "d61_vector_coverage" -> { (s, dir) =>
+      val vecIds = t(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"))
+        .withColumn("has_vec", lit(1L))
+      t(s, dir, "documents").select("doc_id", "source")
+        .join(vecIds, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("has_vec"), lit(0L))).as("n_with_vec"))
+        .withColumn("coverage",
+          col("n_with_vec").cast("double") / col("n_docs"))
+        .orderBy("source")
     }
   )
 
@@ -801,6 +820,15 @@ object VectorQueries {
         |SELECT label, COUNT(*) AS n_vecs,
         |       CAST(MAX(median_q) AS BIGINT) AS median_q,
         |       CAST(quantile_disc(ad, 0.5) AS BIGINT) AS mad_q
-        |FROM dev GROUP BY label ORDER BY label""".stripMargin
+        |FROM dev GROUP BY label ORDER BY label""".stripMargin,
+    "d61_vector_coverage" ->
+      """SELECT d.source, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END)
+        |            AS BIGINT) AS n_with_vec,
+        |       CAST(SUM(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END)
+        |            AS DOUBLE) / COUNT(*) AS coverage
+        |FROM documents d
+        |LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin
   )
 }
