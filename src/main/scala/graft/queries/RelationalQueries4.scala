@@ -299,6 +299,24 @@ object RelationalQueries4 {
           |ORDER BY g_rf, g_ls,
           |         l_returnflag ASC NULLS FIRST,
           |         l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+    // C18/C25 composite — month-over-month growth: the canonical trend
+    // report (lag over an exact monthly rollup; first month's growth is
+    // NULL, not zero). Growth is one IEEE division of two decimal-exact
+    // totals, so the engines agree bit-for-bit.
+    "q53_mom_growth" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val monthly = t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate").cast("date"))
+          .cast("date").as("month"))
+        .agg(dsum(col("o_totalprice")).as("total"))
+      val w = Window.orderBy("month")
+      monthly
+        .withColumn("prev_total", lag("total", 1).over(w))
+        .withColumn("growth",
+          (col("total") - col("prev_total")) / col("prev_total"))
+        .select("month", "total", "prev_total", "growth")
+        .orderBy("month")
     }
   )
 
@@ -468,6 +486,17 @@ object RelationalQueries4 {
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY g_rf, g_ls,
         |         l_returnflag ASC NULLS FIRST,
-        |         l_linestatus ASC NULLS FIRST""".stripMargin
+        |         l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q53_mom_growth" ->
+      s"""WITH m AS (
+         |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+         |              AS DATE) AS month,
+         |         ${oSum("o_totalprice")} AS total
+         |  FROM orders GROUP BY month)
+         |SELECT month, total,
+         |       lag(total, 1) OVER (ORDER BY month) AS prev_total,
+         |       (total - lag(total, 1) OVER (ORDER BY month))
+         |         / lag(total, 1) OVER (ORDER BY month) AS growth
+         |FROM m ORDER BY month""".stripMargin
   )
 }

@@ -489,6 +489,19 @@ object VectorQueries {
         .withColumn("coverage",
           col("n_with_vec").cast("double") / col("n_docs"))
         .orderBy("source")
+    },
+    // D3l — label BALANCE report: class-imbalance summary (count spread +
+    // max/min ratio) — the one-row check before anyone trusts per-label
+    // metrics or trains on the labels. Two tiny keyed aggs.
+    "d62_label_balance" -> { (s, dir) =>
+      t(s, dir, "embeddings")
+        .groupBy("label").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_labels"),
+          min("n").as("min_count"), max("n").as("max_count"),
+          sum("n").as("n_vecs"))
+        .withColumn("imbalance",
+          col("max_count").cast("double") / col("min_count"))
+        .select("n_labels", "n_vecs", "min_count", "max_count", "imbalance")
     }
   )
 
@@ -829,6 +842,14 @@ object VectorQueries {
         |            AS DOUBLE) / COUNT(*) AS coverage
         |FROM documents d
         |LEFT JOIN embeddings e ON d.doc_id = e.vec_id
-        |GROUP BY d.source ORDER BY d.source""".stripMargin
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "d62_label_balance" ->
+      """WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings
+        |           GROUP BY label)
+        |SELECT COUNT(*) AS n_labels,
+        |       CAST(SUM(n) AS BIGINT) AS n_vecs,
+        |       MIN(n) AS min_count, MAX(n) AS max_count,
+        |       CAST(MAX(n) AS DOUBLE) / MIN(n) AS imbalance
+        |FROM c""".stripMargin
   )
 }
