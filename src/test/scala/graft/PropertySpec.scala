@@ -195,6 +195,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hash60 law: JVM digest path == tokenHash60 Catalyst chain on random strings") {
+    // docSimhash/docShingles/minhashSigs hash tokens in the JVM while the
+    // oracles (and d29's chunk hashes) go through the md5→hex→conv
+    // expression — this pins the two paths equal DIRECTLY, including
+    // empty strings and non-ASCII (UTF-8 multi-byte) tokens, not just
+    // transitively via the band-signature law.
+    import org.apache.spark.sql.functions.col
+    for (i <- 1 to cases) {
+      val rnd = new scala.util.Random(100 + i)
+      val strs = (0 until 40).map { _ =>
+        val base = rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+        if (rnd.nextBoolean()) base + "é∆雪" else base
+      }
+      val df = strs.toDF("s")
+      val got = df
+        .select(graft.functions.TextFunctions.tokenHash60(col("s")))
+        .as[Long].collect()
+      val ref = strs.map(graft.functions.TextFunctions.hash60)
+      assert(got.sameElements(ref), s"seed=$i")
+    }
+  }
+
   test("quantCentroids law: Spark quantized means == single-threaded JVM fold") {
     // the exact-mean kernel behind d45/d52/d55 must be order-independent:
     // a partition-parallel Spark aggregation and a sequential JVM loop
