@@ -317,6 +317,32 @@ object RelationalQueries4 {
           (col("total") - col("prev_total")) / col("prev_total"))
         .select("month", "total", "prev_total", "growth")
         .orderBy("month")
+    },
+    // C8 — FULL OUTER join: customers active in 1994 vs 1998, keeping the
+    // rows that exist on only ONE side (the part inner/left can't
+    // express). USING-style key coalescing matches across engines.
+    "q54_full_outer" -> { (s, dir) =>
+      def yearRev(y: Int, rev: String, n: String) =
+        t(s, dir, "orders")
+          .filter(year(col("o_orderdate").cast("date")) === y)
+          .groupBy("o_custkey")
+          .agg(dsum(col("o_totalprice")).as(rev), count(lit(1)).as(n))
+      yearRev(1994, "rev94", "n94")
+        .join(yearRev(1998, "rev98", "n98"), Seq("o_custkey"), "full")
+        .filter(col("rev94").isNull || col("rev98").isNull)
+        .select("o_custkey", "rev94", "n94", "rev98", "n98")
+        .orderBy("o_custkey")
+    },
+    // C8 — RIGHT outer join (the mirror of q05's left): keep every
+    // customer whether or not the order side matches.
+    "q55_right_join" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_mktsegment")
+        .agg(countDistinct("c_custkey").as("n_cust"),
+          count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_mktsegment")
     }
   )
 
@@ -497,6 +523,27 @@ object RelationalQueries4 {
          |       lag(total, 1) OVER (ORDER BY month) AS prev_total,
          |       (total - lag(total, 1) OVER (ORDER BY month))
          |         / lag(total, 1) OVER (ORDER BY month) AS growth
-         |FROM m ORDER BY month""".stripMargin
+         |FROM m ORDER BY month""".stripMargin,
+    "q54_full_outer" ->
+      s"""WITH y94 AS (
+         |  SELECT o_custkey, ${oSum("o_totalprice")} AS rev94,
+         |         COUNT(*) AS n94
+         |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1994
+         |  GROUP BY o_custkey),
+         |y98 AS (
+         |  SELECT o_custkey, ${oSum("o_totalprice")} AS rev98,
+         |         COUNT(*) AS n98
+         |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1998
+         |  GROUP BY o_custkey)
+         |SELECT o_custkey, rev94, n94, rev98, n98
+         |FROM y94 FULL OUTER JOIN y98 USING (o_custkey)
+         |WHERE rev94 IS NULL OR rev98 IS NULL
+         |ORDER BY o_custkey""".stripMargin,
+    "q55_right_join" ->
+      """SELECT c_mktsegment,
+        |       COUNT(DISTINCT c_custkey) AS n_cust,
+        |       COUNT(o_orderkey) AS n_orders
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }
