@@ -612,6 +612,29 @@ object TextQueries {
             |  'text',    n, nn_text, nd_text
             |) AS (column_name, n_rows, n_nulls, n_distinct)""".stripMargin)
         .orderBy("column_name")
+    },
+    // D4t — K-ANONYMITY audit over quasi-identifiers: how many documents
+    // sit in (lang, source, length-bucket) equivalence classes smaller
+    // than k — the re-identification-risk check a governance review runs
+    // before releasing or training on the corpus. One keyed agg over the
+    // quasi-identifier tuple + a one-row rollup.
+    "d63_k_anonymity" -> { (s, dir) =>
+      val k = 5
+      t(s, dir, "documents")
+        .withColumn("len_bucket", (col("n_chars") / 100).cast("long"))
+        .groupBy("lang", "source", "len_bucket")
+        .agg(count(lit(1)).as("class_size"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum("class_size").as("n_docs"),
+          sum(when(col("class_size") < k, 1L).otherwise(0L))
+            .as("n_small_classes"),
+          sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
+            .as("n_docs_at_risk"),
+          min("class_size").as("min_class_size"))
+        .withColumn("at_risk_frac",
+          col("n_docs_at_risk").cast("double") / col("n_docs"))
+        .select("n_classes", "n_docs", "n_small_classes", "n_docs_at_risk",
+          "min_class_size", "at_risk_frac")
     }
   )
 
@@ -1020,6 +1043,21 @@ object TextQueries {
         |  UNION ALL SELECT 'n_chars', n, nn_nc, nd_nc FROM a
         |  UNION ALL SELECT 'source', n, nn_src, nd_src FROM a
         |  UNION ALL SELECT 'text', n, nn_text, nd_text FROM a
-        |) s ORDER BY column_name""".stripMargin
+        |) s ORDER BY column_name""".stripMargin,
+    "d63_k_anonymity" ->
+      """WITH c AS (
+        |  SELECT lang, source, n_chars // 100 AS len_bucket,
+        |         COUNT(*) AS class_size
+        |  FROM documents GROUP BY lang, source, len_bucket)
+        |SELECT COUNT(*) AS n_classes,
+        |       CAST(SUM(class_size) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_small_classes,
+        |       CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+        |            AS BIGINT) AS n_docs_at_risk,
+        |       MIN(class_size) AS min_class_size,
+        |       CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+        |            AS DOUBLE) / SUM(class_size) AS at_risk_frac
+        |FROM c""".stripMargin
   )
 }
