@@ -343,6 +343,17 @@ object RelationalQueries4 {
         .agg(countDistinct("c_custkey").as("n_cust"),
           count(col("o_orderkey")).as("n_orders"))
         .orderBy("c_mktsegment")
+    },
+    // C21 depth — keyset-stable PAGINATION (ORDER BY unique key, LIMIT +
+    // OFFSET): the read_sql page-through pattern an API consumer issues.
+    // Deterministic because the sort key is unique; Spark plans
+    // offset+limit as a single GlobalLimit over the sort.
+    "q56_pagination" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
     }
   )
 
@@ -544,6 +555,10 @@ object RelationalQueries4 {
         |       COUNT(DISTINCT c_custkey) AS n_cust,
         |       COUNT(o_orderkey) AS n_orders
         |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q56_pagination" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey
+        |LIMIT 50 OFFSET 100""".stripMargin
   )
 }
