@@ -347,7 +347,8 @@ object RelationalQueries4 {
     // C21 depth — keyset-stable PAGINATION (ORDER BY unique key, LIMIT +
     // OFFSET): the read_sql page-through pattern an API consumer issues.
     // Deterministic because the sort key is unique; Spark plans
-    // offset+limit as a single GlobalLimit over the sort.
+    // offset+limit as one TakeOrderedAndProject (top-150, skip 100) —
+    // no full sort materializes.
     "q56_pagination" -> { (s, dir) =>
       t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")

@@ -13,6 +13,11 @@ import graft.functions.TextFunctions._
 object TextQueries {
   import Q._
 
+  /** k-anonymity threshold (d63) — one definition feeds both the Spark
+    * side and the interpolated oracle SQL.
+    */
+  private val kAnon = 5
+
   /** English-ish stopwords present in the fixture vocabulary. */
   private val stop = Seq("the", "a", "of", "to", "and")
   private val stopSqlList = stop.map(s => s"'$s'").mkString("(", ", ", ")")
@@ -619,17 +624,18 @@ object TextQueries {
     // before releasing or training on the corpus. One keyed agg over the
     // quasi-identifier tuple + a one-row rollup.
     "d63_k_anonymity" -> { (s, dir) =>
-      val k = 5
       t(s, dir, "documents")
-        .withColumn("len_bucket", (col("n_chars") / 100).cast("long"))
+        // integer DIV, not double-divide-and-truncate: floor semantics
+        // must match the oracle's `//` on negatives / beyond-2^53 values
+        .withColumn("len_bucket", expr("n_chars div 100"))
         .groupBy("lang", "source", "len_bucket")
         .agg(count(lit(1)).as("class_size"))
         .agg(count(lit(1)).as("n_classes"),
           sum("class_size").as("n_docs"),
-          sum(when(col("class_size") < k, 1L).otherwise(0L))
+          sum(when(col("class_size") < kAnon, 1L).otherwise(0L))
             .as("n_small_classes"),
-          sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
-            .as("n_docs_at_risk"),
+          sum(when(col("class_size") < kAnon, col("class_size"))
+            .otherwise(0L)).as("n_docs_at_risk"),
           min("class_size").as("min_class_size"))
         .withColumn("at_risk_frac",
           col("n_docs_at_risk").cast("double") / col("n_docs"))
@@ -1045,19 +1051,22 @@ object TextQueries {
         |  UNION ALL SELECT 'text', n, nn_text, nd_text FROM a
         |) s ORDER BY column_name""".stripMargin,
     "d63_k_anonymity" ->
-      """WITH c AS (
-        |  SELECT lang, source, n_chars // 100 AS len_bucket,
-        |         COUNT(*) AS class_size
-        |  FROM documents GROUP BY lang, source, len_bucket)
-        |SELECT COUNT(*) AS n_classes,
-        |       CAST(SUM(class_size) AS BIGINT) AS n_docs,
-        |       CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)
-        |            AS BIGINT) AS n_small_classes,
-        |       CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
-        |            AS BIGINT) AS n_docs_at_risk,
-        |       MIN(class_size) AS min_class_size,
-        |       CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
-        |            AS DOUBLE) / SUM(class_size) AS at_risk_frac
-        |FROM c""".stripMargin
+      s"""WITH c AS (
+         |  SELECT lang, source, n_chars // 100 AS len_bucket,
+         |         COUNT(*) AS class_size
+         |  FROM documents GROUP BY lang, source, len_bucket),
+         |a AS (
+         |  SELECT COUNT(*) AS n_classes,
+         |         CAST(SUM(class_size) AS BIGINT) AS n_docs,
+         |         CAST(SUM(CASE WHEN class_size < $kAnon THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_small_classes,
+         |         CAST(SUM(CASE WHEN class_size < $kAnon THEN class_size
+         |                       ELSE 0 END) AS BIGINT) AS n_docs_at_risk,
+         |         MIN(class_size) AS min_class_size
+         |  FROM c)
+         |SELECT n_classes, n_docs, n_small_classes, n_docs_at_risk,
+         |       min_class_size,
+         |       CAST(n_docs_at_risk AS DOUBLE) / n_docs AS at_risk_frac
+         |FROM a""".stripMargin
   )
 }
