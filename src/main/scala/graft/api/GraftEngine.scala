@@ -74,6 +74,22 @@ class GraftEngine(
     bindings = b; bindingsInstalled = true; this
   }
 
+  // Named-schema registry (node.py:271-283: Table.init's schema may be
+  // "a str name of a commonmodel schema"): the engine-level map a schema
+  // NAME resolves through. Registered once per engine, referenced from any
+  // number of table inits.
+  private val schemaRegistry =
+    mutable.Map.empty[String, org.apache.spark.sql.types.StructType]
+
+  /** Register a named schema for `Table.init(schema = name)` resolution. */
+  def registerSchema(name: String,
+      schema: org.apache.spark.sql.types.StructType): GraftEngine = {
+    schemaRegistry(name) = schema; this
+  }
+
+  def resolveSchema(name: String): Option[org.apache.spark.sql.types.StructType] =
+    schemaRegistry.get(name)
+
   /** Inject node parameters (graph.yml `parameters:` block, B10). */
   def withParameters(p: Map[String, Any]): GraftEngine = { params = p; this }
 

@@ -78,6 +78,22 @@ class Stream(table: Table, val orderByField: String, state: State,
     }
   }
 
+  /** `with_metadata` variant (node.py:40-41): each record paired with its
+    * stream metadata — the orderBy position the record was consumed at
+    * (what `seek` accepts and `checkpoint` persists). Same marked-consumed-
+    * as-yielded contract as [[consumeRecords]].
+    */
+  def consumeRecordsWithMetadata(): Iterator[(Row, Any)] = {
+    val it = consumeRecords()
+    new Iterator[(Row, Any)] {
+      def hasNext: Boolean = it.hasNext
+      def next(): (Row, Any) = {
+        val r = it.next()
+        (r, r.getAs[Any](orderByField))
+      }
+    }
+  }
+
   /** Persist consumption progress (node.py:54-58). */
   def checkpoint(): Unit = {
     cursor.foreach(v => state.set(stateKey, normalize(v)))

@@ -63,20 +63,48 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
 
   def schema: Option[StructType] = activeDf.map(_.schema)
 
-  def recordCount: Option[Long] = activeDf.map(_.count())
+  /** Row count of the active version — O(1) from the manifest when the
+    * version was committed by this engine (reference `TableVersion.
+    * record_count` is a stored property, node.py:106-109; a full count()
+    * per introspection call would surprise at 100 TB). Falls back to a
+    * Spark count for legacy/externally-written versions.
+    */
+  def recordCount: Option[Long] = {
+    val stored = manifest.activeVersion.flatMap(vid =>
+      manifest.versions.find(_.id == vid).flatMap(_.rowCount))
+      .filter(_ => connected)
+    stored.orElse(activeDf.map(_.count()))
+  }
 
   private def activeFiles: Array[java.io.File] =
-    manifest.activeVersion.toArray.flatMap { vid =>
-      val d = catalog.versionDir(name, vid).toFile
-      if (!d.exists) Array.empty[java.io.File]
-      else {
-        val top = d.listFiles(f => f.getName.endsWith(".parquet"))
-        val nested = d.listFiles(f => f.isDirectory && f.getName.startsWith("__bucket="))
-          .flatMap(b => Option(b.listFiles(f => f.getName.endsWith(".parquet")))
-            .getOrElse(Array.empty[java.io.File]))
-        top ++ nested
-      }
+    manifest.activeVersion.toArray.flatMap(filesIn)
+
+  private def filesIn(vid: String): Array[java.io.File] = {
+    val d = catalog.versionDir(name, vid).toFile
+    if (!d.exists) Array.empty[java.io.File]
+    else {
+      val top = d.listFiles(f => f.getName.endsWith(".parquet"))
+      val nested = d.listFiles(f => f.isDirectory && f.getName.startsWith("__bucket="))
+        .flatMap(b => Option(b.listFiles(f => f.getName.endsWith(".parquet")))
+          .getOrElse(Array.empty[java.io.File]))
+      top ++ nested
     }
+  }
+
+  /** Row count of a version dir from parquet FOOTERS — metadata-only,
+    * O(#files) driver-side reads, no Spark job. Stamped into the manifest
+    * at commit so [[recordCount]] is O(1) (reference TableVersion.
+    * record_count, node.py:106-109).
+    */
+  private def footerRowCount(vid: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    filesIn(vid).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 
   private def activeDf: Option[DataFrame] =
     manifest.activeVersion.filter(_ => connected && activeFiles.nonEmpty)
@@ -152,10 +180,14 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
   // --- write surface (node.py:269-414) ---
 
   /** Declare schema roles at version creation (node.py:269-297).
+    * `schema` is the NAME of a schema registered on the engine
+    * (node.py:271-283 — "a str name of a commonmodel schema"): its fields
+    * become per-field type hints, overridable by explicit `schemaHints`.
     * `addCreated` / `addMonotonicId` are the FIELD NAMES for the auto
     * columns (node.py:286-294) — null leaves the role absent.
     */
   def init(
+      schema: String = null,
       schemaHints: Map[String, String] = Map.empty,
       uniqueOn: Seq[String] = Nil,
       addCreated: String = null,
@@ -165,8 +197,14 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
       retentionMillis: Long = -1L): Table = {
     require(bucketBy == 0 || uniqueOn.nonEmpty || manifest.meta.uniqueOn.nonEmpty,
       s"bucketBy on '$name' requires unique_on (buckets hash the unique key)")
+    val namedHints: Map[String, String] = Option(schema).map { n =>
+      val st = engine.resolveSchema(n).getOrElse(throw new IllegalArgumentException(
+        s"init(schema = \"$n\") on '$name': no schema registered under that " +
+          "name (GraftEngine.registerSchema)"))
+      st.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    }.getOrElse(Map.empty)
     catalog.updateMeta(name)(m => m.copy(
-      schemaHints = m.schemaHints ++ schemaHints,
+      schemaHints = m.schemaHints ++ namedHints ++ schemaHints,
       uniqueOn = if (uniqueOn.nonEmpty) uniqueOn.toList else m.uniqueOn,
       addCreated = Option(addCreated).orElse(m.addCreated),
       addMonotonicId = Option(addMonotonicId).orElse(m.addMonotonicId),
@@ -207,6 +245,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
       else (bucketCount, true)
     writeInto(clustered(decorate(conform(batch))),
       catalog.versionDir(name, vid).toString, SaveMode.Append, buckets, attest)
+    catalog.setRowCount(name, vid, footerRowCount(vid))
     if (!isNew) catalog.recordEvent(name, "update")
   }
 
@@ -342,6 +381,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
         .join(incoming, keys, "left_anti")
     val merged = incoming.unionByName(kept, allowMissingColumns = true)
     writeInto(clustered(merged), newDir.toString, SaveMode.Append, Some(n))
+    catalog.setRowCount(name, vid, footerRowCount(vid))
     catalog.setActive(name, Some(vid), "update")
   }
 
@@ -558,18 +598,26 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     }
     meta.addMonotonicId match {
       case Some(mc) if !withCreated.columns.contains(mc) =>
-        // materialize ONCE before counting: count() and zipWithIndex
-        // otherwise each recompute the full upstream plan (two extra
-        // jobs), and a non-deterministic plan could mint a different row
-        // set than the one ids were reserved for
-        val mat = withCreated.localCheckpoint(true)
-        val n = mat.count()
-        val start = catalog.reserveIds(name, n)
-        val schema2 = mat.schema.add(mc, StringType)
-        val rdd = mat.rdd.zipWithIndex().map { case (r, i) =>
-          Row.fromSeq(r.toSeq :+ Table.base32(start + i + 1))
-        }
-        spark.createDataFrame(rdd, schema2)
+        // One cheap counting pass (spark_partition_id groupBy — partial agg
+        // collapses each partition to a single row before the shuffle), then
+        // ids are assigned by a codegen'd Stateful expression seeded with
+        // the per-partition prefix sums. Unlike the localCheckpoint +
+        // zipWithIndex formulation this pins nothing in executor storage
+        // and the write stays inside whole-stage codegen. The two passes
+        // see the same partitioning because append batches are unions of
+        // already-materialized user frames / deterministic scans.
+        val numParts = withCreated.rdd.getNumPartitions
+        val counts = new Array[Long](numParts)
+        if (numParts > 0)
+          withCreated.groupBy(spark_partition_id().as("__p")).count()
+            .collect().foreach(r => counts(r.getInt(0)) = r.getLong(1))
+        val offsets = counts.scanLeft(0L)(_ + _).init
+        val start = catalog.reserveIds(name, counts.sum)
+        // base32 formatting via builtins (conv emits uppercase 0-9A-V;
+        // lower() matches Table.base32's 0-9a-v), still codegen'd
+        withCreated.withColumn(mc,
+          lpad(lower(conv(graft.functions.DenseRowId.column(spark, start, offsets)
+            .cast(StringType), 10, 32)), 13, "0"))
       case _ => withCreated
     }
   }
@@ -593,6 +641,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     val (_, vid) = catalog.createVersion(name)
     writeInto(clustered(df), catalog.versionDir(name, vid).toString,
       SaveMode.Overwrite, bucketCount.filter(_ => bucketed))
+    catalog.setRowCount(name, vid, footerRowCount(vid))
     catalog.setActive(name, Some(vid), eventKind, trigger)
   }
 }

@@ -13,7 +13,11 @@ import org.json4s.jackson.Serialization
   * replaced is brand-new garbage, not year-old garbage).
   */
 case class VersionInfo(id: String, createdAt: Long,
-    supersededAt: Option[Long] = None)
+    supersededAt: Option[Long] = None,
+    // rows in the version dir, stamped from parquet footers at commit
+    // (reference TableVersion.record_count, node.py:106-109) — what makes
+    // Table.recordCount O(1); None for versions written by older manifests
+    rowCount: Option[Long] = None)
 
 /** Catalog event log entry (reference node.py:387-397 signal_create/update/
   * reset) — drives downstream node triggering in the graph runner.
@@ -198,6 +202,14 @@ class TableCatalog(val root: Path) {
       events = (m.events :+ TableEvent(kind, m.activeVersion.getOrElse(""),
         System.currentTimeMillis())).takeRight(TableCatalog.MaxEvents),
       eventCounter = m.eventCounter + 1)
+    save(m2); m2
+  }
+
+  /** Stamp a version's committed row count (Table.recordCount's O(1) path). */
+  def setRowCount(name: String, vid: String, rows: Long): TableManifest = synchronized {
+    val m = loadOrCreate(name)
+    val m2 = m.copy(versions = m.versions.map(v =>
+      if (v.id == vid) v.copy(rowCount = Some(rows)) else v))
     save(m2); m2
   }
 

@@ -160,4 +160,16 @@ class StreamSpec extends SparkSpec {
       .consumeRecords().map(_.getAs[String]("payload")).toList
     assert(rest == List("c"))
   }
+
+  test("consume_records(with_metadata) pairs each record with its stream position (node.py:40-41)") {
+    val e = engineWithEvents(3)
+    val st = e.table("ev").asStream(orderBy = "seq")
+    val got = st.consumeRecordsWithMetadata()
+      .map { case (r, pos) => (r.getAs[String]("payload"), pos) }.toList
+    assert(got == List(("e1", 1L), ("e2", 2L), ("e3", 3L)))
+    // metadata yield advances the cursor exactly like the plain form
+    assert(st.position == Some(3L))
+    val again = st.consumeRecordsWithMetadata().toList
+    assert(again.isEmpty)
+  }
 }

@@ -324,4 +324,64 @@ class TableSpec extends SparkSpec {
     val fresh2 = new graft.catalog.TableCatalog(java.nio.file.Paths.get(root))
     assert(fresh2.load("t17").map(_.eventCounter).contains(saved.eventCounter))
   }
+
+  test("recordCount is O(1) from the manifest - no Spark job on a committed version") {
+    val e = engine()
+    val t = e.table("rc1", "w")
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")); t.flush()
+    // the write stamped the footer count into the manifest
+    val vid = t.getActiveVersion.get
+    assert(t.manifest.versions.find(_.id == vid).flatMap(_.rowCount) == Some(3L))
+    // positive control: the job-group mechanism does see real jobs
+    spark.sparkContext.setJobGroup("rc-control", "control")
+    t.read.count()
+    spark.sparkContext.setJobGroup("rc-probe", "probe")
+    assert(t.recordCount == Some(3L))
+    spark.sparkContext.clearJobGroup()
+    // listener-bus delivery is async - give the status store a beat
+    Thread.sleep(500)
+    val tracker = spark.sparkContext.statusTracker
+    assert(tracker.getJobIdsForGroup("rc-control").nonEmpty,
+      "control count() must register a job")
+    assert(tracker.getJobIdsForGroup("rc-probe").isEmpty,
+      "recordCount on a committed version must not launch a Spark job")
+    // upsert and truncate re-stamp the count
+    t.init(uniqueOn = Seq("id"))
+    t.upsert(Seq((3L, "c2"), (4L, "d")).toDF("id", "v"))
+    assert(t.recordCount == Some(4L))
+    t.truncate()
+    assert(t.recordCount == Some(0L))
+  }
+
+  test("init(schema = name) resolves through the engine schema registry (node.py:271-283)") {
+    import org.apache.spark.sql.types._
+    val e = engine()
+    e.registerSchema("order_line", StructType(Seq(
+      StructField("id", StringType), StructField("qty", LongType))))
+    val t = e.table("ns1", "w").init(schema = "order_line")
+    t.append(Seq((1L, "7"), (2L, "9")).toDF("id", "qty")); t.flush()
+    // named-schema fields applied as type hints on write
+    assert(t.schema.get("id").dataType == StringType)
+    assert(t.schema.get("qty").dataType == LongType)
+    // explicit hints override the named schema; unknown names fail loudly
+    val u = e.table("ns2", "w").init(schema = "order_line",
+      schemaHints = Map("qty" -> "double"))
+    u.append(Seq((1L, "7")).toDF("id", "qty")); u.flush()
+    assert(u.schema.get("qty").dataType == DoubleType)
+    intercept[IllegalArgumentException](e.table("ns3", "w").init(schema = "nope"))
+  }
+
+  test("monotonic-id write path stays in the query plan (no checkpoint/RDD rebuild)") {
+    val e = engine()
+    val t = e.table("cg1", "w").init(addMonotonicId = "mid")
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    t.append(batch); t.flush()
+    // ids dense + ordered, same contract the zipWithIndex path had
+    assert(t.read.orderBy("id").collect().map(_.getAs[String]("mid")).toSeq ==
+      Seq(graft.api.Table.base32(1), graft.api.Table.base32(2)))
+    // and nothing was pinned in executor storage by the write
+    assert(spark.sparkContext.getPersistentRDDs.keySet == pinnedBefore,
+      "monotonic-id path must not localCheckpoint/persist the batch")
+  }
 }
