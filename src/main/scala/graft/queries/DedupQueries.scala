@@ -399,6 +399,60 @@ object DedupQueries {
   /** Memoized component labels over the near-dup pair graph — one CC run
     * shared by d21 (cluster report) and d30 (canonical-doc selection).
     */
+  /** d48's inputs: (train corpus, needle set). Factored so the spec can
+    * drive both hit paths against the same frames (the d21 size-adaptive
+    * CC pattern).
+    */
+  private[graft] def d48Inputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
+    val needles = docs
+      .filter(col("source") === "src0" &&
+        size(tokens(col("text"))) >= 5)
+      .select(concat_ws(" ", slice(tokens(col("text")), 1, 5)).as("needle"))
+      .distinct()
+    val train = docs.filter(col("source") =!= "src0")
+      .select("doc_id", "source", "text")
+    (train, needles)
+  }
+
+  /** Exact-substring hit set, broadcast path: the needle set fits a
+    * broadcast, so the corpus is scanned ONCE with a per-row contains
+    * probe — the normal plan while eval sets stay benchmark-sized.
+    */
+  private[graft] def substringHitsBroadcast(train: DataFrame,
+      needles: DataFrame): DataFrame =
+    train.crossJoin(broadcast(needles))
+      .filter(col("text").contains(col("needle")))
+      .select("doc_id").distinct()
+
+  /** Exact-substring hit set, inverted-index path — for when the needle
+    * set outgrows a broadcast. Blocking key: the needle's first 8
+    * CHARACTERS, joined against the train text's 8-char grams. The block
+    * is COMPLETE — `text.contains(needle)` implies the needle's first 8
+    * chars appear as a text 8-gram at the match position (needles are ≥5
+    * tokens ⇒ ≥9 chars) — and candidates are re-verified with the same
+    * contains probe, so this returns exactly [[substringHitsBroadcast]]'s
+    * rows. Cost is one keyed shuffle over O(|text|) grams per train doc —
+    * linear, no eval×corpus product (a 100 TB run would fold the gram
+    * emission into mapPartitions with a rolling window; the declarative
+    * form keeps the same shuffle shape).
+    */
+  private[graft] def substringHitsIndexed(train: DataFrame,
+      needles: DataFrame): DataFrame = {
+    val keyed = needles.select(col("needle"),
+      substring(col("needle"), 1, 8).as("k"))
+    val grams = train
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1),
+          greatest(length(col("text")) - 7, lit(1)))).as("i"))
+      .select(col("doc_id"), col("text").substr(col("i"), lit(8)).as("k"))
+      .distinct()
+    val cand = grams.join(keyed, "k").select("doc_id", "needle").distinct()
+    cand.join(train.select("doc_id", "text"), "doc_id")
+      .filter(col("text").contains(col("needle")))
+      .select("doc_id").distinct()
+  }
+
   private def components(s: SparkSession, dir: String): DataFrame =
     Q.memo(s, dir, "components") {
       componentsOf(s, nearDupPairs(s, dir).select(col("da"), col("db")))
@@ -787,23 +841,24 @@ object DedupQueries {
     // d27's n-gram-overlap test. Each eval doc (src0, the d27 convention)
     // contributes its 5-token prefix as a needle; a training doc is
     // contaminated if any needle occurs verbatim inside its text. The
-    // needle set is eval-sized (tiny), so it broadcasts and the corpus is
-    // scanned ONCE with a per-row substring probe — at 100 TB the same
-    // shape holds until the eval set outgrows a broadcast, at which point
-    // d27's inverted-index join is the fallback (needles are n-grams too).
+    // path is picked by the MEASURED needle-set size against the session
+    // broadcast threshold: eval sets are benchmark-sized, so the normal
+    // plan broadcasts them and scans the corpus once; past the threshold
+    // the char-gram inverted-index path takes over ([[substringHitsIndexed]]
+    // — same rows by construction, spec-pinned in Round5OpsSpec).
     "d48_substring_decontamination" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val needles = docs
-        .filter(col("source") === "src0" &&
-          size(tokens(col("text"))) >= 5)
-        .select(concat_ws(" ", slice(tokens(col("text")), 1, 5)).as("needle"))
-        .distinct()
-      val train = docs.filter(col("source") =!= "src0")
-        .select("doc_id", "source", "text")
-      val hits = train.crossJoin(broadcast(needles))
-        .filter(col("text").contains(col("needle")))
-        .select("doc_id").distinct()
-        .withColumn("hit", lit(1L))
+      val (train, needles) = d48Inputs(s, dir)
+      val est = needles
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(length(col("needle"))), lit(0L)).as("chars")).head()
+      // ~2 bytes/char in-heap + per-row object overhead — deliberately
+      // pessimistic so the switch fires before the broadcast OOMs
+      val estBytes = est.getLong(1) * 2 + est.getLong(0) * 64
+      val pick =
+        if (estBytes <= s.sessionState.conf.autoBroadcastJoinThreshold)
+          substringHitsBroadcast(train, needles)
+        else substringHitsIndexed(train, needles)
+      val hits = pick.withColumn("hit", lit(1L))
       train.join(hits, Seq("doc_id"), "left")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),

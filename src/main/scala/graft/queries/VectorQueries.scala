@@ -37,6 +37,63 @@ object VectorQueries {
     ((h.toDouble / 576460752303423488.0) - 1.0).toFloat
   }
 
+  /** d32's inputs: (training vectors, eval vectors). Factored so the spec
+    * can drive both nearest-neighbor paths against the same frames (the
+    * d21 size-adaptive CC pattern).
+    */
+  private[graft] def d32Inputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val v = vecs(s, dir)
+    val ev = v.filter(col("label") === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val tr = v.filter(col("label") =!= 0)
+      .select(col("vec_id").as("train_id"), col("embedding").as("te"),
+        col("nrm").as("tn"))
+    (tr, ev)
+  }
+
+  /** Nearest training vector per eval vector, broadcast path: the eval set
+    * fits a broadcast, the training corpus streams once. struct max =
+    * lexicographic (cosine, -train_id): highest cosine, ties to the LOWEST
+    * train id — same pick the oracle's (cosine DESC, train_id ASC) window
+    * makes.
+    */
+  private[graft] def nearestTrainBroadcast(tr: DataFrame, ev: DataFrame): DataFrame =
+    tr.crossJoin(broadcast(ev))
+      .withColumn("cosine",
+        cosineWithNorms(dot(col("te"), col("qe")), col("tn"), col("qn")))
+      .groupBy("eval_id")
+      .agg(max(struct(col("cosine"), (-col("train_id")).as("neg_id")))
+        .as("best"))
+      .select(col("eval_id"), (-col("best.neg_id")).as("train_id"),
+        col("best.cosine").as("cosine"))
+
+  /** Nearest training vector per eval vector, fragment-replicate path —
+    * for when the eval set outgrows a broadcast but the answer must stay
+    * EXACT (the d06/d20 index paths trade exactness). Train rows salt into
+    * `fragments` buckets; the eval set is replicated to every bucket
+    * through a standard shuffle equi-join on the salt (no cartesian
+    * product, no broadcast); the same max(struct) partial agg collapses
+    * pairs map-side and merges across fragments at the final groupBy.
+    * Train shuffles once, eval `fragments` times; results are identical to
+    * [[nearestTrainBroadcast]] for any fragment count.
+    */
+  private[graft] def nearestTrainReplicated(tr: DataFrame, ev: DataFrame,
+      fragments: Int = 32): DataFrame = {
+    val salted = tr.withColumn("__frag",
+      pmod(col("train_id"), lit(fragments.toLong)).cast("int"))
+    val evRep = ev.withColumn("__frag",
+      explode(sequence(lit(0), lit(fragments - 1))))
+    salted.hint("shuffle_hash").join(evRep, "__frag")
+      .withColumn("cosine",
+        cosineWithNorms(dot(col("te"), col("qe")), col("tn"), col("qn")))
+      .groupBy("eval_id")
+      .agg(max(struct(col("cosine"), (-col("train_id")).as("neg_id")))
+        .as("best"))
+      .select(col("eval_id"), (-col("best.neg_id")).as("train_id"),
+        col("best.cosine").as("cosine"))
+  }
+
   /** Query set: the first 10 vectors. */
   private def queriesSet(v: DataFrame): DataFrame =
     v.filter(col("vec_id") < 10)
@@ -219,34 +276,25 @@ object VectorQueries {
     // (label 0 as the stand-in eval set), its nearest training vector
     // (all other labels) by cosine, flagged when similarity crosses the
     // dup threshold — the embedding-space counterpart of d27's n-gram
-    // decontamination. Scale shape: eval sets are benchmark-sized (small
-    // by construction), so BROADCASTING the eval side and streaming the
-    // training corpus once is the 100 TB-correct plan; the argmax is a
-    // groupBy(eval_id) of max(struct(cosine, -train_id)) — PARTIAL
-    // aggregation collapses each task's pairs to |eval| rows map-side, so
-    // nothing corpus-sized is ever shuffled (a row_number window here
-    // would shuffle+sort the whole train × eval product into |eval|
-    // partitions). Swap in the d06/d20 index path when the eval set stops
-    // being broadcastable.
+    // decontamination. The path is picked by the MEASURED eval-set size:
+    // eval sets are benchmark-sized, so the normal plan broadcasts them
+    // and streams the training corpus once; past the broadcast threshold
+    // the fragment-replicate join takes over ([[nearestTrainReplicated]]
+    // — exact, no cartesian, spec-pinned in Round5OpsSpec). Both paths
+    // argmax with max(struct(cosine, -train_id)) — PARTIAL aggregation
+    // collapses each task's pairs to |eval| rows map-side, so nothing
+    // corpus-sized is ever shuffled.
     "d32_semantic_decontamination" -> { (s, dir) =>
-      val v = vecs(s, dir)
-      val ev = v.filter(col("label") === 0)
-        .select(col("vec_id").as("eval_id"), col("embedding").as("qe"),
-          col("nrm").as("qn"))
-      val tr = v.filter(col("label") =!= 0)
-        .select(col("vec_id").as("train_id"), col("embedding").as("te"),
-          col("nrm").as("tn"))
-      // struct max = lexicographic (cosine, -train_id): highest cosine,
-      // ties to the LOWEST train id — same pick the oracle's
-      // (cosine DESC, train_id ASC) window makes
-      tr.crossJoin(broadcast(ev))
-        .withColumn("cosine",
-          cosineWithNorms(dot(col("te"), col("qe")), col("tn"), col("qn")))
-        .groupBy("eval_id")
-        .agg(max(struct(col("cosine"), (-col("train_id")).as("neg_id")))
-          .as("best"))
-        .select(col("eval_id"), (-col("best.neg_id")).as("train_id"),
-          col("best.cosine").as("cosine"))
+      val (tr, ev) = d32Inputs(s, dir)
+      // ~(dims × 4 B float + array/row overhead) per eval vector,
+      // pessimistic so the switch fires before the broadcast OOMs
+      val nEval = ev.count()
+      val estBytes = nEval * (64L * 4 + 256)
+      val pick =
+        if (estBytes <= s.sessionState.conf.autoBroadcastJoinThreshold)
+          nearestTrainBroadcast(tr, ev)
+        else nearestTrainReplicated(tr, ev)
+      pick
         .withColumn("is_semantic_dup", col("cosine") >= 0.6)
         .orderBy("eval_id")
     },
@@ -345,30 +393,32 @@ object VectorQueries {
       val init = v.filter(col("vec_id") < 8)
         .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
           col("nrm").as("cn"))
-      val wA = Window.partitionBy("vec_id")
-        .orderBy(col("cos").desc, col("c_id"))
+      // assignment argmax is max(struct(cos, -c_id)) — (cosine DESC, c_id
+      // ASC), the same pick a row_number window makes, but PARTIAL
+      // aggregation collapses the k candidate rows per vector map-side
+      // before the shuffle and nothing gets sorted (the d32/d35 shape);
+      // embedding rides along via first(), constant within a vec_id group
       val a1 = v.crossJoin(broadcast(init))
         .withColumn("cos",
           cosineWithNorms(dot(col("embedding"), col("ce")), col("nrm"), col("cn")))
-        .withColumn("rn", row_number().over(wA))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          col("c_id").as("c1"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("cos"), (-col("c_id")).as("nc"))).as("best"),
+          first("embedding").as("embedding"))
+        .select(col("vec_id"), col("embedding"), (-col("best.nc")).as("c1"))
       val cent2 = quantCentroids(a1.select(col("c1"), col("embedding")), "c1")
         .select(col("c1").as("c_id2"), col("ce").as("ce2"),
           col("cn").as("cn2"))
-      val wB = Window.partitionBy("vec_id")
-        .orderBy(col("cos2").desc, col("c_id2"))
       v.crossJoin(broadcast(cent2))
         .withColumn("cos2",
           cosineWithNorms(dotHof(col("embedding"), col("ce2")),
             col("nrm"), col("cn2")))
-        .withColumn("rn", row_number().over(wB))
-        .filter(col("rn") === 1)
-        .groupBy(col("c_id2").as("cluster"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("cos2"), (-col("c_id2")).as("nc"))).as("best"),
+          first(floor(element_at(col("embedding"), 1).cast("double") * 1000000)
+            .cast("long")).as("c0q"))
+        .groupBy((-col("best.nc")).as("cluster"))
         .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec"),
-          sum(floor(element_at(col("embedding"), 1).cast("double") * 1000000)
-            .cast("long")).as("comp0_q"))
+          sum("c0q").as("comp0_q"))
         .orderBy("cluster")
     },
     // D3h — label-centroid OUTLIERS: the 3 vectors least similar to their
