@@ -226,7 +226,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     * has since changed it (mixed layouts/counts in one dir would corrupt
     * bucket-pruned reads); the next upsert/replace migrates the layout.
     */
-  def flush(): Unit = if (connected && buffer.nonEmpty) {
+  def flush(): Unit = if (connected && buffer.nonEmpty) catalog.withTableLock(name) {
     val batch = buffer.reduce(_.unionByName(_, allowMissingColumns = true))
     buffer.clear()
     val isNew = manifest.activeVersion.isEmpty
@@ -317,7 +317,11 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     * active version against incoming keys, union, write a new version
     * (copy-on-write MERGE; last-writer-wins per key).
     */
-  def upsert(df: DataFrame): Unit = if (connected) {
+  def upsert(df: DataFrame): Unit = if (connected) catalog.withTableLock(name) {
+    // the WHOLE read-merge-write holds the table lock (reentrantly shared
+    // with flush/createVersion/setActive inside): without it, two writers
+    // could merge against the same base version and the second pointer
+    // swap would silently drop the first writer's rows
     flush()
     val keys = manifest.meta.uniqueOn
     require(keys.nonEmpty, s"upsert on '$name' requires unique_on (node.py:323)")
@@ -439,7 +443,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
   /** New version containing only these records (node.py:336-345 —
     * "reset() then append(records)").
     */
-  def replace(df: DataFrame): Unit = if (connected) {
+  def replace(df: DataFrame): Unit = if (connected) catalog.withTableLock(name) {
     buffer.clear()
     catalog.recordEvent(name, "reset")
     // reference defines replace as reset()+append() (node.py:336-345), so it
@@ -448,7 +452,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
   }
 
   /** Delete all rows, keep schema (node.py:347-354). */
-  def truncate(): Unit = if (connected) {
+  def truncate(): Unit = if (connected) catalog.withTableLock(name) {
     buffer.clear()
     val empty = activeDf match {
       case Some(df) => df.limit(0)
@@ -486,6 +490,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     require(bucketCount.isEmpty || targetFiles == 1,
       s"compact(targetFiles=$targetFiles): bucketed tables emit one file " +
         "per __bucket dir; targetFiles is only meaningful for plain layouts")
+    catalog.withTableLock(name) {
     flush()
     activeDf.foreach { df =>
       if (df.isEmpty)
@@ -509,6 +514,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
         }
         writeNewVersion(consolidated, "compact", trigger = false)
       }
+    }
     }
   }
 

@@ -79,11 +79,71 @@ class TableCatalog(val root: Path) {
 
   // in-JVM manifest cache: every mutation goes through save(), which
   // refreshes the entry, so repeated manifest reads within an operation
-  // don't re-hit disk (single-writer-JVM assumption, as documented)
+  // don't re-hit disk. Mutations additionally serialize on a per-table
+  // FILE lock (withTableLock) and re-read from disk first, so MULTIPLE
+  // writers — other catalog instances, other JVMs — on one catalog dir
+  // compose instead of clobbering each other's pointer swaps.
   private val manifestCache =
     scala.collection.mutable.Map.empty[String, TableManifest]
 
   Files.createDirectories(root)
+
+  /** Cross-writer mutual exclusion for one table's manifest: an OS
+    * advisory lock on `<table>/manifest.lock` (released by the kernel on
+    * process death — no stale-lock sweeping), fronted by a JVM-wide gate
+    * because `FileChannel.lock` throws rather than blocks when the SAME
+    * process already holds the region. Reentrant per thread (setActive's
+    * retention gc nests inside its own lock).
+    *
+    * `private[graft]` so Table's copy-on-write ops (upsert/replace/...)
+    * can hold it across their whole read-merge-write: the manifest
+    * mutations alone being atomic would still let two interleaved upserts
+    * read the same base version and silently drop one writer's rows at
+    * the pointer swap. Readers never take it — a scan of the active
+    * version needs no lock.
+    */
+  private[graft] def withTableLock[A](name: String)(f: => A): A = {
+    Files.createDirectories(tableDir(name))
+    val lockPath = tableDir(name).resolve("manifest.lock")
+    val key = lockPath.toAbsolutePath.normalize.toString
+    if (TableCatalog.heldLocks.get.contains(key)) f
+    else {
+      val gate = TableCatalog.jvmGates.computeIfAbsent(key, _ => new Object)
+      gate.synchronized {
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val fl = ch.lock() // blocks until cross-process exclusive
+          TableCatalog.heldLocks.get.add(key)
+          // entering the critical section: drop this instance's cached
+          // manifest so the first read inside sees whatever another
+          // writer committed while we waited for the lock — without
+          // this, an upsert would merge against a stale base version
+          synchronized { manifestCache -= name }
+          try f finally {
+            TableCatalog.heldLocks.get.remove(key)
+            fl.release()
+          }
+        } finally ch.close()
+      }
+    }
+  }
+
+  /** Read-modify-write under the table lock, starting from the FRESHEST
+    * on-disk manifest (the in-JVM cache is dropped first: another writer
+    * may have advanced the manifest since we last read it). Every
+    * mutation below goes through here — the manifest equivalent of a
+    * compare-and-swap loop, with the lock standing in for the retry.
+    */
+  private def mutate(name: String)(f: TableManifest => TableManifest): TableManifest =
+    withTableLock(name) {
+      synchronized { manifestCache -= name }
+      val m = loadOrCreate(name)
+      val m2 = f(m)
+      save(m2)
+      m2
+    }
 
   def tableDir(name: String): Path = root.resolve(name)
   def versionDir(name: String, vid: String): Path = tableDir(name).resolve(vid)
@@ -125,12 +185,19 @@ class TableCatalog(val root: Path) {
     load(name)
   }
 
-  def loadOrCreate(name: String): TableManifest = synchronized {
+  def loadOrCreate(name: String): TableManifest =
     load(name).getOrElse {
-      val m = TableManifest(name, None, Nil, Nil, TableMeta())
-      save(m); m
+      // mint under the table lock, double-checked: an unlocked save here
+      // could clobber a manifest another writer committed between our
+      // load miss and our write
+      withTableLock(name) {
+        synchronized { manifestCache -= name }
+        load(name).getOrElse {
+          val m = TableManifest(name, None, Nil, Nil, TableMeta())
+          save(m); m
+        }
+      }
     }
-  }
 
   def save(m: TableManifest): Unit = synchronized {
     Files.createDirectories(tableDir(m.name))
@@ -156,15 +223,15 @@ class TableCatalog(val root: Path) {
   }
 
   /** Mint a new (not-yet-active) version; returns (manifest, versionId). */
-  def createVersion(name: String): (TableManifest, String) = synchronized {
-    val m = loadOrCreate(name)
-    val vid = f"v${m.versionCounter + 1}%06d"
-    val m2 = m.copy(
-      versions = m.versions :+ VersionInfo(vid, System.currentTimeMillis()),
-      versionCounter = m.versionCounter + 1)
-    Files.createDirectories(versionDir(name, vid))
-    save(m2)
-    (m2, vid)
+  def createVersion(name: String): (TableManifest, String) = withTableLock(name) {
+    val m2 = mutate(name) { m =>
+      val vid = f"v${m.versionCounter + 1}%06d"
+      Files.createDirectories(versionDir(name, vid))
+      m.copy(
+        versions = m.versions :+ VersionInfo(vid, System.currentTimeMillis()),
+        versionCounter = m.versionCounter + 1)
+    }
+    (m2, m2.versions.last.id)
   }
 
   /** Swap the active pointer and append the triggering event; then apply
@@ -176,57 +243,52 @@ class TableCatalog(val root: Path) {
     */
   def setActive(name: String, vid: Option[String], eventKind: String,
       trigger: Boolean = true): TableManifest =
-    synchronized {
-      val m = loadOrCreate(name)
-      val now = System.currentTimeMillis()
-      // stamp the outgoing active version: its retention clock starts here
-      val versions = m.versions.map { v =>
-        if (m.activeVersion.contains(v.id) && !vid.contains(v.id) &&
-            v.supersededAt.isEmpty) v.copy(supersededAt = Some(now))
-        else v
+    withTableLock(name) {
+      mutate(name) { m =>
+        val now = System.currentTimeMillis()
+        // stamp the outgoing active version: its retention clock starts here
+        val versions = m.versions.map { v =>
+          if (m.activeVersion.contains(v.id) && !vid.contains(v.id) &&
+              v.supersededAt.isEmpty) v.copy(supersededAt = Some(now))
+          else v
+        }
+        m.copy(
+          activeVersion = vid,
+          versions = versions,
+          events = (m.events :+ TableEvent(eventKind, vid.getOrElse(""), now))
+            .takeRight(TableCatalog.MaxEvents),
+          eventCounter = m.eventCounter + (if (trigger) 1 else 0))
       }
-      val m2 = m.copy(
-        activeVersion = vid,
-        versions = versions,
-        events = (m.events :+ TableEvent(eventKind, vid.getOrElse(""), now))
-          .takeRight(TableCatalog.MaxEvents),
-        eventCounter = m.eventCounter + (if (trigger) 1 else 0))
-      save(m2)
-      m2.meta.retentionMillis.foreach(gc(name, _))
-      load(name).getOrElse(m2)
+      load(name).get.meta.retentionMillis.foreach(gc(name, _))
+      load(name).get
     }
 
-  def recordEvent(name: String, kind: String): TableManifest = synchronized {
-    val m = loadOrCreate(name)
-    val m2 = m.copy(
+  def recordEvent(name: String, kind: String): TableManifest = mutate(name) { m =>
+    m.copy(
       events = (m.events :+ TableEvent(kind, m.activeVersion.getOrElse(""),
         System.currentTimeMillis())).takeRight(TableCatalog.MaxEvents),
       eventCounter = m.eventCounter + 1)
-    save(m2); m2
   }
 
   /** Stamp a version's committed row count (Table.recordCount's O(1) path). */
-  def setRowCount(name: String, vid: String, rows: Long): TableManifest = synchronized {
-    val m = loadOrCreate(name)
-    val m2 = m.copy(versions = m.versions.map(v =>
-      if (v.id == vid) v.copy(rowCount = Some(rows)) else v))
-    save(m2); m2
-  }
+  def setRowCount(name: String, vid: String, rows: Long): TableManifest =
+    mutate(name) { m =>
+      m.copy(versions = m.versions.map(v =>
+        if (v.id == vid) v.copy(rowCount = Some(rows)) else v))
+    }
 
-  def updateMeta(name: String)(f: TableMeta => TableMeta): TableManifest = synchronized {
-    val m = loadOrCreate(name)
-    val m2 = m.copy(meta = f(m.meta))
-    save(m2); m2
-  }
+  def updateMeta(name: String)(f: TableMeta => TableMeta): TableManifest =
+    mutate(name)(m => m.copy(meta = f(m.meta)))
 
   /** Reserve `n` monotonic ids; returns the first reserved value
     * (exclusive high-water-mark semantics — reference node.py:291-294).
+    * Under the table lock, two engines on one catalog always get DISJOINT
+    * ranges.
     */
-  def reserveIds(name: String, n: Long): Long = synchronized {
-    val m = loadOrCreate(name)
-    val start = m.meta.highWaterMark
-    save(m.copy(meta = m.meta.copy(highWaterMark = start + n)))
-    start
+  def reserveIds(name: String, n: Long): Long = withTableLock(name) {
+    val m = mutate(name)(m =>
+      m.copy(meta = m.meta.copy(highWaterMark = m.meta.highWaterMark + n)))
+    m.meta.highWaterMark - n
   }
 
   /** Retention sweep: delete non-active version dirs whose retention age
@@ -237,21 +299,24 @@ class TableCatalog(val root: Path) {
     * `createdAt` — writers that may outlive the retention window should
     * activate promptly or use a longer retention.
     */
-  def gc(name: String, keepMillis: Long): Int = synchronized {
-    val m = loadOrCreate(name)
-    val cutoff = System.currentTimeMillis() - keepMillis
-    val (dead, live) = m.versions.partition(v =>
-      !m.activeVersion.contains(v.id) &&
-        v.supersededAt.getOrElse(v.createdAt) <= cutoff)
-    dead.foreach { v =>
-      val dir = versionDir(name, v.id)
-      if (Files.exists(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
+  def gc(name: String, keepMillis: Long): Int = withTableLock(name) {
+    var removed = 0
+    mutate(name) { m =>
+      val cutoff = System.currentTimeMillis() - keepMillis
+      val (dead, live) = m.versions.partition(v =>
+        !m.activeVersion.contains(v.id) &&
+          v.supersededAt.getOrElse(v.createdAt) <= cutoff)
+      dead.foreach { v =>
+        val dir = versionDir(name, v.id)
+        if (Files.exists(dir)) {
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        }
       }
+      removed = dead.size
+      m.copy(versions = live)
     }
-    save(m.copy(versions = live))
-    dead.size
+    removed
   }
 }
 
@@ -260,4 +325,19 @@ object TableCatalog {
     * all-time total, so trimming never affects downstream triggering.
     */
   val MaxEvents = 1000
+
+  /** JVM-wide gates per lock-file path: `FileChannel.lock` is
+    * process-scoped (a second lock attempt from the SAME process throws
+    * OverlappingFileLockException instead of blocking), so in-process
+    * writers — including separate TableCatalog instances on one dir —
+    * serialize here and cross-process writers on the OS lock.
+    */
+  private val jvmGates =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Lock-file paths held by the current thread (reentrancy). */
+  private val heldLocks = new ThreadLocal[java.util.HashSet[String]] {
+    override def initialValue(): java.util.HashSet[String] =
+      new java.util.HashSet[String]()
+  }
 }

@@ -384,4 +384,68 @@ class TableSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet == pinnedBefore,
       "monotonic-id path must not localCheckpoint/persist the batch")
   }
+
+  test("multi-writer catalog: two engines on one dir compose without lost updates") {
+    // Two INDEPENDENT catalog instances (what two GraphRunners sharing a
+    // store look like) mutating one table concurrently: the per-table
+    // file lock + fresh-read mutate must serialize them - no clobbered
+    // pointer swaps, no overlapping id reservations, no dropped events.
+    val root = freshRoot()
+    val c1 = new graft.catalog.TableCatalog(java.nio.file.Paths.get(root))
+    val c2 = new graft.catalog.TableCatalog(java.nio.file.Paths.get(root))
+    val perWriter = 30
+    val starts = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val tasks = Seq(c1, c2).map { c =>
+      pool.submit(new Runnable {
+        def run(): Unit = (1 to perWriter).foreach { _ =>
+          starts.add(c.reserveIds("shared", 5))
+          c.recordEvent("shared", "update")
+          c.createVersion("shared")
+        }
+      })
+    }
+    tasks.foreach(_.get())
+    pool.shutdown()
+    // fresh instance, fresh read: all mutations from both writers landed
+    val m = new graft.catalog.TableCatalog(java.nio.file.Paths.get(root))
+      .load("shared").get
+    assert(m.meta.highWaterMark == 2L * perWriter * 5,
+      "overlapping/lost id reservations")
+    assert(m.eventCounter == 2L * perWriter, "dropped events")
+    assert(m.versionCounter == 2L * perWriter, "lost version mints")
+    assert(m.versions.map(_.id).distinct.size == 2 * perWriter,
+      "duplicate version ids")
+    import scala.jdk.CollectionConverters._
+    assert(starts.asScala.size == 2 * perWriter, "two writers got the same id range")
+  }
+
+  test("concurrent upserts from two engines on one catalog dir both land") {
+    val root = freshRoot()
+    val e1 = new GraftEngine(spark, root, nodeId = "w1")
+    val e2 = new GraftEngine(spark, root, nodeId = "w2")
+    val t1 = e1.table("cc", "w").init(uniqueOn = Seq("id"))
+    val t2 = e2.table("cc", "w")
+    t1.upsert(Seq((1L, "seed")).toDF("id", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val f1 = pool.submit(new Runnable {
+      def run(): Unit = (2 to 6).foreach(i =>
+        t1.upsert(Seq((i.toLong, s"a$i")).toDF("id", "v")))
+    })
+    val f2 = pool.submit(new Runnable {
+      def run(): Unit = (7 to 11).foreach(i =>
+        t2.upsert(Seq((i.toLong, s"b$i")).toDF("id", "v")))
+    })
+    f1.get(); f2.get(); pool.shutdown()
+    // upsert holds the table lock across its WHOLE read-merge-write, so
+    // interleaved single-key upserts must serialize: the final version
+    // contains every key from both writers - nothing dropped at a swap
+    val c = new graft.catalog.TableCatalog(java.nio.file.Paths.get(root))
+    val m = c.refresh("cc").get
+    assert(m.versions.map(_.id).distinct.size == m.versions.size)
+    val rows = spark.read.parquet(
+      c.versionDir("cc", m.activeVersion.get).toString)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == (1L to 11L), s"lost upserts: ${rows.mkString(",")}")
+  }
 }
