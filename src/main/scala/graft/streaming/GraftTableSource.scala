@@ -1,0 +1,146 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{StructType, TimestampType}
+
+import graft.catalog.TableCatalog
+
+/** Structured Streaming source over a catalog table (SURVEY.md §7.6): the
+  * engine's batch-incremental cursor (graft.api.Stream — strictly-greater-
+  * than consumption on an ordering column, node.py:18-81) exposed through
+  * Spark's streaming offset log, so a graph node can run CONTINUOUS
+  * instead of per-trigger.
+  *
+  * `spark.readStream.format("graft.streaming.GraftTableSourceProvider")
+  *    .option("root", catalogRoot).option("table", name)
+  *    [.option("orderBy", col)]` — orderBy defaults through the table's
+  * schema roles exactly like Table.asStream (monotonic id, else created).
+  *
+  * Offsets are VALUES of the ordering column (serialized as strings, cast
+  * back to the column type for comparison), not file names or positions —
+  * which is what makes the cursor survive version swaps: an upsert or
+  * compaction moves the active pointer to a new directory, file-tailing
+  * sources (tailParquet) lose their place, but `orderBy > cursor` means
+  * the same rows regardless of which directory holds them. Each batch is
+  * a plain pruned/pushed-down parquet scan of the active version
+  * (`PushedFilters: GreaterThan(orderBy, cursor)`), so a version written
+  * sorted on the cursor column skips fully-consumed files via min/max
+  * stats — the same scale shape as the batch Stream.
+  */
+class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def resolve(params: Map[String, String]): (TableCatalog, String, String) = {
+    val root = params.getOrElse("root",
+      throw new IllegalArgumentException("graft-table source requires option 'root'"))
+    val table = params.getOrElse("table",
+      throw new IllegalArgumentException("graft-table source requires option 'table'"))
+    val cat = new TableCatalog(java.nio.file.Paths.get(root))
+    val meta = cat.loadOrCreate(table).meta
+    val orderBy = params.get("orderBy")
+      .orElse(meta.addMonotonicId).orElse(meta.addCreated)
+      .getOrElse(throw new IllegalArgumentException(
+        s"stream over '$table' needs option 'orderBy' or a monotonic/" +
+          "created schema role (node.py:196-200)"))
+    (cat, table, orderBy)
+  }
+
+  private def activeSchema(sqlContext: SQLContext, cat: TableCatalog,
+      table: String): StructType = {
+    val m = cat.loadOrCreate(table)
+    val dir = m.activeVersion.map(v => cat.versionDir(table, v))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-table source: '$table' has no active version to infer a " +
+          "schema from; pass .schema(...) explicitly"))
+    StructType(sqlContext.sparkSession.read
+      .option("mergeSchema", "true").parquet(dir.toString)
+      .drop("__bucket").schema.fields)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val (cat, table, _) = resolve(parameters)
+    (shortName(), schema.getOrElse(activeSchema(sqlContext, cat, table)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val (cat, table, orderBy) = resolve(parameters)
+    new GraftTableSource(sqlContext, cat, table, orderBy,
+      schema.getOrElse(activeSchema(sqlContext, cat, table)))
+  }
+}
+
+/** Value cursor as a streaming offset: the ordering-column value is kept
+  * as a string in the offset log and cast back to the column's type for
+  * the `>` comparisons, so the offset survives restarts regardless of the
+  * column's type (long ids, base32 monotonic strings, timestamps).
+  */
+case class CursorOffset(value: String) extends Offset {
+  override val json: String = value
+}
+
+class GraftTableSource(sqlContext: SQLContext, cat: TableCatalog,
+    table: String, orderBy: String, override val schema: StructType)
+    extends Source {
+
+  private def spark = sqlContext.sparkSession
+
+  private def activeDf: Option[DataFrame] =
+    cat.refresh(table).flatMap(_.activeVersion).map { vid =>
+      spark.read.option("mergeSchema", "true")
+        .parquet(cat.versionDir(table, vid).toString)
+        .drop("__bucket")
+    }
+
+  /** The ordering value as an offset string: timestamps canonicalize to
+    * ISO-8601 instants (cast back losslessly at micro precision — the
+    * engine's timestamp resolution); everything else round-trips through
+    * its SQL string form.
+    */
+  private def encode(v: Any): String = v match {
+    case ts: java.sql.Timestamp => ts.toInstant.toString
+    case other => other.toString
+  }
+
+  private def cursorCol = col(orderBy)
+  private def typed(value: String) =
+    lit(value).cast(schema.fields.find(_.name == orderBy)
+      .map(_.dataType).getOrElse(TimestampType))
+
+  override def getOffset: Option[Offset] =
+    activeDf.flatMap { df =>
+      if (df.isEmpty) None
+      else Option(df.agg(max(cursorCol)).head.get(0)).map(v => CursorOffset(encode(v)))
+    }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val base = activeDf.getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    val upTo = base.filter(cursorCol <= typed(end.json))
+    val batch = start match {
+      case Some(s) => upTo.filter(cursorCol > typed(s.json)) // strictly greater (node.py:71-76)
+      case None => upTo
+    }
+    // V1 contract: the returned frame must be tagged isStreaming — route
+    // the batch rows through an internal-row conversion the way
+    // FileStreamSource does (internalCreateDataFrame is private[sql] at
+    // the Scala level but public bytecode; same-signature reflective call)
+    val internal = batch.queryExecution.toRdd
+    val m = spark.getClass.getMethod("internalCreateDataFrame",
+      classOf[org.apache.spark.rdd.RDD[_]], classOf[StructType],
+      java.lang.Boolean.TYPE)
+    m.invoke(spark, internal, batch.schema, java.lang.Boolean.TRUE)
+      .asInstanceOf[DataFrame]
+  }
+
+  override def deserializeOffset(json: String): org.apache.spark.sql.connector.read.streaming.Offset =
+    CursorOffset(json)
+
+  override def stop(): Unit = ()
+}
