@@ -15,7 +15,18 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def main(sf, out):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        path = f"{sf}/{t}.parquet"
+        # ScaleUp fixtures are Spark-written DIRECTORIES of parquet parts
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        sel = "*"
+        if t == "events":
+            cols = {c[0]: c[1] for c in con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()}
+            # ScaleUp writes ts as raw INT64 epoch-nanos (Spark cannot write
+            # TIMESTAMP(NANOS)); surface it back as TIMESTAMP_NS so the
+            # oracle SQL sees the same type it sees on the driver fixtures
+            if cols.get("ts") == "BIGINT":
+                sel = "* REPLACE (make_timestamp_ns(ts) AS ts)"
+        con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM {src}")
     oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
     n_ok = 0
     names = sorted(set(list(oracle.keys()) + [os.path.basename(p) for p in glob.glob(f"{out}/*") if os.path.isdir(p)]))
