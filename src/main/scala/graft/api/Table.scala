@@ -70,8 +70,12 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     * Spark count for legacy/externally-written versions.
     */
   def recordCount: Option[Long] = {
-    val stored = manifest.activeVersion.flatMap(vid =>
-      manifest.versions.find(_.id == vid).flatMap(_.rowCount))
+    // fresh manifest read (O(KB) disk, still no Spark job): on a SHARED
+    // store another engine's flush re-stamps the count, and serving this
+    // instance's cached manifest would return it stale forever
+    val m = if (connected) catalog.refresh(name).getOrElse(manifest) else manifest
+    val stored = m.activeVersion.flatMap(vid =>
+      m.versions.find(_.id == vid).flatMap(_.rowCount))
       .filter(_ => connected)
     stored.orElse(activeDf.map(_.count()))
   }
@@ -132,17 +136,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     // a legitimately EMPTY version (reset / crashed-before-write) reads as
     // an empty frame — the same answer read() gives for the active one —
     // rather than Spark's misleading "Unable to infer schema" error
-    val hasFiles = {
-      val d = dir.toFile
-      val top = d.listFiles(f => f.getName.endsWith(".parquet"))
-      val nested = Option(d.listFiles(f =>
-        f.isDirectory && f.getName.startsWith("__bucket=")))
-        .getOrElse(Array.empty)
-        .flatMap(b => Option(b.listFiles(f => f.getName.endsWith(".parquet")))
-          .getOrElse(Array.empty[java.io.File]))
-      (Option(top).getOrElse(Array.empty) ++ nested).nonEmpty
-    }
-    if (!hasFiles)
+    if (filesIn(vid).isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], new StructType())
     else
       spark.read.option("mergeSchema", "true")
@@ -610,18 +604,25 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
         // the per-partition prefix sums. Unlike the localCheckpoint +
         // zipWithIndex formulation this pins nothing in executor storage
         // and the write stays inside whole-stage codegen. The two passes
-        // see the same partitioning because append batches are unions of
-        // already-materialized user frames / deterministic scans.
-        val numParts = withCreated.rdd.getNumPartitions
+        // see the same partitioning ONLY for a deterministic plan — a
+        // nondeterministic batch (sample(), rand() filters) could mint a
+        // different row set than the one ids were reserved for, so those
+        // are pinned once up front, exactly like the old path.
+        val deterministic = withCreated.queryExecution.analyzed.collectFirst {
+          case p if p.expressions.exists(e => !e.deterministic) => p
+        }.isEmpty
+        val base =
+          if (deterministic) withCreated else withCreated.localCheckpoint(true)
+        val numParts = base.rdd.getNumPartitions
         val counts = new Array[Long](numParts)
         if (numParts > 0)
-          withCreated.groupBy(spark_partition_id().as("__p")).count()
+          base.groupBy(spark_partition_id().as("__p")).count()
             .collect().foreach(r => counts(r.getInt(0)) = r.getLong(1))
         val offsets = counts.scanLeft(0L)(_ + _).init
         val start = catalog.reserveIds(name, counts.sum)
         // base32 formatting via builtins (conv emits uppercase 0-9A-V;
         // lower() matches Table.base32's 0-9a-v), still codegen'd
-        withCreated.withColumn(mc,
+        base.withColumn(mc,
           lpad(lower(conv(graft.functions.DenseRowId.column(spark, start, offsets)
             .cast(StringType), 10, 32)), 13, "0"))
       case _ => withCreated

@@ -223,7 +223,9 @@ class TableCatalog(val root: Path) {
   }
 
   /** Mint a new (not-yet-active) version; returns (manifest, versionId). */
-  def createVersion(name: String): (TableManifest, String) = withTableLock(name) {
+  def createVersion(name: String): (TableManifest, String) = {
+    // mutate's return is OUR written manifest (a local immutable value),
+    // so versions.last is the version this call minted — no outer lock
     val m2 = mutate(name) { m =>
       val vid = f"v${m.versionCounter + 1}%06d"
       Files.createDirectories(versionDir(name, vid))
@@ -285,7 +287,7 @@ class TableCatalog(val root: Path) {
     * Under the table lock, two engines on one catalog always get DISJOINT
     * ranges.
     */
-  def reserveIds(name: String, n: Long): Long = withTableLock(name) {
+  def reserveIds(name: String, n: Long): Long = {
     val m = mutate(name)(m =>
       m.copy(meta = m.meta.copy(highWaterMark = m.meta.highWaterMark + n)))
     m.meta.highWaterMark - n
@@ -299,7 +301,7 @@ class TableCatalog(val root: Path) {
     * `createdAt` — writers that may outlive the retention window should
     * activate promptly or use a longer retention.
     */
-  def gc(name: String, keepMillis: Long): Int = withTableLock(name) {
+  def gc(name: String, keepMillis: Long): Int = {
     var removed = 0
     mutate(name) { m =>
       val cutoff = System.currentTimeMillis() - keepMillis

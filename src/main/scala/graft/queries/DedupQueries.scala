@@ -439,7 +439,14 @@ object DedupQueries {
     */
   private[graft] def substringHitsIndexed(train: DataFrame,
       needles: DataFrame): DataFrame = {
-    val keyed = needles.select(col("needle"),
+    // completeness guard: a needle SHORTER than the 8-char block key can
+    // never match a text 8-gram (degenerate ≥5-token needles exist — empty
+    // tokens from doubled spaces make "x  y  z" 7 chars). Those few stay
+    // on the contains-probe path; they are bounded by the token-count
+    // filter, not corpus-sized.
+    val long = needles.filter(length(col("needle")) >= 8)
+    val short = needles.filter(length(col("needle")) < 8)
+    val keyed = long.select(col("needle"),
       substring(col("needle"), 1, 8).as("k"))
     val grams = train
       .select(col("doc_id"), col("text"),
@@ -448,9 +455,13 @@ object DedupQueries {
       .select(col("doc_id"), col("text").substr(col("i"), lit(8)).as("k"))
       .distinct()
     val cand = grams.join(keyed, "k").select("doc_id", "needle").distinct()
-    cand.join(train.select("doc_id", "text"), "doc_id")
+    val longHits = cand.join(train.select("doc_id", "text"), "doc_id")
       .filter(col("text").contains(col("needle")))
-      .select("doc_id").distinct()
+      .select("doc_id")
+    val shortHits = train.select("doc_id", "text")
+      .join(broadcast(short), col("text").contains(col("needle")))
+      .select("doc_id")
+    longHits.union(shortHits).distinct()
   }
 
   private def components(s: SparkSession, dir: String): DataFrame =

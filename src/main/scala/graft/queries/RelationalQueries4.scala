@@ -208,6 +208,12 @@ object RelationalQueries4 {
     // join back to the full table), which is the shape that stays cheap at
     // 100 TB — the recursion carries only (start, cur, depth) triples.
     "q49_recursive_cte" -> { (s, dir) =>
+      // recursion volume is |customer| × O(log maxKey) — LINEAR in input
+      // with a depth-bounded multiplier, but past sf0.1 it crosses Spark's
+      // conservative 1M-row recursion guard (RECURSION_ROW_LIMIT_EXCEEDED
+      // at sf1: 1.5M × 17 levels). Raise the guard, keep the level limit
+      // as the actual runaway protection.
+      s.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
       t(s, dir, "customer").createOrReplaceTempView("graft_customer_q49")
       s.sql(
         """WITH RECURSIVE chain (start_key, cur, depth) AS (

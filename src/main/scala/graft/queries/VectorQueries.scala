@@ -286,10 +286,13 @@ object VectorQueries {
     // corpus-sized is ever shuffled.
     "d32_semantic_decontamination" -> { (s, dir) =>
       val (tr, ev) = d32Inputs(s, dir)
-      // ~(dims × 4 B float + array/row overhead) per eval vector,
-      // pessimistic so the switch fires before the broadcast OOMs
-      val nEval = ev.count()
-      val estBytes = nEval * (64L * 4 + 256)
+      // ~(dims × 4 B float + array/row overhead) per eval vector — dims
+      // MEASURED from the data (a hardcoded width would under-estimate
+      // high-dimensional embeddings 10x and defeat the OOM guard); one
+      // tiny agg over the eval side
+      val est = ev.agg(count(lit(1)).as("n"),
+        coalesce(max(size(col("qe"))), lit(0)).as("dims")).head()
+      val estBytes = est.getLong(0) * (est.getInt(1).toLong * 4 + 256)
       val pick =
         if (estBytes <= s.sessionState.conf.autoBroadcastJoinThreshold)
           nearestTrainBroadcast(tr, ev)

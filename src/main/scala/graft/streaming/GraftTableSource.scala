@@ -40,7 +40,9 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
     val table = params.getOrElse("table",
       throw new IllegalArgumentException("graft-table source requires option 'table'"))
     val cat = new TableCatalog(java.nio.file.Paths.get(root))
-    val meta = cat.loadOrCreate(table).meta
+    // read path: a typo'd table name must fail, not mint a ghost manifest
+    val meta = cat.load(table).getOrElse(throw new IllegalArgumentException(
+      s"graft-table source: no table '$table' in catalog '$root'")).meta
     val orderBy = params.get("orderBy")
       .orElse(meta.addMonotonicId).orElse(meta.addCreated)
       .getOrElse(throw new IllegalArgumentException(
@@ -51,7 +53,8 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
 
   private def activeSchema(sqlContext: SQLContext, cat: TableCatalog,
       table: String): StructType = {
-    val m = cat.loadOrCreate(table)
+    val m = cat.load(table).getOrElse(throw new IllegalArgumentException(
+      s"graft-table source: no table '$table' in the catalog"))
     val dir = m.activeVersion.map(v => cat.versionDir(table, v))
       .getOrElse(throw new IllegalArgumentException(
         s"graft-table source: '$table' has no active version to infer a " +
@@ -109,15 +112,34 @@ class GraftTableSource(sqlContext: SQLContext, cat: TableCatalog,
   }
 
   private def cursorCol = col(orderBy)
+
+  /** Highest offset value ever RETURNED, for clamping: a replace()/
+    * truncate that rebuilds the table with lower ordering values must not
+    * regress the offset — MicroBatchExecution would commit the lower
+    * value and later appends in the (old, new] gap would be emitted
+    * twice. Ordering values are Comparable for every supported cursor
+    * type (long ids, base32 strings, timestamps via their encoded form).
+    */
+  @volatile private var highWater: Option[Any] = None
+
+  private def clamp(v: Any): Any = {
+    val keep = highWater match {
+      case Some(h) => h.asInstanceOf[Comparable[Any]].compareTo(v) >= 0
+      case None => false
+    }
+    if (!keep) highWater = Some(v)
+    highWater.get
+  }
   private def typed(value: String) =
     lit(value).cast(schema.fields.find(_.name == orderBy)
       .map(_.dataType).getOrElse(TimestampType))
 
   override def getOffset: Option[Offset] =
     activeDf.flatMap { df =>
-      if (df.isEmpty) None
-      else Option(df.agg(max(cursorCol)).head.get(0)).map(v => CursorOffset(encode(v)))
-    }
+      // max() of an empty frame is null — one job, no separate isEmpty pass
+      Option(df.agg(max(cursorCol)).head.get(0))
+        .map(v => CursorOffset(encode(clamp(v))))
+    }.orElse(highWater.map(v => CursorOffset(encode(v))))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val base = activeDf.getOrElse(
@@ -127,15 +149,19 @@ class GraftTableSource(sqlContext: SQLContext, cat: TableCatalog,
       case Some(s) => upTo.filter(cursorCol > typed(s.json)) // strictly greater (node.py:71-76)
       case None => upTo
     }
+    // pin to the DECLARED schema: schema-on-write evolution (conform
+    // passes new columns through; activeDf reads with mergeSchema) must
+    // not widen a running stream's batch arity mid-query
+    val pinned = batch.select(schema.fieldNames.map(col).toSeq: _*)
     // V1 contract: the returned frame must be tagged isStreaming — route
     // the batch rows through an internal-row conversion the way
     // FileStreamSource does (internalCreateDataFrame is private[sql] at
     // the Scala level but public bytecode; same-signature reflective call)
-    val internal = batch.queryExecution.toRdd
+    val internal = pinned.queryExecution.toRdd
     val m = spark.getClass.getMethod("internalCreateDataFrame",
       classOf[org.apache.spark.rdd.RDD[_]], classOf[StructType],
       java.lang.Boolean.TYPE)
-    m.invoke(spark, internal, batch.schema, java.lang.Boolean.TRUE)
+    m.invoke(spark, internal, pinned.schema, java.lang.Boolean.TRUE)
       .asInstanceOf[DataFrame]
   }
 

@@ -38,6 +38,17 @@ class Round5OpsSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.getLong(0))
     assert(b.toSeq == Seq(1L, 2L))
     assert(i.sameElements(b))
+    // degenerate needle SHORTER than the 8-char block key (empty tokens
+    // from doubled spaces): completeness must survive - the index path
+    // routes it through the bounded contains probe
+    val shortNeedle = Seq("x  y  z").toDF("needle")
+    val train2 = Seq((9L, "srcA", "prefix x  y  z suffix"),
+      (10L, "srcA", "no match here")).toDF("doc_id", "source", "text")
+    val b2 = DedupQueries.substringHitsBroadcast(train2, shortNeedle)
+      .collect().map(_.getLong(0))
+    val i2 = DedupQueries.substringHitsIndexed(train2, shortNeedle)
+      .collect().map(_.getLong(0))
+    assert(b2.toSeq == Seq(9L) && i2.sameElements(b2))
   }
 
   test("d32 scale path: fragment-replicate nearest == broadcast nearest (fixture)") {
