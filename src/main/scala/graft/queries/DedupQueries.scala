@@ -20,6 +20,14 @@ import graft.functions.VectorFunctions._
 object DedupQueries {
   import Q._
 
+  /** d48's broadcast-vs-index probe crossover, in needle COUNT: the
+    * contains probe costs O(|needles|) per train row, the char-gram index
+    * O(|text|) per train row — both linear in train size, so the
+    * crossover is a needle-count constant. Measured at sf1 AND sf10
+    * (BENCH_SF1.md): ≈12k; 10k keeps a margin on the broadcast side.
+    */
+  val ProbeCrossoverNeedles = 10000L
+
   /** Per-doc distinct shingle SET, computed map-side (no global distinct
     * shuffle), persisted for every downstream consumer (d02/d03/d16/d21/
     * d22); Spark's CacheManager dedups the entry across queries by
@@ -865,8 +873,15 @@ object DedupQueries {
       // ~2 bytes/char in-heap + per-row object overhead — deliberately
       // pessimistic so the switch fires before the broadcast OOMs
       val estBytes = est.getLong(1) * 2 + est.getLong(0) * 64
+      // Two switch conditions, both measured (BENCH_SF1.md): the broadcast
+      // must FIT (byte threshold), and the probe must be WORTH it — probe
+      // work is |needles| per train row while the index path is linear in
+      // train chars, so past ~10k needles the index wins even when the
+      // broadcast fits (measured crossover ≈12k needles at both sf1 and
+      // sf10: 5k → broadcast 2.6x faster; 50k → index 4x faster).
       val pick =
-        if (estBytes <= s.sessionState.conf.autoBroadcastJoinThreshold)
+        if (estBytes <= s.sessionState.conf.autoBroadcastJoinThreshold &&
+            est.getLong(0) <= DedupQueries.ProbeCrossoverNeedles)
           substringHitsBroadcast(train, needles)
         else substringHitsIndexed(train, needles)
       val hits = pick.withColumn("hit", lit(1L))
