@@ -85,14 +85,17 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
 
   private def filesIn(vid: String): Array[java.io.File] = {
     val d = catalog.versionDir(name, vid).toFile
-    if (!d.exists) Array.empty[java.io.File]
-    else {
-      val top = d.listFiles(f => f.getName.endsWith(".parquet"))
-      val nested = d.listFiles(f => f.isDirectory && f.getName.startsWith("__bucket="))
-        .flatMap(b => Option(b.listFiles(f => f.getName.endsWith(".parquet")))
-          .getOrElse(Array.empty[java.io.File]))
-      top ++ nested
-    }
+    // every listFiles is null-guarded: a retention sweep may delete the
+    // dir between the exists check and the listing (documented race) —
+    // that must read as "no files", not NPE
+    val top = Option(d.listFiles((f: java.io.File) =>
+      f.getName.endsWith(".parquet"))).getOrElse(Array.empty[java.io.File])
+    val nested = Option(d.listFiles((f: java.io.File) =>
+      f.isDirectory && f.getName.startsWith("__bucket=")))
+      .getOrElse(Array.empty[java.io.File])
+      .flatMap(b => Option(b.listFiles((f: java.io.File) =>
+        f.getName.endsWith(".parquet"))).getOrElse(Array.empty[java.io.File]))
+    top ++ nested
   }
 
   /** Row count of a version dir from parquet FOOTERS — metadata-only,
@@ -609,6 +612,10 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
         // different row set than the one ids were reserved for, so those
         // are pinned once up front, exactly like the old path.
         val deterministic = withCreated.queryExecution.analyzed.collectFirst {
+          // plan-LEVEL nondeterminism too: Sample re-executed over a
+          // different upstream partitioning (task retry, AQE re-plan)
+          // yields a different row set even with a fixed seed
+          case p: org.apache.spark.sql.catalyst.plans.logical.Sample => p
           case p if p.expressions.exists(e => !e.deterministic) => p
         }.isEmpty
         val base =

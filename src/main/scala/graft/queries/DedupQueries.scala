@@ -466,10 +466,23 @@ object DedupQueries {
     val longHits = cand.join(train.select("doc_id", "text"), "doc_id")
       .filter(col("text").contains(col("needle")))
       .select("doc_id")
-    val shortHits = train.select("doc_id", "text")
-      .join(broadcast(short), col("text").contains(col("needle")))
-      .select("doc_id")
-    longHits.union(shortHits).distinct()
+    // short needles join KEYED too (no broadcast — this path exists
+    // because needle sets can be huge): for length L, a text L-gram that
+    // EQUALS the needle IS the containment proof, so per distinct short
+    // length (≤7 of them, collected from the tiny length-distinct agg)
+    // the gram join needs no re-verification
+    val shortLens = short.select(length(col("needle")).as("l")).distinct()
+      .collect().map(_.getInt(0)).filter(_ > 0)
+    val shortHits = shortLens.map { l =>
+      train
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1),
+            greatest(length(col("text")) - (l - 1), lit(1)))).as("i"))
+        .select(col("doc_id"), col("text").substr(col("i"), lit(l)).as("needle"))
+        .join(short.filter(length(col("needle")) === l), "needle")
+        .select("doc_id")
+    }
+    (longHits +: shortHits.toSeq).reduce(_ union _).distinct()
   }
 
   private def components(s: SparkSession, dir: String): DataFrame =

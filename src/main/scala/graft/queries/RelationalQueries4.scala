@@ -210,10 +210,16 @@ object RelationalQueries4 {
     "q49_recursive_cte" -> { (s, dir) =>
       // recursion volume is |customer| × O(log maxKey) — LINEAR in input
       // with a depth-bounded multiplier, but past sf0.1 it crosses Spark's
-      // conservative 1M-row recursion guard (RECURSION_ROW_LIMIT_EXCEEDED
-      // at sf1: 1.5M × 17 levels). Raise the guard, keep the level limit
-      // as the actual runaway protection.
-      s.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
+      // conservative 1M-row guard (RECURSION_ROW_LIMIT_EXCEEDED at sf1:
+      // 1.5M × 17 levels). Scale the row guard to the ACTUAL bound
+      // (|customer| × 66: depth ≤ 64 halvings of a long key + anchor +
+      // margin) instead of a fixed blank check, so it grows with input at
+      // any SF yet a runaway recursion still trips ~66n. The level limit
+      // (default 100) stays as the depth guard. Session-scoped, like any
+      // SQLConf the battery sets.
+      val n = t(s, dir, "customer").count()
+      s.conf.set("spark.sql.cteRecursionRowLimit",
+        math.max(1000000L, n * 66).toString)
       t(s, dir, "customer").createOrReplaceTempView("graft_customer_q49")
       s.sql(
         """WITH RECURSIVE chain (start_key, cur, depth) AS (

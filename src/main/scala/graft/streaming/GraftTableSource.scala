@@ -75,7 +75,7 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
       parameters: Map[String, String]): Source = {
     val (cat, table, orderBy) = resolve(parameters)
     new GraftTableSource(sqlContext, cat, table, orderBy,
-      schema.getOrElse(activeSchema(sqlContext, cat, table)))
+      schema.getOrElse(activeSchema(sqlContext, cat, table)), metadataPath)
   }
 }
 
@@ -89,13 +89,25 @@ case class CursorOffset(value: String) extends Offset {
 }
 
 class GraftTableSource(sqlContext: SQLContext, cat: TableCatalog,
-    table: String, orderBy: String, override val schema: StructType)
-    extends Source {
+    table: String, orderBy: String, override val schema: StructType,
+    metadataPath: String) extends Source {
 
   private def spark = sqlContext.sparkSession
 
   private def activeDf: Option[DataFrame] =
-    cat.refresh(table).flatMap(_.activeVersion).map { vid =>
+    cat.refresh(table).flatMap(_.activeVersion).filter { vid =>
+      // a fileless active version (reset(), crash-before-write) must read
+      // as "no data yet", not throw schema-inference errors at the poll
+      val d = cat.versionDir(table, vid).toFile
+      val top = Option(d.listFiles((f: java.io.File) =>
+        f.getName.endsWith(".parquet"))).getOrElse(Array.empty[java.io.File])
+      val nested = Option(d.listFiles((f: java.io.File) =>
+        f.isDirectory && f.getName.startsWith("__bucket=")))
+        .getOrElse(Array.empty[java.io.File])
+        .exists(b => Option(b.listFiles((f: java.io.File) =>
+          f.getName.endsWith(".parquet"))).exists(_.nonEmpty))
+      top.nonEmpty || nested
+    }.map { vid =>
       spark.read.option("mergeSchema", "true")
         .parquet(cat.versionDir(table, vid).toString)
         .drop("__bucket")
@@ -117,17 +129,46 @@ class GraftTableSource(sqlContext: SQLContext, cat: TableCatalog,
     * truncate that rebuilds the table with lower ordering values must not
     * regress the offset — MicroBatchExecution would commit the lower
     * value and later appends in the (old, new] gap would be emitted
-    * twice. Ordering values are Comparable for every supported cursor
-    * type (long ids, base32 strings, timestamps via their encoded form).
+    * twice. PERSISTED (encoded form) under the source's metadataPath so
+    * the clamp survives stream restarts — an in-memory-only high water
+    * would re-admit the regression on the first poll of a new run.
+    * Encoded-string comparison is order-correct for every supported
+    * cursor type: base32 ids and ISO instants are lexicographic; numeric
+    * cursors compare numerically after decode via the column type — we
+    * clamp on the RAW value and compare via Comparable.
     */
-  @volatile private var highWater: Option[Any] = None
+  private val hwPath = java.nio.file.Paths.get(metadataPath, "graft-high-water")
+
+  @volatile private var highWater: Option[Any] = {
+    if (java.nio.file.Files.exists(hwPath)) {
+      val enc = new String(java.nio.file.Files.readAllBytes(hwPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      Some(decode(enc))
+    } else None
+  }
+
+  /** Inverse of [[encode]] against the cursor column's type. */
+  private def decode(enc: String): Any =
+    schema.fields.find(_.name == orderBy).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) => enc.toLong
+      case Some(org.apache.spark.sql.types.IntegerType) => enc.toInt
+      case Some(org.apache.spark.sql.types.DoubleType) => enc.toDouble
+      case Some(TimestampType) =>
+        java.sql.Timestamp.from(java.time.Instant.parse(enc))
+      case _ => enc
+    }
 
   private def clamp(v: Any): Any = {
     val keep = highWater match {
       case Some(h) => h.asInstanceOf[Comparable[Any]].compareTo(v) >= 0
       case None => false
     }
-    if (!keep) highWater = Some(v)
+    if (!keep) {
+      highWater = Some(v)
+      java.nio.file.Files.createDirectories(hwPath.getParent)
+      java.nio.file.Files.write(hwPath,
+        encode(v).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     highWater.get
   }
   private def typed(value: String) =

@@ -375,4 +375,26 @@ class StreamingSourcesSpec extends SparkSpec {
       assert(spark.table("role_rows").count() == 2)
     } finally q.stop()
   }
+
+  test("graft-table source: offset high-water persists across restart (no regression after replace)") {
+    val root = freshRoot()
+    val e = new GraftEngine(spark, root)
+    val t = e.table("hw_src", "w")
+    t.append(Seq((5L, "a"), (9L, "b")).toDF("id", "v")); t.flush()
+    val provider = new graft.streaming.GraftTableSourceProvider
+    val meta = Files.createTempDirectory("hw-meta-").toString
+    val params = Map("root" -> root, "table" -> "hw_src", "orderBy" -> "id")
+    val ctx = spark.sqlContext
+    val s1 = provider.createSource(ctx, meta, None, "graft-table", params)
+    assert(s1.getOffset.map(_.json) == Some("9"))
+    // table rebuilt with LOWER ordering values, then a RESTARTED source
+    // (fresh instance, same metadataPath): the clamp must hold from disk,
+    // or appends in the (3, 9] gap would be re-emitted after commit
+    t.replace(Seq((3L, "c")).toDF("id", "v"))
+    val s2 = provider.createSource(ctx, meta, None, "graft-table", params)
+    assert(s2.getOffset.map(_.json) == Some("9"),
+      "restart must not regress below the persisted high water")
+    t.append(Seq((12L, "d")).toDF("id", "v")); t.flush()
+    assert(s2.getOffset.map(_.json) == Some("12"))
+  }
 }

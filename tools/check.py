@@ -92,11 +92,15 @@ def main(sf, out):
                     pd.testing.assert_frame_equal(
                         s[exact_cols], o[exact_cols], check_dtype=False, check_exact=True)
                 for c in float_cols:
-                    a, b = s[c].to_numpy(), o[c].to_numpy()
+                    a, b = s[c].to_numpy(dtype=float), o[c].to_numpy(dtype=float)
                     nan_ok = (pd.isna(a) == pd.isna(b)).all()
                     m = ~pd.isna(a)
-                    if not (nan_ok and np.allclose(a[m], b[m], rtol=1e-12, atol=0)):
-                        raise AssertionError(f"column {c} beyond ulp tolerance")
+                    # ACTUAL ulp distance (np.spacing = 1 ulp at that
+                    # magnitude), not an rtol that would also wave through
+                    # real 13th-digit regressions
+                    tol = 2 * np.spacing(np.maximum(np.abs(a[m]), np.abs(b[m])))
+                    if not (nan_ok and (np.abs(a[m] - b[m]) <= tol).all()):
+                        raise AssertionError(f"column {c} beyond 2-ulp tolerance")
                 print(f"OK~  {name}: rows={len(s)} (float last-ulp only)")
                 n_ok += 1
             except AssertionError:
