@@ -139,23 +139,31 @@ object VectorQueries {
         .select("q_id", "rank", "vec_id", "cosine")
         .orderBy("q_id", "rank")
     },
-    // D3b — IVF-style ANN: deterministic centroids (vec_id % 200 == 0),
-    // assign every vector to its nearest centroid, then search only the
-    // query's cell. At scale the cell assignment is the partition key.
+    // D3b — IVF-style ANN: deterministic centroids, assign every vector to
+    // its nearest centroid, then search only the query's cell. The
+    // centroid modulus scales as ~√n (200·⌈√(n/2000)⌉, identical at the
+    // oracle SFs where it stays 200) so centroid COUNT is ~√n — a linear
+    // modulus made assignment cost n²/200, measured super-linear at sf10.
+    // Assignment argmax is the d45 max(struct) shape (map-side partial
+    // agg), not a window. At scale the cell assignment is the partition
+    // key.
     "d06_knn_ivf" -> { (s, dir) =>
       val v = vecs(s, dir)
-      val cent = v.filter(col("vec_id") % 200 === 0)
+      val n = v.count()
+      val mod = 200L * math.max(1L,
+        math.ceil(math.sqrt(n / 2000.0)).toLong)
+      val cent = v.filter(col("vec_id") % mod === 0)
         .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
           col("nrm").as("cn"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("c_cos").desc, col("c_id"))
       val assigned = v.crossJoin(broadcast(cent))
         .withColumn("c_cos",
           cosineWithNorms(dot(col("embedding"), col("ce")), col("nrm"), col("cn")))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
+        .groupBy("vec_id")
+        .agg(max(struct(col("c_cos"), (-col("c_id")).as("nc"))).as("best"),
+          first("label").as("label"), first("embedding").as("embedding"),
+          first("nrm").as("nrm"))
         .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
-          col("c_id").as("cell"))
+          (-col("best.nc")).as("cell"))
       val q = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("cell"))
@@ -575,7 +583,8 @@ object VectorQueries {
     "d06_knn_ivf" ->
       s"""WITH v AS (
          |  SELECT vec_id, label, embedding, ${oNorm("embedding")} AS nrm FROM embeddings),
-         |cent AS (SELECT vec_id c_id, embedding ce, nrm cn FROM v WHERE vec_id % 200 = 0),
+         |cent AS (SELECT vec_id c_id, embedding ce, nrm cn FROM v
+         |         WHERE vec_id % (SELECT 200 * GREATEST(CAST(ceil(sqrt(count(*) / 2000.0)) AS BIGINT), 1) FROM v) = 0),
          |assigned AS (
          |  SELECT vec_id, embedding, nrm, cell FROM (
          |    SELECT v.vec_id, v.embedding, v.nrm, cent.c_id AS cell,
