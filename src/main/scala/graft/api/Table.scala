@@ -98,19 +98,98 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     top ++ nested
   }
 
-  /** Row count of a version dir from parquet FOOTERS — metadata-only,
-    * O(#files) driver-side reads, no Spark job. Stamped into the manifest
-    * at commit so [[recordCount]] is O(1) (reference TableVersion.
-    * record_count, node.py:106-109).
+  /** Row count AND per-column max of a version dir from parquet FOOTERS —
+    * metadata-only, O(#files) driver-side reads, no Spark job. Stamped
+    * into the manifest at commit so [[recordCount]] is O(1) (reference
+    * TableVersion.record_count, node.py:106-109) and so the streaming
+    * source's `getOffset` poll is a manifest lookup instead of a
+    * table-sized `max()` scan per trigger.
+    *
+    * The max map only carries columns whose footer statistics are present
+    * and trustworthy in EVERY row group of every file: plain INT32/INT64/
+    * DOUBLE, INT64 timestamps (micro/milli/nano logical annotation;
+    * INT96 has no usable stats), and short UTF-8 binaries (parquet-mr may
+    * truncate or omit stats for large binaries, and a truncated max is a
+    * BOUND, not a value — unsafe as a cursor). Missing columns make the
+    * streaming source fall back to a scan, never return a wrong offset.
     */
-  private def footerRowCount(vid: String): Long = {
+  private def footerStats(vid: String): (Long, Map[String, String]) = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
     val conf = spark.sessionState.newHadoopConf()
-    filesIn(vid).map { f =>
+    var rows = 0L
+    // per-column running max over all row groups; a column drops to None
+    // (untracked forever) the first time a row group lacks usable stats
+    val maxes = scala.collection.mutable.Map.empty[String, Option[Any]]
+    filesIn(vid).foreach { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }.sum
+      try {
+        rows += r.getRecordCount
+        r.getFooter.getBlocks.forEach { block =>
+          block.getColumns.forEach { c =>
+            if (c.getPath.size() == 1) { // top-level scalars only
+              val name = c.getPath.toDotString
+              val stats = c.getStatistics
+              val usable = stats != null && !stats.isEmpty &&
+                stats.hasNonNullValue
+              val v: Option[Any] =
+                if (!usable) None
+                else (c.getPrimitiveType.getPrimitiveTypeName,
+                    c.getPrimitiveType.getLogicalTypeAnnotation) match {
+                  case (INT64, ts: TimestampLogicalTypeAnnotation) =>
+                    val raw = stats.genericGetMax.asInstanceOf[java.lang.Long].longValue
+                    val micros = ts.getUnit match {
+                      case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+                      case LogicalTypeAnnotation.TimeUnit.MICROS => raw
+                      case LogicalTypeAnnotation.TimeUnit.NANOS  => Math.floorDiv(raw, 1000L)
+                    }
+                    Some(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+                      Math.floorDiv(micros, 1000000L),
+                      Math.floorMod(micros, 1000000L) * 1000L)))
+                  case (INT64, _) =>
+                    Some(stats.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+                  case (INT32, _) =>
+                    Some(stats.genericGetMax.asInstanceOf[java.lang.Integer].intValue)
+                  case (DOUBLE, _) =>
+                    Some(stats.genericGetMax.asInstanceOf[java.lang.Double].doubleValue)
+                  case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+                    val bin = stats.genericGetMax
+                      .asInstanceOf[org.apache.parquet.io.api.Binary]
+                    // short strings only: parquet-mr stats for long
+                    // binaries may be truncated bounds, not actual values
+                    if (bin.length <= 256) Some(bin.toStringUsingUTF8) else None
+                  case _ => None
+                }
+              maxes.get(name) match {
+                case Some(None) => // already disqualified
+                case prev =>
+                  maxes(name) = (prev.flatten, v) match {
+                    case (_, None) => None
+                    case (None, nv) => nv
+                    case (Some(p), Some(n)) =>
+                      Some(if (p.asInstanceOf[Comparable[Any]].compareTo(n) >= 0) p else n)
+                  }
+              }
+            }
+          }
+        }
+      } finally r.close()
+    }
+    val enc = maxes.collect { case (k, Some(v)) =>
+      k -> (v match {
+        case ts: java.sql.Timestamp => ts.toInstant.toString
+        case other => other.toString
+      })
+    }.toMap
+    (rows, enc)
+  }
+
+  private def stampVersionStats(vid: String): Unit = {
+    val (rows, cursorMax) = footerStats(vid)
+    catalog.setVersionStats(name, vid, rows, cursorMax)
   }
 
   private def activeDf: Option[DataFrame] =
@@ -242,7 +321,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
       else (bucketCount, true)
     writeInto(clustered(decorate(conform(batch))),
       catalog.versionDir(name, vid).toString, SaveMode.Append, buckets, attest)
-    catalog.setRowCount(name, vid, footerRowCount(vid))
+    stampVersionStats(vid)
     if (!isNew) catalog.recordEvent(name, "update")
   }
 
@@ -382,7 +461,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
         .join(incoming, keys, "left_anti")
     val merged = incoming.unionByName(kept, allowMissingColumns = true)
     writeInto(clustered(merged), newDir.toString, SaveMode.Append, Some(n))
-    catalog.setRowCount(name, vid, footerRowCount(vid))
+    stampVersionStats(vid)
     catalog.setActive(name, Some(vid), "update")
   }
 
@@ -655,7 +734,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     val (_, vid) = catalog.createVersion(name)
     writeInto(clustered(df), catalog.versionDir(name, vid).toString,
       SaveMode.Overwrite, bucketCount.filter(_ => bucketed))
-    catalog.setRowCount(name, vid, footerRowCount(vid))
+    stampVersionStats(vid)
     catalog.setActive(name, Some(vid), eventKind, trigger)
   }
 }

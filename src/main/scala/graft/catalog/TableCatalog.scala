@@ -17,7 +17,17 @@ case class VersionInfo(id: String, createdAt: Long,
     // rows in the version dir, stamped from parquet footers at commit
     // (reference TableVersion.record_count, node.py:106-109) — what makes
     // Table.recordCount O(1); None for versions written by older manifests
-    rowCount: Option[Long] = None)
+    rowCount: Option[Long] = None,
+    // per-column MAX over the version, harvested from the same parquet
+    // footers (column-chunk statistics) at commit — encoded with the
+    // streaming source's offset encoding (ISO instants for timestamps,
+    // SQL string form otherwise). What makes GraftTableSource.getOffset a
+    // manifest lookup instead of a per-poll full scan of the table: at
+    // 100 TB with a short trigger interval the poll MUST NOT run a Spark
+    // job. Columns whose footer stats are absent or untrustworthy
+    // (truncated binary, INT96) are simply missing — readers fall back to
+    // a scan. None for versions written by older manifests.
+    cursorMax: Option[Map[String, String]] = None)
 
 /** Catalog event log entry (reference node.py:387-397 signal_create/update/
   * reset) — drives downstream node triggering in the graph runner.
@@ -272,11 +282,15 @@ class TableCatalog(val root: Path) {
       eventCounter = m.eventCounter + 1)
   }
 
-  /** Stamp a version's committed row count (Table.recordCount's O(1) path). */
-  def setRowCount(name: String, vid: String, rows: Long): TableManifest =
+  /** Stamp a version's committed row count and per-column footer maxes
+    * (Table.recordCount's O(1) path + GraftTableSource's O(1) poll path).
+    */
+  def setVersionStats(name: String, vid: String, rows: Long,
+      cursorMax: Map[String, String] = Map.empty): TableManifest =
     mutate(name) { m =>
       m.copy(versions = m.versions.map(v =>
-        if (v.id == vid) v.copy(rowCount = Some(rows)) else v))
+        if (v.id == vid) v.copy(rowCount = Some(rows),
+          cursorMax = Some(cursorMax)) else v))
     }
 
   def updateMeta(name: String)(f: TableMeta => TableMeta): TableManifest =

@@ -377,24 +377,89 @@ class StreamingSourcesSpec extends SparkSpec {
   }
 
   test("graft-table source: offset high-water persists across restart (no regression after replace)") {
+    import graft.streaming.CursorOffset
     val root = freshRoot()
     val e = new GraftEngine(spark, root)
     val t = e.table("hw_src", "w")
     t.append(Seq((5L, "a"), (9L, "b")).toDF("id", "v")); t.flush()
     val provider = new graft.streaming.GraftTableSourceProvider
-    val meta = Files.createTempDirectory("hw-meta-").toString
+    // Spark hands createSource a URI-form metadataPath (file:/..., or
+    // hdfs:// on a cluster) — the clamp must land INSIDE that checkpoint
+    // location, resolved through Hadoop's FileSystem; the round-5 bug
+    // resolved it with java.nio.Paths and sprayed literal `file:` dirs
+    // under the driver's CWD
+    val metaDir = Files.createTempDirectory("hw-meta-")
+    val meta = metaDir.toUri.toString.stripSuffix("/") // "file:///tmp/hw-meta-..."
     val params = Map("root" -> root, "table" -> "hw_src", "orderBy" -> "id")
     val ctx = spark.sqlContext
     val s1 = provider.createSource(ctx, meta, None, "graft-table", params)
-    assert(s1.getOffset.map(_.json) == Some("9"))
+    def off(s: org.apache.spark.sql.execution.streaming.Source): Option[String] =
+      s.getOffset.map(o => CursorOffset.parse(o.json).value)
+    assert(off(s1) == Some("9"))
+    assert(Files.exists(metaDir.resolve("graft-high-water")),
+      "high-water must persist inside the URI checkpoint dir")
+    assert(!new java.io.File("file:").exists(),
+      "no literal 'file:' junk dir may appear under the CWD")
     // table rebuilt with LOWER ordering values, then a RESTARTED source
     // (fresh instance, same metadataPath): the clamp must hold from disk,
     // or appends in the (3, 9] gap would be re-emitted after commit
     t.replace(Seq((3L, "c")).toDF("id", "v"))
     val s2 = provider.createSource(ctx, meta, None, "graft-table", params)
-    assert(s2.getOffset.map(_.json) == Some("9"),
+    assert(off(s2) == Some("9"),
       "restart must not regress below the persisted high water")
     t.append(Seq((12L, "d")).toDF("id", "v")); t.flush()
-    assert(s2.getOffset.map(_.json) == Some("12"))
+    assert(off(s2) == Some("12"))
+  }
+
+  test("graft-table source: getOffset answers from the manifest - no Spark job per poll") {
+    val root = freshRoot()
+    val e = new GraftEngine(spark, root)
+    val t = e.table("poll_src", "w")
+    t.append(Seq((1L, "a"), (7L, "b")).toDF("id", "v")); t.flush()
+    val provider = new graft.streaming.GraftTableSourceProvider
+    val meta = Files.createTempDirectory("poll-meta-").toUri.toString.stripSuffix("/")
+    val params = Map("root" -> root, "table" -> "poll_src", "orderBy" -> "id")
+    // explicit schema: source construction itself must not need a scan
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING")
+    val src = provider.createSource(spark.sqlContext, meta, Some(schema),
+      "graft-table", params)
+    // positive control first: the job-group mechanism does see real jobs
+    spark.sparkContext.setJobGroup("poll-control", "control")
+    t.read.count()
+    spark.sparkContext.setJobGroup("poll-probe", "probe")
+    val o = src.getOffset
+    spark.sparkContext.clearJobGroup()
+    assert(o.map(x => graft.streaming.CursorOffset.parse(x.json).value) == Some("7"))
+    Thread.sleep(500) // listener-bus delivery is async
+    val tracker = spark.sparkContext.statusTracker
+    assert(tracker.getJobIdsForGroup("poll-control").nonEmpty)
+    assert(tracker.getJobIdsForGroup("poll-probe").isEmpty,
+      "a poll of a committed version must be a manifest lookup, not a scan")
+  }
+
+  test("graft-table source: replay of a committed batch pins to the offset's version") {
+    import graft.streaming.CursorOffset
+    val root = freshRoot()
+    val e = new GraftEngine(spark, root)
+    val t = e.table("replay_src", "w")
+    t.append(Seq((1L, "orig-1"), (2L, "orig-2")).toDF("id", "v")); t.flush()
+    val provider = new graft.streaming.GraftTableSourceProvider
+    val meta = Files.createTempDirectory("replay-meta-").toUri.toString.stripSuffix("/")
+    val params = Map("root" -> root, "table" -> "replay_src", "orderBy" -> "id")
+    val src = provider.createSource(spark.sqlContext, meta, None, "graft-table", params)
+      .asInstanceOf[graft.streaming.GraftTableSource]
+    val end = src.getOffset.get.asInstanceOf[graft.streaming.CursorOffset]
+    assert(end.vid.isDefined, "offsets must record the observed version")
+    val emitted = src.batchPlan(None, end).select("id", "v")
+      .as[(Long, String)].collect().toSet
+    assert(emitted == Set((1L, "orig-1"), (2L, "orig-2")))
+    // a replace() rewrites the SAME id range with different payloads; a
+    // post-restart replay of the committed batch must return the rows as
+    // originally emitted (the superseded version is immutable + retained)
+    t.replace(Seq((1L, "rewritten-1"), (2L, "rewritten-2")).toDF("id", "v"))
+    val replayed = src.batchPlan(None, CursorOffset.parse(end.json))
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(replayed == Set((1L, "orig-1"), (2L, "orig-2")),
+      "replay must pin to the version recorded in the offset")
   }
 }
