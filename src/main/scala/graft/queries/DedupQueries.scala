@@ -485,6 +485,112 @@ object DedupQueries {
     (longHits +: shortHits.toSeq).reduce(_ union _).distinct()
   }
 
+  /** One tile of embeddings for [[embedNeardupBlocked]]: members sorted by
+    * vec_id, vectors flattened row-major (`dims` carries per-member length
+    * so a corrupt/ragged batch degrades to skipped pairs — the NULL
+    * semantics of `float_dot` on mismatched lengths — instead of garbage
+    * offsets).
+    */
+  private[graft] case class EmbTile(label: Int, blk: Int, ids: Array[Long],
+      nrms: Array[Double], dims: Array[Int], vecs: Array[Float])
+
+  /** Plain-join formulation of within-label cosine pairs — the reference
+    * semantics [[embedNeardupBlocked]] must reproduce bit-for-bit
+    * (Round6OpsSpec pins them equal). Kept for the spec and as the
+    * readable statement of WHAT d12 computes.
+    */
+  private[graft] def embedNeardupJoin(s: SparkSession, v: DataFrame,
+      thr: Double): DataFrame = {
+    graft.functions.FloatDotProduct.register(s)
+    val a = v.select(col("vec_id").as("va"), col("label"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("vb"), col("label"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("label")).filter(col("va") < col("vb"))
+      .withColumn("cosine",
+        cosineWithNorms(dot(col("ea"), col("eb")), col("na"), col("nb")))
+      .filter(col("cosine") > thr)
+      .select("label", "va", "vb", "cosine")
+  }
+
+  /** Within-label all-pairs cosine > thr, computed TILE-wise: vectors pack
+    * into 1024-member tiles per label (row_number order on vec_id), tile
+    * pairs join on label with `blkA ≤ blkB`, and a tight primitive loop
+    * scores each tile pair in one task.
+    *
+    * Why tiles and not LSH bands: at thr=0.4 ≈ 3σ of the random-pair
+    * cosine in 64-d, hyperplane banding cannot prune without false
+    * negatives — bands wide enough for recall at θ=acos(0.4)≈66°
+    * (p_bit≈0.63) need ≤2 bits to keep miss probability ~0, which
+    * partitions a label into ≤4 buckets per band and multiplies candidate
+    * rows ~8× instead of dividing them. The pair set is information-
+    * theoretically irreducible here; what IS reducible is memory traffic:
+    * the plain join materializes both 64-float vectors per PAIR (O(n²·d)
+    * bytes through the shuffle and row iterator), while tiles move each
+    * vector once per tile pair — O(n²·d/1024) — and score pairs at
+    * register speed. Same left-to-right double-fold accumulation as
+    * `float_dot`, so results are bit-identical to the join and to the
+    * DuckDB oracle. Repartitioned on (label, blkA, blkB) so the ~n²/2²⁰
+    * tile pairs spread over all executors, not one task per label.
+    */
+  private[graft] def embedNeardupBlocked(s: SparkSession, v: DataFrame,
+      thr: Double, tile: Int = 1024): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy("label").orderBy("vec_id")
+    val blocks = v
+      .withColumn("blk", ((row_number().over(w) - 1) / tile).cast("int"))
+      .groupBy(col("label").cast("int").as("label"), col("blk"))
+      .agg(sort_array(collect_list(struct(
+        col("vec_id"), col("nrm"), col("embedding")))).as("m"))
+      .select(col("label"), col("blk"),
+        expr("transform(m, x -> x.vec_id)").as("ids"),
+        expr("transform(m, x -> x.nrm)").as("nrms"),
+        expr("transform(m, x -> size(x.embedding))").as("dims"),
+        flatten(expr("transform(m, x -> x.embedding)")).as("vecs"))
+      .as[EmbTile]
+    val pairs = blocks.as("x").joinWith(blocks.as("y"),
+        col("x.label") === col("y.label") && col("x.blk") <= col("y.blk"))
+      .repartition(col("_1.label"), col("_1.blk"), col("_2.blk"))
+    pairs.flatMap { case (ta, tb) =>
+      def offsets(dims: Array[Int]): Array[Int] = {
+        val o = new Array[Int](dims.length)
+        var i = 1
+        while (i < dims.length) { o(i) = o(i - 1) + dims(i - 1); i += 1 }
+        o
+      }
+      val same = ta.blk == tb.blk
+      val offA = offsets(ta.dims)
+      val offB = if (same) offA else offsets(tb.dims)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Double)]
+      var i = 0
+      while (i < ta.ids.length) {
+        val d = ta.dims(i)
+        val oa = offA(i)
+        val na = ta.nrms(i)
+        var j = if (same) i + 1 else 0
+        while (j < tb.ids.length) {
+          if (d == tb.dims(j)) { // mismatched dims ⇒ null dot ⇒ no pair
+            val ob = offB(j)
+            var acc = 0.0
+            var k = 0
+            while (k < d) {
+              acc += ta.vecs(oa + k).toDouble * tb.vecs(ob + k).toDouble
+              k += 1
+            }
+            val cos = acc / (na * tb.nrms(j))
+            // Double.compare: NaN sorts greatest — Spark's and DuckDB's
+            // comparison semantics for a zero-norm vector's NaN cosine
+            if (java.lang.Double.compare(cos, thr) > 0)
+              out += ((ta.label, ta.ids(i), tb.ids(j), cos))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }.toDF("label", "va", "vb", "cosine")
+  }
+
   private def components(s: SparkSession, dir: String): DataFrame =
     Q.memo(s, dir, "components") {
       componentsOf(s, nearDupPairs(s, dir).select(col("da"), col("db")))
@@ -720,22 +826,22 @@ object DedupQueries {
           bit_count(col("simhash").bitwiseXOR(col("simhash0"))).as("hamming_to_doc0"))
         .orderBy("doc_id")
     },
-    // D2d — embedding-cosine near-dup pairs, blocked by label (the blocking
-    // key is what keeps this O(n²/k) instead of O(n²) at scale).
+    // D2d — embedding-cosine near-dup pairs, blocked by label. The 0.4
+    // threshold sits ≈3σ above the random-pair cosine in 64-d (σ=1/√d) —
+    // provably below where hyperplane-LSH banding can prune without
+    // false negatives (bands wide enough for recall at θ≈66° partition
+    // into ≤4 buckets and INFLATE candidates ~8× over label blocking) —
+    // so within a label the pair set is irreducible and the scale lever
+    // is arithmetic shape, not candidate count: blocked tile
+    // multiplication (embedNeardupBlocked) reads each vector once per
+    // 1024-row tile instead of once per pair. Bit-identical to the plain
+    // join (Round6OpsSpec pins both branches).
     "d12_embed_neardup" -> { (s, dir) =>
       graft.functions.FloatDotProduct.register(s)
       val v = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding"))
         .withColumn("nrm", l2norm(col("embedding")))
-      val a = v.select(col("vec_id").as("va"), col("label"),
-        col("embedding").as("ea"), col("nrm").as("na"))
-      val b = v.select(col("vec_id").as("vb"), col("label"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
-      a.join(b, Seq("label")).filter(col("va") < col("vb"))
-        .withColumn("cosine",
-          cosineWithNorms(dot(col("ea"), col("eb")), col("na"), col("nb")))
-        .filter(col("cosine") > 0.4)
-        .select("label", "va", "vb", "cosine")
+      embedNeardupBlocked(s, v, 0.4)
         .orderBy("label", "va", "vb")
     },
     // D1/D2 audit — per-document duplicate-n-gram coverage: the fraction of

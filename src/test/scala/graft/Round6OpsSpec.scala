@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.queries.DedupQueries
+
+/** Round-6 scale-path equivalences: d12's tiled all-pairs scorer must be
+  * bit-identical to the plain label-blocked join it replaces (the d48/d32
+  * pattern from Round5OpsSpec — both branches pinned on the same inputs).
+  */
+class Round6OpsSpec extends SparkSpec {
+
+  private def embeddings(dir: String) = {
+    graft.functions.FloatDotProduct.register(spark)
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", l2norm(col("embedding")))
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("label", "va", "vb").collect()
+      .map(r => (r.getAs[Any]("label"), r.getAs[Long]("va"),
+        r.getAs[Long]("vb"), r.getAs[Double]("cosine")))
+
+  test("d12 tiled scorer == plain join, at the query threshold (sf0.01)") {
+    val v = embeddings("/root/testdata/sf0.01")
+    val j = rows(DedupQueries.embedNeardupJoin(spark, v, 0.4))
+    val b = rows(DedupQueries.embedNeardupBlocked(spark, v, 0.4))
+    assert(j.nonEmpty, "fixture must produce pairs or the pin is vacuous")
+    assert(b.sameElements(j))
+  }
+
+  test("d12 tiled scorer == plain join across tile boundaries (tile=7, thr=0.3)") {
+    // tile far smaller than the per-label population: every label spans
+    // many tiles, so intra-tile (j>i), inter-tile (blkA<blkB) and the
+    // va<vb invariant across the boundary are all exercised; thr=0.3
+    // multiplies the matching pairs ~20x over the query threshold
+    val v = embeddings("/root/testdata/sf0.01")
+    val j = rows(DedupQueries.embedNeardupJoin(spark, v, 0.3))
+    val b = rows(DedupQueries.embedNeardupBlocked(spark, v, 0.3, tile = 7))
+    assert(j.length > 50)
+    assert(b.sameElements(j))
+  }
+}
