@@ -697,8 +697,24 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
           case p: org.apache.spark.sql.catalyst.plans.logical.Sample => p
           case p if p.expressions.exists(e => !e.deterministic) => p
         }.isEmpty
+        // partitioning-STABILITY guard: the counting pass and the write
+        // pass are separate executions, and a plan containing a shuffle
+        // can be AQE-coalesced differently across them (same stats ⇒ same
+        // decision usually, but it is unspecified) — which would assign
+        // ids against the wrong per-partition prefix sums. Only plans
+        // whose partitioning is file-split-deterministic (scans, unions
+        // of materialized frames — the normal append shape) skip the pin.
+        def hasShuffle(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              hasShuffle(a.inputPlan)
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+            case other => other.children.exists(hasShuffle)
+          }
+        val stablePartitioning =
+          deterministic && !hasShuffle(withCreated.queryExecution.executedPlan)
         val base =
-          if (deterministic) withCreated else withCreated.localCheckpoint(true)
+          if (stablePartitioning) withCreated else withCreated.localCheckpoint(true)
         val numParts = base.rdd.getNumPartitions
         val counts = new Array[Long](numParts)
         if (numParts > 0)

@@ -35,8 +35,11 @@ case class DenseRowId(start: Long, offsets: Array[Long])
 
   override def stateful: Boolean = true
 
-  override def initializeInternal(partitionIndex: Int): Unit =
+  override def initializeInternal(partitionIndex: Int): Unit = {
+    if (partitionIndex >= offsets.length) throw DenseRowId.drift(
+      partitionIndex, offsets.length)
     next = start + offsets(partitionIndex) + 1L
+  }
 
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
@@ -51,8 +54,14 @@ case class DenseRowId(start: Long, offsets: Array[Long])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val nextTerm = ctx.addMutableState(CodeGenerator.JAVA_LONG, "denseRowIdNext")
     val offsetsRef = ctx.addReferenceObj("denseRowIdOffsets", offsets, "long[]")
+    // fail LOUDLY if the write pass sees more partitions than the counting
+    // pass reserved for (partitioning drift) — silent modulo/clamp would
+    // mint duplicate "unique, strictly monotonically increasing" ids
     ctx.addPartitionInitializationStatement(
-      s"$nextTerm = ${start}L + $offsetsRef[partitionIndex] + 1L;")
+      s"""if (partitionIndex >= $offsetsRef.length) {
+         |  throw graft.functions.DenseRowId.drift(partitionIndex, $offsetsRef.length);
+         |}
+         |$nextTerm = ${start}L + $offsetsRef[partitionIndex] + 1L;""".stripMargin)
     ev.copy(
       code = code"final long ${ev.value} = $nextTerm; $nextTerm++;",
       isNull = FalseLiteral)
@@ -60,6 +69,14 @@ case class DenseRowId(start: Long, offsets: Array[Long])
 }
 
 object DenseRowId {
+  /** Partitioning-drift error (called from generated code too). */
+  def drift(partitionIndex: Int, reserved: Int): IllegalStateException =
+    new IllegalStateException(
+      s"dense_row_id: partition index $partitionIndex outside the " +
+        s"$reserved partitions the counting pass reserved ids for - the " +
+        "write pass's partitioning drifted; the batch must be pinned " +
+        "(localCheckpoint) before id assignment")
+
   /** Register `dense_row_id(start, offsets_array)` (idempotent). Both
     * arguments must be foldable — the builder folds them at plan time into
     * the expression's driver-computed seed values (they are write-path

@@ -215,13 +215,19 @@ object RelationalQueries4 {
       // (|customer| × 66: depth ≤ 64 halvings of a long key + anchor +
       // margin) instead of a fixed blank check, so it grows with input at
       // any SF yet a runaway recursion still trips ~66n. The level limit
-      // (default 100) stays as the depth guard. Session-scoped, like any
-      // SQLConf the battery sets.
-      val n = t(s, dir, "customer").count()
-      s.conf.set("spark.sql.cteRecursionRowLimit",
+      // (default 100) stays as the depth guard. The raised guard must not
+      // LEAK: the limit is read at execution time, after this builder
+      // returns, so a try/finally restore would undo it before the frame
+      // runs — instead the query binds to a CLONED session (shared
+      // SparkContext + cache manager, isolated SQLConf/temp views), so
+      // later recursive queries on the caller's session keep the stock
+      // runaway guard.
+      val iso = s.newSession()
+      val n = t(iso, dir, "customer").count()
+      iso.conf.set("spark.sql.cteRecursionRowLimit",
         math.max(1000000L, n * 66).toString)
-      t(s, dir, "customer").createOrReplaceTempView("graft_customer_q49")
-      s.sql(
+      t(iso, dir, "customer").createOrReplaceTempView("graft_customer_q49")
+      iso.sql(
         """WITH RECURSIVE chain (start_key, cur, depth) AS (
           |  SELECT c_custkey, c_custkey, 0 FROM graft_customer_q49
           |  UNION ALL
