@@ -207,11 +207,17 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     * upsert?"). Unknown or already-GC'd versions fail loudly rather than
     * returning an empty frame a caller could mistake for "no rows".
     */
-  def readVersion(vid: String): DataFrame = {
+  def readVersion(vid: String,
+      leaseTtlMillis: Long = TableCatalog.DefaultLeaseTtlMillis): DataFrame = {
     require(connected, s"table $name: not connected")
     require(manifest.versions.exists(_.id == vid),
       s"table $name: unknown version '$vid' (known: " +
         s"${manifest.versions.map(_.id).mkString(", ")})")
+    // superseded versions are gc candidates the moment retention lapses;
+    // a TTL'd read lease keeps the sweep off this one while the returned
+    // LAZY frame is still being consumed (crash-safe: expires on its own)
+    if (!manifest.activeVersion.contains(vid))
+      catalog.acquireReadLease(name, vid, leaseTtlMillis)
     val dir = catalog.versionDir(name, vid)
     require(java.nio.file.Files.isDirectory(dir),
       s"table $name: version '$vid' has been garbage-collected")

@@ -307,20 +307,74 @@ class TableCatalog(val root: Path) {
     m.meta.highWaterMark - n
   }
 
+  /** A read lease on one version: its presence (unexpired) makes [[gc]]
+    * skip that version, so a lazy time-travel scan cannot have its files
+    * swept mid-job by a concurrent writer's retention pass. Crash-safe by
+    * construction: a reader that dies without releasing just leaves a
+    * file that expires on its own and is swept by the next gc.
+    */
+  case class ReadLease(vid: String, path: Path) {
+    def release(): Unit = Files.deleteIfExists(path)
+  }
+
+  private def leaseDir(name: String): Path = tableDir(name).resolve("leases")
+
+  /** Take a TTL'd read lease on a version (multi-reader: each call mints
+    * its own lease file; gc honors the union). Long jobs should size
+    * `ttlMillis` above their expected runtime or re-acquire.
+    */
+  def acquireReadLease(name: String, vid: String,
+      ttlMillis: Long = TableCatalog.DefaultLeaseTtlMillis): ReadLease = {
+    Files.createDirectories(leaseDir(name))
+    val p = leaseDir(name).resolve(
+      s"$vid.${java.util.UUID.randomUUID().toString.take(8)}.lease")
+    Files.write(p, (System.currentTimeMillis() + ttlMillis).toString
+      .getBytes(StandardCharsets.UTF_8))
+    ReadLease(vid, p)
+  }
+
+  /** Version ids currently protected by an unexpired lease; expired lease
+    * files are swept as a side effect (called under the table lock).
+    */
+  private def leasedVids(name: String): Set[String] = {
+    val dir = leaseDir(name)
+    if (!Files.isDirectory(dir)) Set.empty
+    else {
+      val now = System.currentTimeMillis()
+      val files = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        files.iterator().asScala.filter(_.getFileName.toString.endsWith(".lease"))
+          .flatMap { p =>
+            val vid = p.getFileName.toString.takeWhile(_ != '.')
+            val expiry = try {
+              new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+            } catch { case _: Exception => Long.MaxValue } // unreadable = held
+            if (expiry >= now) Some(vid)
+            else { Files.deleteIfExists(p); None }
+          }.toSet
+      } finally files.close()
+    }
+  }
+
   /** Retention sweep: delete non-active version dirs whose retention age
     * exceeds `keepMillis` (reference node.py:403-404 "garbage collected
     * according to the table's retention policy"). Age counts from
     * `supersededAt` when the version was once active; a version that was
     * never activated (e.g. an abandoned createNewVersion write) ages from
     * `createdAt` — writers that may outlive the retention window should
-    * activate promptly or use a longer retention.
+    * activate promptly or use a longer retention. Versions under an
+    * unexpired [[ReadLease]] are skipped (their manifest entry stays, so
+    * a later sweep retries once the lease lapses) — the multi-writer
+    * answer to "a sweep can race an in-flight lazy read".
     */
   def gc(name: String, keepMillis: Long): Int = {
     var removed = 0
     mutate(name) { m =>
       val cutoff = System.currentTimeMillis() - keepMillis
+      val leased = leasedVids(name)
       val (dead, live) = m.versions.partition(v =>
-        !m.activeVersion.contains(v.id) &&
+        !m.activeVersion.contains(v.id) && !leased.contains(v.id) &&
           v.supersededAt.getOrElse(v.createdAt) <= cutoff)
       dead.foreach { v =>
         val dir = versionDir(name, v.id)
@@ -341,6 +395,12 @@ object TableCatalog {
     * all-time total, so trimming never affects downstream triggering.
     */
   val MaxEvents = 1000
+
+  /** Default read-lease TTL (30 min): long enough for an interactive
+    * time-travel scan, short enough that a crashed reader's garbage
+    * version is reclaimed the same hour. Batch jobs pass their own TTL.
+    */
+  val DefaultLeaseTtlMillis: Long = 30L * 60 * 1000
 
   /** JVM-wide gates per lock-file path: `FileChannel.lock` is
     * process-scoped (a second lock attempt from the SAME process throws

@@ -353,6 +353,29 @@ class TableSpec extends SparkSpec {
     assert(t.recordCount == Some(0L))
   }
 
+  test("read lease shields a time-travel scan from a concurrent retention sweep") {
+    val e = engine()
+    val t = e.table("lease1", "w")
+    t.append(Seq((1L, "a")).toDF("id", "v")); t.flush()
+    val v1 = t.getActiveVersion.get
+    t.replace(Seq((2L, "b")).toDF("id", "v")) // supersedes v1
+    val frame = t.readVersion(v1) // acquires a TTL'd lease
+    // a concurrent writer's zero-retention sweep must SKIP the leased
+    // version: the returned frame is lazy, its files are still needed
+    assert(e.catalog.gc("lease1", 0L) == 0)
+    assert(frame.select("id").as[Long].collect().toSeq == Seq(1L))
+    // v1 stays in the manifest so a later sweep retries it
+    assert(t.manifest.versions.exists(_.id == v1))
+    // force-expire every lease: the next sweep reclaims the version
+    val leases = e.catalog.tableDir("lease1").resolve("leases")
+    java.nio.file.Files.list(leases).forEach { p =>
+      java.nio.file.Files.write(p, "0".getBytes("UTF-8"))
+    }
+    assert(e.catalog.gc("lease1", 0L) == 1)
+    assert(!t.manifest.versions.exists(_.id == v1))
+    intercept[IllegalArgumentException] { t.readVersion(v1) }
+  }
+
   test("init(schema = name) resolves through the engine schema registry (node.py:271-283)") {
     import org.apache.spark.sql.types._
     val e = engine()
