@@ -369,21 +369,24 @@ object DedupQueries {
     * pointer-jumping trick — chains collapse in O(log diameter) rounds
     * instead of O(diameter). Labels only decrease, so the aggregate label
     * sum is a monotone convergence witness — one cheap action per round
-    * instead of a change-detection join. localCheckpoint per round
-    * truncates lineage (the plan would otherwise double every iteration);
-    * superseded checkpoint blocks are freed by the ContextCleaner once the
-    * old DataFrame reference drops. At this path's edge counts the labels
-    * and edges are both genuinely large: the equi-joins shuffle-partition
-    * by key and AQE picks build sides — nothing is forced broadcast.
+    * instead of a change-detection join. Per-round checkpoints truncate
+    * lineage (the plan would otherwise double every iteration) — RELIABLE
+    * checkpoints (checkpoint-dir writes) when a checkpoint dir is
+    * available, because this is the >4M-edge path where an hours-long run
+    * losing an executor must not lose the corpus-sized iteration state a
+    * localCheckpoint pins in executor storage. At this path's edge counts
+    * the labels and edges are both genuinely large: the equi-joins
+    * shuffle-partition by key and AQE picks build sides — nothing is
+    * forced broadcast.
     */
   private[graft] def distributedComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
-    val edges = pairs
-      .union(pairs.select(col("db").as("da"), col("da").as("db")))
-      .localCheckpoint(true)
+    val pin = ccCheckpointer(s)
+    val edges = pin(pairs
+      .union(pairs.select(col("db").as("da"), col("da").as("db"))))
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0) // 0 when empty
-    var labels = edges.select(col("da").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint(true)
+    var labels = pin(edges.select(col("da").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")))
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
@@ -393,15 +396,32 @@ object DedupQueries {
       val viaLabel = labels.as("x")
         .join(labels.as("y"), col("x.label") === col("y.doc_id"))
         .select(col("x.doc_id"), col("y.label").as("label"))
-      val next = viaEdge.union(viaLabel).union(labels)
-        .groupBy("doc_id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+      val next = pin(viaEdge.union(viaLabel).union(labels)
+        .groupBy("doc_id").agg(min("label").as("label")))
       val s2 = labelSum(next)
       converged = s2 == prevSum
       prevSum = s2
       labels = next
     }
     labels
+  }
+
+  /** Lineage-truncation strategy for the CC loop: reliable `checkpoint`
+    * against the context's checkpoint dir (survives executor loss; on
+    * local mode a temp dir is minted when none is set), degrading to
+    * `localCheckpoint` ONLY on a real cluster whose operator set no
+    * checkpoint dir — a driver-local temp path would not be readable by
+    * executors there. Old checkpoint files are reclaimed by
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` or JVM exit; the
+    * loop keeps O(log diameter) rounds' worth at most.
+    */
+  private[graft] def ccCheckpointer(s: SparkSession): DataFrame => DataFrame = {
+    val sc = s.sparkContext
+    if (sc.getCheckpointDir.isEmpty && sc.isLocal)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
+    if (sc.getCheckpointDir.isDefined) df => df.checkpoint(eager = true)
+    else df => df.localCheckpoint(true)
   }
 
   /** Memoized component labels over the near-dup pair graph — one CC run

@@ -41,5 +41,14 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(dist.sameElements(drv))
     // chain nodes all label 1; clique+bridge all label 42
     assert(dist.toMap.apply(41L) == 1L && dist.toMap.apply(105L) == 42L)
+    // the loop's lineage pins must be RELIABLE checkpoints (survive
+    // executor loss), not localCheckpoint blocks: local mode mints a
+    // checkpoint dir on demand and rdd-* state lands in it on disk
+    val ckptDir = spark.sparkContext.getCheckpointDir
+    assert(ckptDir.isDefined, "CC loop must establish a checkpoint dir")
+    val rddDirs = new java.io.File(new java.net.URI(ckptDir.get).getPath)
+      .listFiles()
+    assert(rddDirs != null && rddDirs.nonEmpty,
+      "reliable checkpoint state must exist under the checkpoint dir")
   }
 }
