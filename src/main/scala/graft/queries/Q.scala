@@ -49,7 +49,58 @@ object Q {
 
   /** Drop a stopped session's cached handles (frees the session pin). */
   def clear(spark: SparkSession): Unit =
-    planCache.synchronized { planCache.remove(spark) }
+    planCache.synchronized { planCache.remove(spark); touchCache.remove(spark) }
+
+  // LRU clocks for memoized entries (per session, same lifecycle as
+  // planCache): memo() stamps every access, eviction walks oldest-first.
+  private val touchClock = new java.util.concurrent.atomic.AtomicLong()
+  private type TouchMap =
+    scala.collection.concurrent.TrieMap[(String, String), Long]
+  private val touchCache =
+    new java.util.IdentityHashMap[SparkSession, TouchMap]()
+
+  private def touchesFor(spark: SparkSession): TouchMap =
+    planCache.synchronized {
+      Option(touchCache.get(spark)).getOrElse {
+        val m = new TouchMap
+        touchCache.put(spark, m)
+        m
+      }
+    }
+
+  /** Storage-pool occupancy above which memo() sheds least-recently-used
+    * persisted intermediates BEFORE building a new one. A full battery at
+    * big SF otherwise accumulates every shared frame (shingles, grams,
+    * tf, components …) until late queries run 10-30× over their solo time
+    * from cache-eviction churn and GC pressure (BENCH_SF1 round 5). 0.65
+    * leaves execution memory headroom while keeping hot shares resident.
+    */
+  private val StoragePressureFraction = 0.65
+
+  private def storagePressure(spark: SparkSession): Boolean = {
+    val st = spark.sparkContext.getExecutorMemoryStatus.values
+    val maxMem = st.map(_._1).sum
+    maxMem > 0 &&
+      (maxMem - st.map(_._2).sum).toDouble / maxMem > StoragePressureFraction
+  }
+
+  /** Evict least-recently-used memoized intermediates while the storage
+    * pool stays over [[StoragePressureFraction]]. Blocking unpersist so
+    * the pressure check observes each eviction; an evicted entry is only
+    * a handle — a later consumer transparently rebuilds (and re-persists)
+    * it. Table handles (non-`#` keys) are plan-only, never evicted.
+    */
+  private def pruneLru(spark: SparkSession, m: PlanMap): Unit = {
+    val touches = touchesFor(spark)
+    var candidates = m.keySet.filter(_._2.startsWith("#")).toSeq
+      .sortBy(k => touches.getOrElse(k, 0L))
+    while (candidates.nonEmpty && storagePressure(spark)) {
+      val k = candidates.head
+      candidates = candidates.tail
+      m.remove(k).foreach(_.unpersist(blocking = true))
+      touches.remove(k)
+    }
+  }
 
   /** Memoize get-or-build WITHOUT computeIfAbsent: builders nest (e.g.
     * nearDupPairs builds docShingles builds t on the same map), and
@@ -84,8 +135,16 @@ object Q {
     * happen at the handle level.
     */
   private[queries] def memo(spark: SparkSession, dir: String, key: String)(
-      mk: => DataFrame): DataFrame =
-    getOrBuild(plansFor(spark), (dir, s"#$key"))(mk)
+      mk: => DataFrame): DataFrame = {
+    val m = plansFor(spark)
+    val k = (dir, s"#$key")
+    touchesFor(spark).put(k, touchClock.incrementAndGet())
+    m.get(k).getOrElse {
+      // shed cold persisted intermediates before admitting a new one
+      pruneLru(spark, m)
+      getOrBuild(m, k)(mk)
+    }
+  }
 
   /** Id-range DECILE bucket: floor(id·10 / (max+1)) against a broadcast
     * 1-row max — map-side integer math, no global row_number, so the

@@ -94,6 +94,70 @@ object VectorQueries {
         col("best.cosine").as("cosine"))
   }
 
+  /** Exact-NN pair budget for d32: up to ~1G (eval × train) scored pairs
+    * the exact fragment-replicate path stays; beyond it the IVF-indexed
+    * path takes over. The budget is a PAIR count (the actual cost unit),
+    * not a row count, so the switch tracks both sides' growth.
+    */
+  private[graft] val ExactPairBudget = 1L << 30
+
+  /** Nearest training vector per eval vector through the d06-style IVF
+    * index — the APPROXIMATE escape hatch for eval sets that outgrow
+    * [[ExactPairBudget]] (workload-quadratic exact NN). Deterministic
+    * centroids (every `mod`-th train id, modulus ~√n like d06), train
+    * rows assigned to their nearest cell once (O(n·√n) map-side argmax),
+    * each eval probes its `nprobe` nearest cells — O(eval · n/cells ·
+    * nprobe) scored pairs instead of O(eval · n).
+    *
+    * `nprobe >= cell count` degenerates to an EXACT search (every cell
+    * probed ⇒ every train row scored ⇒ same max(struct) argmax and
+    * tie-break as [[nearestTrainBroadcast]]) — which is what the
+    * branch-equality spec pins; recall at the default `nprobe` is the
+    * audit column's job (d32).
+    */
+  private[graft] def nearestTrainIvf(tr: DataFrame, ev: DataFrame,
+      nprobe: Int = 3): DataFrame = {
+    val nTrain = tr.count()
+    val mod = 200L * math.max(1L,
+      math.ceil(math.sqrt(nTrain / 2000.0)).toLong)
+    val cent0 = tr.filter(pmod(col("train_id"), lit(mod)) === 0)
+      .select(col("train_id").as("c_id"), col("te").as("ce"),
+        col("tn").as("cn"))
+    // tiny corpora may have no train id on the modulus lattice (the ids
+    // divisible by mod can all sit in the eval label) — one centroid is
+    // always enough for correctness, it just degenerates to a full scan
+    val cent =
+      if (cent0.isEmpty)
+        tr.orderBy("train_id").limit(1)
+          .select(col("train_id").as("c_id"), col("te").as("ce"),
+            col("tn").as("cn"))
+      else cent0
+    val assigned = tr.crossJoin(broadcast(cent))
+      .withColumn("c_cos",
+        cosineWithNorms(dot(col("te"), col("ce")), col("tn"), col("cn")))
+      .groupBy("train_id")
+      .agg(max(struct(col("c_cos"), (-col("c_id")).as("nc"))).as("best"),
+        first("te").as("te"), first("tn").as("tn"))
+      .select(col("train_id"), col("te"), col("tn"),
+        (-col("best.nc")).as("cell"))
+    val wProbe = Window.partitionBy("eval_id")
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val probes = ev.crossJoin(broadcast(cent))
+      .withColumn("c_cos",
+        cosineWithNorms(dot(col("qe"), col("ce")), col("qn"), col("cn")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("eval_id"), col("qe"), col("qn"), col("c_id").as("cell"))
+    assigned.join(probes, "cell")
+      .withColumn("cosine",
+        cosineWithNorms(dot(col("te"), col("qe")), col("tn"), col("qn")))
+      .groupBy("eval_id")
+      .agg(max(struct(col("cosine"), (-col("train_id")).as("neg_id")))
+        .as("best"))
+      .select(col("eval_id"), (-col("best.neg_id")).as("train_id"),
+        col("best.cosine").as("cosine"))
+  }
+
   /** Query set: the first 10 vectors. */
   private def queriesSet(v: DataFrame): DataFrame =
     v.filter(col("vec_id") < 10)
@@ -300,14 +364,47 @@ object VectorQueries {
       // tiny agg over the eval side
       val est = ev.agg(count(lit(1)).as("n"),
         coalesce(max(size(col("qe"))), lit(0)).as("dims")).head()
-      val estBytes = est.getLong(0) * (est.getInt(1).toLong * 4 + 256)
-      val pick =
-        if (estBytes <= s.sessionState.conf.autoBroadcastJoinThreshold)
-          nearestTrainBroadcast(tr, ev)
-        else nearestTrainReplicated(tr, ev)
-      pick
-        .withColumn("is_semantic_dup", col("cosine") >= 0.6)
-        .orderBy("eval_id")
+      val evalN = est.getLong(0)
+      val estBytes = evalN * (est.getInt(1).toLong * 4 + 256)
+      val trainN = tr.count()
+      // three-way measured switch: broadcast → fragment-replicate (both
+      // EXACT) → IVF index once the exact pair count blows the budget
+      // (the workload-quadratic regime: eval grows with the corpus).
+      // Exactness at oracle SFs is structural — their pair counts sit
+      // far below ExactPairBudget.
+      if (evalN * trainN <= ExactPairBudget) {
+        val pick =
+          if (estBytes <= s.sessionState.conf.autoBroadcastJoinThreshold)
+            nearestTrainBroadcast(tr, ev)
+          else nearestTrainReplicated(tr, ev)
+        pick
+          .withColumn("is_semantic_dup", col("cosine") >= 0.6)
+          // audit columns exist in every branch (stable schema); there is
+          // nothing to audit on an exact path
+          .withColumn("recall_audited", lit(false))
+          .withColumn("audit_ok", lit(null).cast("boolean"))
+          .orderBy("eval_id")
+      } else {
+        // d43-style recall audit riding along: a deterministic ~1/128
+        // eval sample is re-answered EXACTLY (tiny fragment-replicate)
+        // and compared — audit_ok=false rows quantify recall loss in the
+        // output itself instead of leaving the approximation silent
+        val ann = nearestTrainIvf(tr, ev)
+        val sampleEv = ev.filter(pmod(col("eval_id"), lit(128L)) === 0)
+        val exact = nearestTrainReplicated(tr, sampleEv)
+          .select(col("eval_id"), col("train_id").as("x_id"),
+            col("cosine").as("x_cos"))
+        ann.join(exact, Seq("eval_id"), "left")
+          .withColumn("recall_audited", col("x_cos").isNotNull)
+          .withColumn("audit_ok", when(col("x_cos").isNotNull,
+            col("train_id") === col("x_id") ||
+              col("cosine") >= col("x_cos") - lit(1e-12)))
+          .drop("x_id", "x_cos")
+          .withColumn("is_semantic_dup", col("cosine") >= 0.6)
+          .select("eval_id", "train_id", "cosine", "is_semantic_dup",
+            "recall_audited", "audit_ok")
+          .orderBy("eval_id")
+      }
     },
     // D3f — QUANTIZED ANN (int8 symmetric) + recall audit: per-vector scale
     // 127/max|component|, components rounded half-up to int8 range, top-3
@@ -683,7 +780,8 @@ object VectorQueries {
          |           ORDER BY ${oDot("tr.te", "ev.qe")} / (tr.tn * ev.qn) DESC,
          |                    train_id) AS rn
          |  FROM tr CROSS JOIN ev)
-         |SELECT eval_id, train_id, cosine, cosine >= 0.6 AS is_semantic_dup
+         |SELECT eval_id, train_id, cosine, cosine >= 0.6 AS is_semantic_dup,
+         |       FALSE AS recall_audited, CAST(NULL AS BOOLEAN) AS audit_ok
          |FROM scored WHERE rn = 1 ORDER BY eval_id""".stripMargin,
     "d43_quantized_knn" ->
       s"""WITH v AS (

@@ -31,6 +31,25 @@ class Round6OpsSpec extends SparkSpec {
     assert(b.sameElements(j))
   }
 
+  test("d32 ANN escape hatch: exhaustive-probe IVF == broadcast exact (fixture)") {
+    import graft.queries.VectorQueries
+    val (tr, ev) = VectorQueries.d32Inputs(spark, "/root/testdata/sf0.01")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("eval_id").collect()
+        .map(r => (r.getAs[Any]("eval_id"), r.getAs[Any]("train_id"),
+          r.getAs[Double]("cosine")))
+    val b = rows(VectorQueries.nearestTrainBroadcast(tr, ev))
+    // probing every cell makes the IVF path score every train row — the
+    // argmax and tie-break must then be IDENTICAL to the exact search
+    val a = rows(VectorQueries.nearestTrainIvf(tr, ev, nprobe = Int.MaxValue))
+    assert(b.nonEmpty)
+    assert(a.sameElements(b))
+    // default nprobe keeps the output shape (one best row per eval) even
+    // when approximate; every eval id must still be answered
+    val ann = VectorQueries.nearestTrainIvf(tr, ev)
+    assert(ann.select("eval_id").distinct().count() == b.length)
+  }
+
   test("d12 tiled scorer == plain join across tile boundaries (tile=7, thr=0.3)") {
     // tile far smaller than the per-label population: every label spans
     // many tiles, so intra-tile (j>i), inter-tile (blkA<blkB) and the
