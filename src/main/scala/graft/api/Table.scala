@@ -135,6 +135,11 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
               val stats = c.getStatistics
               val usable = stats != null && !stats.isEmpty &&
                 stats.hasNonNullValue
+              // ONLY (physical, logical) pairs whose stamped string the
+              // streaming source's decode() reproduces are stamped: a
+              // DATE's raw INT32 (days) or a DECIMAL's unscaled INT
+              // would decode to a wrong offset — those logical types
+              // stay unstamped and the poll falls back to a scan.
               val v: Option[Any] =
                 if (!usable) None
                 else (c.getPrimitiveType.getPrimitiveTypeName,
@@ -149,11 +154,17 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
                     Some(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
                       Math.floorDiv(micros, 1000000L),
                       Math.floorMod(micros, 1000000L) * 1000L)))
-                  case (INT64, _) =>
+                  case (INT64, null) =>
                     Some(stats.genericGetMax.asInstanceOf[java.lang.Long].longValue)
-                  case (INT32, _) =>
+                  case (INT64, i: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+                      if i.getBitWidth == 64 && i.isSigned =>
+                    Some(stats.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+                  case (INT32, null) =>
                     Some(stats.genericGetMax.asInstanceOf[java.lang.Integer].intValue)
-                  case (DOUBLE, _) =>
+                  case (INT32, i: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+                      if i.getBitWidth == 32 && i.isSigned =>
+                    Some(stats.genericGetMax.asInstanceOf[java.lang.Integer].intValue)
+                  case (DOUBLE, null) =>
                     Some(stats.genericGetMax.asInstanceOf[java.lang.Double].doubleValue)
                   case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
                     val bin = stats.genericGetMax
@@ -213,11 +224,14 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     require(manifest.versions.exists(_.id == vid),
       s"table $name: unknown version '$vid' (known: " +
         s"${manifest.versions.map(_.id).mkString(", ")})")
-    // superseded versions are gc candidates the moment retention lapses;
-    // a TTL'd read lease keeps the sweep off this one while the returned
-    // LAZY frame is still being consumed (crash-safe: expires on its own)
-    if (!manifest.activeVersion.contains(vid))
-      catalog.acquireReadLease(name, vid, leaseTtlMillis)
+    // a TTL'd read lease keeps retention sweeps off this version while
+    // the returned LAZY frame is still being consumed (crash-safe:
+    // expires on its own). Unconditional — even the currently-active
+    // version can be superseded by a concurrent replace() and swept
+    // before the frame is collected; the active-at-read-time check would
+    // be a stale snapshot. The existence check runs AFTER the lease so a
+    // sweep that won the race fails loudly here instead of mid-collect.
+    catalog.acquireReadLease(name, vid, leaseTtlMillis)
     val dir = catalog.versionDir(name, vid)
     require(java.nio.file.Files.isDirectory(dir),
       s"table $name: version '$vid' has been garbage-collected")

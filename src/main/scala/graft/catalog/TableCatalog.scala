@@ -322,16 +322,24 @@ class TableCatalog(val root: Path) {
   /** Take a TTL'd read lease on a version (multi-reader: each call mints
     * its own lease file; gc honors the union). Long jobs should size
     * `ttlMillis` above their expected runtime or re-acquire.
+    *
+    * Acquired UNDER the table lock: gc lists the lease dir inside its own
+    * locked sweep, so serializing acquisition on the same lock closes the
+    * TOCTOU where a sweep that already listed leases deletes a version a
+    * reader leased a microsecond later. After this returns, either the
+    * sweep saw the lease (version kept) or the sweep finished first (and
+    * the caller's existence check fails loudly).
     */
   def acquireReadLease(name: String, vid: String,
-      ttlMillis: Long = TableCatalog.DefaultLeaseTtlMillis): ReadLease = {
-    Files.createDirectories(leaseDir(name))
-    val p = leaseDir(name).resolve(
-      s"$vid.${java.util.UUID.randomUUID().toString.take(8)}.lease")
-    Files.write(p, (System.currentTimeMillis() + ttlMillis).toString
-      .getBytes(StandardCharsets.UTF_8))
-    ReadLease(vid, p)
-  }
+      ttlMillis: Long = TableCatalog.DefaultLeaseTtlMillis): ReadLease =
+    withTableLock(name) {
+      Files.createDirectories(leaseDir(name))
+      val p = leaseDir(name).resolve(
+        s"$vid.${java.util.UUID.randomUUID().toString.take(8)}.lease")
+      Files.write(p, (System.currentTimeMillis() + ttlMillis).toString
+        .getBytes(StandardCharsets.UTF_8))
+      ReadLease(vid, p)
+    }
 
   /** Version ids currently protected by an unexpired lease; expired lease
     * files are swept as a side effect (called under the table lock).

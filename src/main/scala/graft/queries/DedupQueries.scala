@@ -411,9 +411,13 @@ object DedupQueries {
     * local mode a temp dir is minted when none is set), degrading to
     * `localCheckpoint` ONLY on a real cluster whose operator set no
     * checkpoint dir — a driver-local temp path would not be readable by
-    * executors there. Old checkpoint files are reclaimed by
-    * `spark.cleaner.referenceTracking.cleanCheckpoints` or JVM exit; the
-    * loop keeps O(log diameter) rounds' worth at most.
+    * executors there. Superseded rounds' checkpoint files are reclaimed
+    * by the ContextCleaner once their DataFrame references drop —
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` is set by
+    * this library's session builders (Bench/Verify/SparkSpec) and MUST be
+    * set by production sessions too, or old rounds accumulate until JVM
+    * exit (the conf is read at context construction, it cannot be
+    * enabled after the fact).
     */
   private[graft] def ccCheckpointer(s: SparkSession): DataFrame => DataFrame = {
     val sc = s.sparkContext

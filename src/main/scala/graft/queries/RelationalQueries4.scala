@@ -11,6 +11,23 @@ import org.apache.spark.sql.functions._
 object RelationalQueries4 {
   import Q._
 
+  /** One conf-isolated session CLONE per parent session, reused across
+    * q49 invocations: minting a fresh clone per call would register each
+    * one (via Q's plan caches) as a permanently pinned strong key — an
+    * unbounded leak for a long-lived service re-running the battery.
+    */
+  private val isoSessions =
+    new java.util.IdentityHashMap[SparkSession, SparkSession]()
+
+  private def isolatedSession(s: SparkSession): SparkSession =
+    isoSessions.synchronized {
+      Option(isoSessions.get(s)).getOrElse {
+        val iso = s.newSession()
+        isoSessions.put(s, iso)
+        iso
+      }
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C6/C7/C14 — TPC-H Q5 shape: local-supplier revenue by nation for one
     // region-year. Six tables; the c_nationkey = s_nationkey term makes the
@@ -222,7 +239,7 @@ object RelationalQueries4 {
       // SparkContext + cache manager, isolated SQLConf/temp views), so
       // later recursive queries on the caller's session keep the stock
       // runaway guard.
-      val iso = s.newSession()
+      val iso = isolatedSession(s)
       val n = t(iso, dir, "customer").count()
       iso.conf.set("spark.sql.cteRecursionRowLimit",
         math.max(1000000L, n * 66).toString)

@@ -116,8 +116,10 @@ object VectorQueries {
     * audit column's job (d32).
     */
   private[graft] def nearestTrainIvf(tr: DataFrame, ev: DataFrame,
-      nprobe: Int = 3): DataFrame = {
-    val nTrain = tr.count()
+      nprobe: Int = 3, knownTrainN: Option[Long] = None): DataFrame = {
+    // the d32 caller just counted the train side for its budget switch —
+    // don't pay a second corpus scan for the same number
+    val nTrain = knownTrainN.getOrElse(tr.count())
     val mod = 200L * math.max(1L,
       math.ceil(math.sqrt(nTrain / 2000.0)).toLong)
     val cent0 = tr.filter(pmod(col("train_id"), lit(mod)) === 0)
@@ -140,9 +142,17 @@ object VectorQueries {
         first("te").as("te"), first("tn").as("tn"))
       .select(col("train_id"), col("te"), col("tn"),
         (-col("best.nc")).as("cell"))
+    // rank probes over NON-EMPTY cells only: a centroid can end up with
+    // zero members (its own vector assigned to a duplicate centroid with
+    // a smaller id), and an eval whose nprobe nearest cells were all
+    // empty would silently vanish from the inner cell join — every eval
+    // must keep its one output row
+    val liveCent = cent.join(
+      assigned.select(col("cell").as("c_id")).distinct(),
+      Seq("c_id"), "left_semi")
     val wProbe = Window.partitionBy("eval_id")
       .orderBy(col("c_cos").desc, col("c_id"))
-    val probes = ev.crossJoin(broadcast(cent))
+    val probes = ev.crossJoin(broadcast(liveCent))
       .withColumn("c_cos",
         cosineWithNorms(dot(col("qe"), col("ce")), col("qn"), col("cn")))
       .withColumn("pr", row_number().over(wProbe))
@@ -371,8 +381,13 @@ object VectorQueries {
       // EXACT) → IVF index once the exact pair count blows the budget
       // (the workload-quadratic regime: eval grows with the corpus).
       // Exactness at oracle SFs is structural — their pair counts sit
-      // far below ExactPairBudget.
-      if (evalN * trainN <= ExactPairBudget) {
+      // far below ExactPairBudget. Division, not multiplication: evalN ×
+      // trainN overflows Long exactly at the scales the escape hatch
+      // exists for, and a wrapped-negative product would route the
+      // quadratic path.
+      val withinBudget =
+        trainN == 0 || evalN <= ExactPairBudget / math.max(trainN, 1L)
+      if (withinBudget) {
         val pick =
           if (estBytes <= s.sessionState.conf.autoBroadcastJoinThreshold)
             nearestTrainBroadcast(tr, ev)
@@ -389,7 +404,7 @@ object VectorQueries {
         // eval sample is re-answered EXACTLY (tiny fragment-replicate)
         // and compared — audit_ok=false rows quantify recall loss in the
         // output itself instead of leaving the approximation silent
-        val ann = nearestTrainIvf(tr, ev)
+        val ann = nearestTrainIvf(tr, ev, knownTrainN = Some(trainN))
         val sampleEv = ev.filter(pmod(col("eval_id"), lit(128L)) === 0)
         val exact = nearestTrainReplicated(tr, sampleEv)
           .select(col("eval_id"), col("train_id").as("x_id"),

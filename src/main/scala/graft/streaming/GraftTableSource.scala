@@ -273,8 +273,12 @@ class GraftTableSource(sqlContext: SQLContext, cat: TableCatalog,
       case Cursor(v) => Some(v)
       case NoData => None
       case NeedScan =>
+        // scan the SAME version the poll observed — a second refresh here
+        // could see a newer commit and pair its max with the old vid,
+        // pinning the batch to a version that lacks the offset's rows.
         // max() of an empty frame is null — one job, no separate isEmpty
-        activeDf.flatMap(df => Option(df.agg(max(cursorCol)).head.get(0)))
+        vid.flatMap(versionDf)
+          .flatMap(df => Option(df.agg(max(cursorCol)).head.get(0)))
     }
     observed.map(v => CursorOffset(encode(clamp(v)), vid))
       .orElse(highWater.map(v => CursorOffset(encode(v), vid)))
@@ -290,10 +294,16 @@ class GraftTableSource(sqlContext: SQLContext, cat: TableCatalog,
     // while it still exists (superseded versions are immutable and held
     // by retention), so a replace()/compaction between original emit and
     // post-restart replay cannot change the replayed rows; fall back to
-    // the active version when the pin is absent (legacy offset) or gc'd
+    // the active version when the pin is absent (legacy offset) or gc'd.
+    // A read lease (taken BEFORE the scan plan is built) keeps a
+    // concurrent retention sweep off the pinned version while the lazy
+    // batch executes — same protection Table.readVersion takes.
     val pinned = endOff.vid
       .filter(vid => cat.refresh(table).exists(_.versions.exists(_.id == vid)))
-      .flatMap(versionDf)
+      .flatMap { vid =>
+        cat.acquireReadLease(table, vid)
+        versionDf(vid)
+      }
     val base = pinned.orElse(activeDf).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     val upTo = base.filter(cursorCol <= typed(endOff.value))

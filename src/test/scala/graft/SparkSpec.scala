@@ -22,6 +22,7 @@ object SparkSpec {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     .config("spark.sql.session.timeZone", "UTC")
     // library functions arrive via the extensions hook, the same way a
     // cluster deployment gets them (spark.sql.extensions=graft.GraftExtensions)
