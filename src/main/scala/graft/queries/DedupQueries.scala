@@ -28,6 +28,15 @@ object DedupQueries {
     */
   val ProbeCrossoverNeedles = 10000L
 
+  /** Past the probe crossover, the Aho–Corasick single-pass scan
+    * ([[substringHitsScan]]) serves any needle set whose total chars fit
+    * [[graft.functions.AhoCorasick.MaxPatternChars]]; only sets too big to
+    * hold in executor memory at all fall through to the gram inverted
+    * index. Measured at sf10 (500k docs × 50k needles): broadcast probe
+    * 464 s, gram index 208 s, scan — see BENCH_SF1.md round-6 section.
+    */
+  val ScanMaxNeedleChars: Long = graft.functions.AhoCorasick.MaxPatternChars
+
   /** Per-doc distinct shingle SET, computed map-side (no global distinct
     * shuffle), persisted for every downstream consumer (d02/d03/d16/d21/
     * d22); Spark's CacheManager dedups the entry across queries by
@@ -495,8 +504,9 @@ object DedupQueries {
     // EQUALS the needle IS the containment proof, so per distinct short
     // length (≤7 of them, collected from the tiny length-distinct agg)
     // the gram join needs no re-verification
-    val shortLens = short.select(length(col("needle")).as("l")).distinct()
-      .collect().map(_.getInt(0)).filter(_ > 0)
+    val rawLens = short.select(length(col("needle")).as("l")).distinct()
+      .collect().map(_.getInt(0))
+    val shortLens = rawLens.filter(_ > 0)
     val shortHits = shortLens.map { l =>
       train
         .select(col("doc_id"), col("text"),
@@ -506,7 +516,39 @@ object DedupQueries {
         .join(short.filter(length(col("needle")) === l), "needle")
         .select("doc_id")
     }
-    (longHits +: shortHits.toSeq).reduce(_ union _).distinct()
+    // contains("") is true for every text: an empty needle (possible when
+    // the ≥5-token filter passes only empty tokens) makes the whole corpus
+    // the hit set — mirrored here so all three paths agree on degenerate
+    // inputs, not just benchmark-shaped ones
+    if (rawLens.contains(0)) train.select("doc_id").distinct()
+    else (longHits +: shortHits.toSeq).reduce(_ union _).distinct()
+  }
+
+  /** Exact-substring hit set, single-pass multi-pattern scan — the scale
+    * path for needle sets past the contains-probe crossover that still fit
+    * in memory (every benchmark-decontamination workload: even 1M needles
+    * ≈ 30 MB of chars). An Aho–Corasick automaton built from the collected
+    * needles is broadcast, and each train text is scanned ONCE with
+    * early-exit on the first hit — O(total corpus chars), no gram
+    * explosion, no shuffle before the final distinct. Matching is over
+    * UTF-16 code units, i.e. exactly `String.contains`, so the rows equal
+    * [[substringHitsBroadcast]]'s by construction (spec-pinned, incl. the
+    * empty-needle degenerate).
+    */
+  private[graft] def substringHitsScan(train: DataFrame,
+      needles: DataFrame): DataFrame = {
+    val s = train.sparkSession
+    import s.implicits._
+    val pats = needles.select(col("needle")).as[String].collect()
+    val built = graft.functions.AhoCorasick.build(pats.toSeq)
+    if (built.matchesAll) return train.select("doc_id").distinct()
+    val bc = s.sparkContext.broadcast(built.matcher)
+    train.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = bc.value
+        it.collect { case (id, t) if t != null && ac.anyMatch(t) => id }
+      }
+      .toDF("doc_id").distinct()
   }
 
   /** One tile of embeddings for [[embedNeardupBlocked]]: members sorted by
@@ -1091,6 +1133,11 @@ object DedupQueries {
         if (estBytes <= s.sessionState.conf.autoBroadcastJoinThreshold &&
             est.getLong(0) <= DedupQueries.ProbeCrossoverNeedles)
           substringHitsBroadcast(train, needles)
+        else if (est.getLong(1) <= DedupQueries.ScanMaxNeedleChars)
+          // past the probe crossover but with the needle chars still
+          // memory-resident-sized, one automaton scan of the corpus beats
+          // both other paths (O(corpus chars), zero gram shuffle)
+          substringHitsScan(train, needles)
         else substringHitsIndexed(train, needles)
       val hits = pick.withColumn("hit", lit(1L))
       train.join(hits, Seq("doc_id"), "left")

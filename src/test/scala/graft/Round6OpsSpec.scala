@@ -61,4 +61,41 @@ class Round6OpsSpec extends SparkSpec {
     assert(j.length > 50)
     assert(b.sameElements(j))
   }
+
+  test("d48 scan path: Aho-Corasick hits == broadcast contains hits (fixture)") {
+    import spark.implicits._
+    val (train, needles) = DedupQueries.d48Inputs(spark, "/root/testdata/sf0.001")
+    val b = DedupQueries.substringHitsBroadcast(train, needles)
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    val s = DedupQueries.substringHitsScan(train, needles)
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    assert(b.nonEmpty, "fixture must produce hits or the pin is vacuous")
+    assert(s.sameElements(b))
+    // non-token-boundary + overlapping-pattern cases: fail links must
+    // carry a hit that a naive trie restart would drop ("ababc" inside
+    // "xababcy" requires following the fail chain from the 'abab' state)
+    val train2 = Seq(
+      (1L, "srcA", "xababcy"), (2L, "srcA", "ababab"),
+      (3L, "srcA", "no such thing"), (4L, "srcA", "ends with bc"),
+      (5L, "srcA", "")).toDF("doc_id", "source", "text")
+    val needles2 = Seq("ababc", "bc ").toDF("needle")
+    val b2 = DedupQueries.substringHitsBroadcast(train2, needles2)
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    val s2 = DedupQueries.substringHitsScan(train2, needles2)
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    assert(b2.toSeq == Seq(1L))
+    assert(s2.sameElements(b2))
+  }
+
+  test("d48 scan path: empty needle means contains('') — all three paths agree") {
+    import spark.implicits._
+    val train = Seq((1L, "srcA", "anything"), (2L, "srcB", ""))
+      .toDF("doc_id", "source", "text")
+    val needles = Seq("", "zzz-not-present").toDF("needle")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids(DedupQueries.substringHitsBroadcast(train, needles)) == Seq(1L, 2L))
+    assert(ids(DedupQueries.substringHitsScan(train, needles)) == Seq(1L, 2L))
+    assert(ids(DedupQueries.substringHitsIndexed(train, needles)) == Seq(1L, 2L))
+  }
 }
