@@ -203,6 +203,82 @@ object DedupQueries {
         .persist()
     }
 
+  /** d51's containment pairs (shared / min(|A|,|B|) ≥ 0.9), plain
+    * inverted-index count-join form — every co-occurring pair flows
+    * through the (da, db) aggregation. Kept as the readable statement of
+    * WHAT d51 computes and as the spec's ground truth for
+    * [[containmentPairsPrefix]].
+    */
+  private[graft] def containmentPairsJoin(s: SparkSession, dir: String): DataFrame = {
+    val g = gramTable(s, dir)
+    val cnt = g.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shared = g.select(col("doc_id").as("da"), col("h"))
+      .join(g.select(col("doc_id").as("db"), col("h")), "h")
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+    // no broadcast hint on cnt: it's per-doc cardinality (corpus-sized
+    // at 100 TB) — AQE broadcasts it on its own at fixture scale
+    shared
+      .join(cnt.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
+      .join(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= 0.9)
+      .select("da", "db", "shared", "na", "nb", "containment")
+  }
+
+  /** d51's containment pairs, prefix-filtered — EXACT, not approximate:
+    * containment ≥ 0.9 means the smaller set misses at most 10% of its
+    * grams, so by pigeonhole at least one of its first ⌊0.1·n⌋+1 grams
+    * (any fixed subset works; we take the head of the sorted h_arr) is
+    * shared with the other set. Candidates are therefore
+    * prefix ⋈ full-index — ~10× fewer join rows than the full self-join —
+    * and survivors are verified with a two-pointer merge over the two
+    * docs' SORTED hash arrays (exact |A∩B|, one JVM pass, no second
+    * shuffle). MEASURED SLOWER than [[containmentPairsJoin]] on this
+    * corpus (sf10: 148 s vs 86 s): the fixture vocabulary is near-uniform,
+    * so a hash-ordered 10% prefix still contains hot grams — candidates
+    * barely shrink and the survivors' array-payload verify join costs more
+    * than the count aggregation it avoids (the same corpus-shape verdict
+    * d02 recorded for PPJoin at J ≥ 0.5). Kept, equality-pinned, as the
+    * 100 TB Zipfian-corpus path — there the prefix should be ordered by
+    * ascending document frequency, which makes it genuinely selective.
+    */
+  private[graft] def containmentPairsPrefix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = docShingles(s, dir).select(col("doc_id"), col("h_arr"))
+    val pre = sh.select(col("doc_id"),
+        explode(slice(col("h_arr"), lit(1),
+          (floor(size(col("h_arr")) * lit(0.1)) + 1).cast("int"))).as("h"))
+    val g = gramTable(s, dir)
+    val cand = pre.select(col("doc_id").as("dx"), col("h"))
+      .join(g.select(col("doc_id").as("dy"), col("h")), "h")
+      .filter(col("dx") =!= col("dy"))
+      .select(least(col("dx"), col("dy")).as("da"),
+        greatest(col("dx"), col("dy")).as("db"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("da"), col("h_arr").as("ha")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("h_arr").as("hb")), "db")
+      .select(col("da"), col("db"), col("ha"), col("hb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (da, db, ha, hb) =>
+          var i = 0; var j = 0; var shd = 0L
+          while (i < ha.length && j < hb.length) {
+            if (ha(i) == hb(j)) { shd += 1; i += 1; j += 1 }
+            else if (ha(i) < hb(j)) i += 1
+            else j += 1
+          }
+          val na = ha.length.toLong
+          val nb = hb.length.toLong
+          val c = shd.toDouble / math.min(na, nb)
+          if (c >= 0.9) Some((da, db, shd, na, nb, c)) else None
+        }
+      }
+      .toDF("da", "db", "shared", "na", "nb", "containment")
+  }
+
   /** MinHash signatures (k=16), computed MAP-SIDE from the cached per-doc
     * shingle hash sets — zero shuffles. Memoized: shared by d03 (LSH
     * verify) and d25 (estimate-accuracy report).
@@ -1185,26 +1261,17 @@ object DedupQueries {
     // big one scores J = |small|/|big| (arbitrarily low — d02's size-ratio
     // prune discards exactly these pairs BY DESIGN), but containment 1.0.
     // Same inverted-index equi-join shape as d02, minus the Jaccard prune
-    // (which would be wrong here); at 100 TB the prune that IS valid is
-    // prefix filtering on the smaller set's rarest shingles — noted, not
-    // needed at fixture scale.
+    // (which would be wrong here). The containment-VALID prune — prefix
+    // filtering ([[containmentPairsPrefix]], exact by pigeonhole at 0.9)
+    // — was implemented and MEASURED SLOWER at sf10 too (148 s vs 86 s):
+    // hash-ordered prefixes carry no rare-gram selectivity on this
+    // near-uniform vocabulary (same corpus-shape verdict as d02's PPJoin
+    // note above), so candidates barely shrink while survivors pay an
+    // array-payload verify join. Both forms are equality-pinned
+    // (Round6OpsSpec); on a Zipfian real-text corpus route through a
+    // doc-frequency-ordered prefix instead.
     "d51_containment" -> { (s, dir) =>
-      val g = gramTable(s, dir)
-      val cnt = g.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val shared = g.select(col("doc_id").as("da"), col("h"))
-        .join(g.select(col("doc_id").as("db"), col("h")), "h")
-        .filter(col("da") < col("db"))
-        .groupBy("da", "db").agg(count(lit(1)).as("shared"))
-      // no broadcast hint on cnt: it's per-doc cardinality (corpus-sized
-      // at 100 TB) — AQE broadcasts it on its own at fixture scale
-      shared
-        .join(cnt.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
-        .join(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
-        .withColumn("containment",
-          col("shared").cast("double") / least(col("na"), col("nb")))
-        .filter(col("containment") >= 0.9)
-        .select("da", "db", "shared", "na", "nb", "containment")
-        .orderBy("da", "db")
+      containmentPairsJoin(s, dir).orderBy("da", "db")
     },
     // D2i — lexical-vs-SEMANTIC dup agreement: every verified lexical
     // near-dup pair (d02's J ≥ 0.5 set) rescored by embedding cosine —
@@ -1270,11 +1337,15 @@ object DedupQueries {
         col("doc_id").as("db"), col("simhash").as("sb"))
       a.join(b2, Seq("band", "bv"))
         .filter(col("da") < col("db"))
-        .select("da", "db", "sa", "sb").distinct()
+        // hamming BEFORE distinct: bit_count is a codegen'd map-side
+        // comparison, so band collisions that aren't near-dups die in the
+        // join stage and the dedup shuffle only carries true pairs (≤4
+        // copies each) — the pre-filter distinct was shuffling EVERY
+        // candidate, the dominant cost once hot bands appear at scale
         .withColumn("hamming",
           bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
         .filter(col("hamming") <= 3)
-        .select("da", "db", "hamming")
+        .select("da", "db", "hamming").distinct()
         .orderBy("da", "db")
     }
   )
