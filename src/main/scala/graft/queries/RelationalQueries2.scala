@@ -24,6 +24,74 @@ object RelationalQueries2 {
       col("event_id"), col("user_id"), col("event_type"), col("value"),
       expr("ts div 1000").as("us"))
 
+  /** Above this many rows in the largest year, q34 abandons the
+    * partitioned window (one task per year) for the selection plan.
+    * The window is fine while a year sorts in-memory on one core in ~a
+    * second; the selection's ~5 extra slim scans only pay off past that.
+    */
+  private val NtileWindowMaxGroupRows = 1000000L
+
+  private[graft] def ntileDistInput(s: SparkSession, dir: String) = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .withColumn("y", year(col("o_orderdate")).cast("int"))
+      .select(col("y"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Int, Double, Long)]
+  }
+
+  /** q34, window form — the readable ground truth (and the small-data
+    * plan): ntile/percent_rank/cume_dist over (price DESC, key) per year.
+    */
+  private[graft] def ntileDistWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("y")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("y", year(col("o_orderdate")).cast("int"))
+      .withColumn("decile", ntile(10).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .filter(col("decile") === 1)
+      .groupBy("y")
+      .agg(count(lit(1)).as("n_top"),
+        dsum(col("o_totalprice")).as("top_decile_total"),
+        max("pct_rank").as("max_pct_rank"),
+        max("cume").as("max_cume"))
+      .orderBy("y")
+  }
+
+  /** q34, selection form — no per-year sort at any scale. With the unique
+    * (price DESC, orderkey ASC) order: ntile(10)=1 ⟺ rank ≤ k=⌈n/10⌉
+    * (ntile hands the first n mod 10 buckets the extra rows, so bucket 1
+    * always holds ⌈n/10⌉); max percent_rank over those rows is
+    * (k−1)/(n−1) (0 when n=1, Spark's convention) and max cume_dist is
+    * k/n — closed forms, same IEEE divisions Spark's window operators
+    * perform. The only distributed work is [[GroupedTopK.kthLargest]]
+    * for the per-year threshold pair and one filtered count+dsum.
+    */
+  private[graft] def ntileDistSelect(s: SparkSession,
+      ds: org.apache.spark.sql.Dataset[(Int, Double, Long)],
+      stats: Map[Int, (Long, Double, Double)]): DataFrame = {
+    import s.implicits._
+    val kBy = stats.map { case (g, (n, _, _)) => g -> ((n + 9) / 10) }
+    val thr = GroupedTopK.kthLargest(ds, kBy)
+    val bc = s.sparkContext.broadcast(thr)
+    val top = ds.filter { r: (Int, Double, Long) =>
+      bc.value.get(r._1).exists { case (p, key) =>
+        r._2 > p || (r._2 == p && r._3 <= key) }
+    }.toDF("y", "o_totalprice", "o_orderkey")
+    val scalars = stats.toSeq.map { case (g, (n, _, _)) =>
+      val k = (n + 9) / 10
+      (g, if (n == 1L) 0.0 else (k - 1).toDouble / (n - 1).toDouble,
+        k.toDouble / n.toDouble)
+    }.toDF("y", "max_pct_rank", "max_cume")
+    top.groupBy("y")
+      .agg(count(lit(1)).as("n_top"),
+        dsum(col("o_totalprice")).as("top_decile_total"))
+      .join(broadcast(scalars), "y")
+      .select("y", "n_top", "top_decile_total", "max_pct_rank", "max_cume")
+      .orderBy("y")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C11 — range join done scale-right: bucketed equi-join (each left row
     // explodes to 2 candidate buckets) instead of an O(n²) theta join.
@@ -302,22 +370,22 @@ object RelationalQueries2 {
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     },
     // C17/C18 — distribution windows: ntile / percent_rank / cume_dist
-    // per order-year (partitioned windows — no global single-partition sort).
+    // per order-year. The window form partitions by ~7 YEARS — a
+    // low-cardinality exchange that funnels every row of a year onto one
+    // task however many executors exist, the classic 100 TB window cliff.
+    // Past a measured per-group size the query switches to
+    // [[ntileDistSelect]]: with the unique (price DESC, orderkey) tie
+    // break, decile 1 is exactly rank ≤ ⌈n/10⌉ and max_pct_rank/max_cume
+    // are closed-form in (n, k), so the whole query reduces to an exact
+    // distributed k-th-element selection ([[GroupedTopK]]) + one filtered
+    // aggregation — every scan parallel, no per-year sort anywhere.
+    // Branch equality spec-pinned (Round6OpsSpec).
     "q34_ntile_dist" -> { (s, dir) =>
-      val w = Window.partitionBy("y")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      t(s, dir, "orders")
-        .withColumn("y", year(col("o_orderdate")).cast("int"))
-        .withColumn("decile", ntile(10).over(w))
-        .withColumn("pct_rank", percent_rank().over(w))
-        .withColumn("cume", cume_dist().over(w))
-        .filter(col("decile") === 1)
-        .groupBy("y")
-        .agg(count(lit(1)).as("n_top"),
-          dsum(col("o_totalprice")).as("top_decile_total"),
-          max("pct_rank").as("max_pct_rank"),
-          max("cume").as("max_cume"))
-        .orderBy("y")
+      val ds = ntileDistInput(s, dir)
+      val stats = GroupedTopK.groupStats(ds)
+      if (stats.valuesIterator.map(_._1).max <= NtileWindowMaxGroupRows)
+        ntileDistWindow(s, dir)
+      else ntileDistSelect(s, ds, stats)
     },
     // Skew-handling pattern — salted join: a hot key on the fact side is
     // spread over S reducers by joining on (key, salt) against S replicated

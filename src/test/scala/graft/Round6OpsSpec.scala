@@ -100,6 +100,41 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("q34 selection plan == window plan (fixtures)") {
+    import graft.queries.RelationalQueries2._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ds = ntileDistInput(spark, dir)
+      val stats = graft.queries.GroupedTopK.groupStats(ds)
+      val w = ntileDistWindow(spark, dir).collect()
+      val sel = ntileDistSelect(spark, ds, stats).collect()
+      assert(w.nonEmpty)
+      assert(sel.map(_.toString).sameElements(w.map(_.toString)), s"diverged on $dir")
+    }
+  }
+
+  test("GroupedTopK.kthLargest: exact under heavy ties (key-phase) and tiny groups") {
+    import spark.implicits._
+    // group 0: 10k rows over only 3 distinct prices — the k-th element
+    // sits inside a tie class, finishing via the collect path's
+    // (ord DESC, key ASC) sort; group 1: a single row (k = n = 1);
+    // group 2: 100k rows of ONE price — the tie class exceeds the collect
+    // limit, forcing the key-dimension histogram refinement.
+    val rows =
+      (1L to 10000L).map(k => (0, (k % 3).toDouble, k)) ++
+      Seq((1, 42.0, 1L)) ++
+      (1L to 100000L).map(k => (2, 7.0, k))
+    val ds = rows.toDS()
+    val kBy = Map(0 -> 1234L, 1 -> 1L, 2 -> 70000L)
+    val got = graft.queries.GroupedTopK.kthLargest(ds, kBy)
+    def oracle(g: Int): (Double, Long) = {
+      val sorted = rows.filter(_._1 == g)
+        .sortBy { case (_, o, k) => (-o, k) }
+      val (_, o, k) = sorted((kBy(g) - 1).toInt)
+      (o, k)
+    }
+    for (g <- kBy.keys) assert(got(g) == oracle(g), s"group $g")
+  }
+
   test("d48 scan path: empty needle means contains('') — all three paths agree") {
     import spark.implicits._
     val train = Seq((1L, "srcA", "anything"), (2L, "srcB", ""))
