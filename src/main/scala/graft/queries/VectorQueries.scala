@@ -197,19 +197,88 @@ object VectorQueries {
       .withColumn("cn", sqrt(dotHof(col("ce"), col("ce"))))
       .select(col(keyName), col("ce"), col("cn"), col("n_members"))
 
+  /** Exact top-k rows per query over a scored cross product, WITHOUT the
+    * row_number window the naive form uses. The window is the vector
+    * family's one non-scalable stage: it shuffles the entire corpus×query
+    * score stream into #queries partitions (10-200 tasks sort everything,
+    * idle cluster beyond that). Selection is local-first instead: each
+    * input partition keeps a bounded per-query heap (global top-k ⊆ union
+    * of per-partition top-k), so only partitions×queries×k rows ever
+    * shuffle; the final exact ranking runs a window over that sliver.
+    * The kernel COMPARES but never recomputes scores, so results are
+    * bit-identical to the window form (same (ord DESC, tie ASC) total
+    * order, NaN-greatest like Spark sorts; spec-pinned on every consumer).
+    * `rank` (1..≤k per query) is appended as the last column.
+    */
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int, qCol: String,
+      ordCol: String, tieCol: String): DataFrame = {
+    val schema = scored.schema
+    val qi = schema.fieldIndex(qCol)
+    val oi = schema.fieldIndex(ordCol)
+    val ti = schema.fieldIndex(tieCol)
+    // (ord DESC, tie ASC) — Double.compare is NaN-greatest, matching how
+    // Spark orders doubles in the window this replaces
+    val local = scored.mapPartitions { it =>
+      // ord may be double (cosine) or integral (d43's int8 dot ≤ 2^20):
+      // the long→double widening is exact far beyond those magnitudes,
+      // so one double comparison path serves both
+      def ordOf(r: org.apache.spark.sql.Row): Double = r.get(oi) match {
+        case d: java.lang.Double => d.doubleValue
+        case f: java.lang.Float => f.doubleValue
+        case l: java.lang.Long => l.doubleValue
+        case i: java.lang.Integer => i.doubleValue
+        case x => throw new IllegalArgumentException(s"unordered $ordCol: $x")
+      }
+      def better(ao: Double, at: Long, bo: Double, bt: Long): Boolean = {
+        val c = java.lang.Double.compare(ao, bo)
+        c > 0 || (c == 0 && at < bt)
+      }
+      val best = scala.collection.mutable.LongMap[Array[org.apache.spark.sql.Row]]()
+      val sizes = scala.collection.mutable.LongMap[Int]()
+      it.foreach { r =>
+        val q = r.get(qi) match {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+          case x => throw new IllegalArgumentException(s"non-integral $qCol: $x")
+        }
+        val arr = best.getOrElseUpdate(q, new Array[org.apache.spark.sql.Row](k))
+        var n = sizes.getOrElse(q, 0)
+        if (n < k) { arr(n) = r; n += 1; sizes(q) = n }
+        else {
+          // replace the worst retained row if beaten (k is 1-3: linear
+          // scan beats heap bookkeeping)
+          var wi = 0
+          var j = 1
+          while (j < k) {
+            if (better(ordOf(arr(wi)), arr(wi).getLong(ti),
+                ordOf(arr(j)), arr(j).getLong(ti))) wi = j
+            j += 1
+          }
+          if (better(ordOf(r), r.getLong(ti), ordOf(arr(wi)), arr(wi).getLong(ti)))
+            arr(wi) = r
+        }
+      }
+      best.iterator.flatMap { case (q, arr) => arr.iterator.take(sizes(q)) }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    val w = Window.partitionBy(qCol).orderBy(col(ordCol).desc, col(tieCol))
+    local.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // D3a — brute-force top-3 cosine neighbors for each of 10 query vectors.
+    // D3a — brute-force top-3 cosine neighbors for each of 10 query
+    // vectors. One corpus scan against the broadcast query set; selection
+    // via [[topKPerQuery]] (per-partition heaps), NOT a row_number window
+    // — the window would shuffle the whole scored stream into #queries
+    // tasks.
     "d05_knn_bruteforce" -> { (s, dir) =>
       val v = vecs(s, dir)
       val q = queriesSet(v)
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("cosine").desc, col("vec_id"))
-      v.crossJoin(broadcast(q))
+      val scored = v.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cosine",
           cosineWithNorms(dot(col("embedding"), col("qe")), col("nrm"), col("qn")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+        .select("q_id", "vec_id", "cosine")
+      topKPerQuery(scored, 3, "q_id", "cosine", "vec_id")
         .select("q_id", "rank", "vec_id", "cosine")
         .orderBy("q_id", "rank")
     },
@@ -241,14 +310,12 @@ object VectorQueries {
       val q = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("cell"))
-      val wTop = Window.partitionBy("q_id")
-        .orderBy(col("cosine").desc, col("vec_id"))
-      assigned.join(broadcast(q), "cell")
+      val scored = assigned.join(broadcast(q), "cell")
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cosine",
           cosineWithNorms(dot(col("embedding"), col("qe")), col("nrm"), col("qn")))
-        .withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= 3)
+        .select("q_id", "cell", "vec_id", "cosine")
+      topKPerQuery(scored, 3, "q_id", "cosine", "vec_id")
         .select("q_id", "cell", "rank", "vec_id", "cosine")
         .orderBy("q_id", "rank")
     },
@@ -271,14 +338,12 @@ object VectorQueries {
       val q = withSig.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("sig"))
-      val wTop = Window.partitionBy("q_id")
-        .orderBy(col("cosine").desc, col("vec_id"))
-      withSig.join(broadcast(q), "sig")
+      val scored = withSig.join(broadcast(q), "sig")
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cosine",
           cosineWithNorms(dot(col("embedding"), col("qe")), col("nrm"), col("qn")))
-        .withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= 3)
+        .select("q_id", "sig", "vec_id", "cosine")
+      topKPerQuery(scored, 3, "q_id", "cosine", "vec_id")
         .select("q_id", "sig", "rank", "vec_id", "cosine")
         .orderBy("q_id", "rank")
     },
@@ -450,22 +515,18 @@ object VectorQueries {
       val q = qv.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("qe").as("qq"))
       // exact-cosine top-3 (the d05 ranking) as the recall reference
-      val wEx = Window.partitionBy("q_id")
-        .orderBy(col("cosine").desc, col("vec_id"))
-      val exact = v.crossJoin(broadcast(queriesSet(v)))
+      val exScored = v.crossJoin(broadcast(queriesSet(v)))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cosine",
           cosineWithNorms(dot(col("embedding"), col("qe")), col("nrm"), col("qn")))
-        .withColumn("rank", row_number().over(wEx))
-        .filter(col("rank") <= 3)
+        .select("q_id", "vec_id", "cosine")
+      val exact = topKPerQuery(exScored, 3, "q_id", "cosine", "vec_id")
         .select(col("q_id"), col("vec_id"), lit(true).as("in_exact_top3"))
-      val wQ = Window.partitionBy("q_id")
-        .orderBy(col("qdot").desc, col("vec_id"))
-      qv.crossJoin(broadcast(q))
+      val qScored = qv.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("qdot", dot(col("qe"), col("qq")).cast("long"))
-        .withColumn("rank", row_number().over(wQ))
-        .filter(col("rank") <= 3)
+        .select("q_id", "vec_id", "qdot")
+      topKPerQuery(qScored, 3, "q_id", "qdot", "vec_id")
         .join(exact, Seq("q_id", "vec_id"), "left")
         .select(col("q_id"), col("rank"), col("vec_id"), col("qdot"),
           coalesce(col("in_exact_top3"), lit(false)).as("in_exact_top3"))
@@ -600,15 +661,13 @@ object VectorQueries {
       val probes = v.filter(col("vec_id") < 200)
         .select(col("vec_id").as("p_id"), col("label").as("p_label"),
           col("embedding").as("pe"), col("nrm").as("pn"))
-      val w = Window.partitionBy("p_id")
-        .orderBy(col("cosine").desc, col("vec_id"))
-      v.crossJoin(broadcast(probes))
+      val scored = v.crossJoin(broadcast(probes))
         .filter(col("vec_id") =!= col("p_id"))
         .withColumn("cosine",
           cosineWithNorms(dot(col("embedding"), col("pe")),
             col("nrm"), col("pn")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .select("p_id", "p_label", "vec_id", "label", "cosine")
+      topKPerQuery(scored, 1, "p_id", "cosine", "vec_id")
         .groupBy("p_label")
         .agg(count(lit(1)).as("n_probes"),
           sum(when(col("label") === col("p_label"), 1L).otherwise(0L))

@@ -100,6 +100,36 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("topKPerQuery == row_number window (ties, NaN, long scores, multi-partition)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 97 distinct scores over 5k rows/query → ~51-deep tie classes broken
+    // by vec_id; one NaN (sorts FIRST under desc, Spark's NaN-greatest);
+    // 16 input partitions exercise the local-heap merge
+    val rows = for (q <- 0L until 4L; i <- 1L to 5000L) yield
+      (q, i, if (i == 17L && q == 2L) Double.NaN
+             else ((i * 2654435761L) % 97L).toDouble)
+    val df = rows.toDF("q_id", "vec_id", "cosine").repartition(16)
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    val expect = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3).orderBy("q_id", "rank").collect()
+    val got = graft.queries.VectorQueries
+      .topKPerQuery(df, 3, "q_id", "cosine", "vec_id")
+      .orderBy("q_id", "rank").collect()
+    assert(expect.length == 12)
+    assert(got.map(_.toString).sameElements(expect.map(_.toString)))
+    // integral score path (d43's int8 dot ranks on a LONG column)
+    val dfl = df.filter(!isnan(col("cosine")))
+      .withColumn("qdot", col("cosine").cast("long")).drop("cosine")
+    val wl = Window.partitionBy("q_id").orderBy(col("qdot").desc, col("vec_id"))
+    val el = dfl.withColumn("rank", row_number().over(wl))
+      .filter(col("rank") <= 2).orderBy("q_id", "rank").collect()
+    val gl = graft.queries.VectorQueries
+      .topKPerQuery(dfl, 2, "q_id", "qdot", "vec_id")
+      .orderBy("q_id", "rank").collect()
+    assert(gl.map(_.toString).sameElements(el.map(_.toString)))
+  }
+
   test("q34 selection plan == window plan (fixtures)") {
     import graft.queries.RelationalQueries2._
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
