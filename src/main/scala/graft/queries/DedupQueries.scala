@@ -592,11 +592,13 @@ object DedupQueries {
         .join(short.filter(length(col("needle")) === l), "needle")
         .select("doc_id")
     }
-    // contains("") is true for every text: an empty needle (possible when
-    // the ≥5-token filter passes only empty tokens) makes the whole corpus
-    // the hit set — mirrored here so all three paths agree on degenerate
-    // inputs, not just benchmark-shaped ones
-    if (rawLens.contains(0)) train.select("doc_id").distinct()
+    // contains("") is true for every NON-NULL text (contains(null, '')
+    // is null → filtered): an empty needle (possible when the ≥5-token
+    // filter passes only empty tokens) makes every non-null-text doc a
+    // hit — mirrored here, incl. the null-text exclusion, so all three
+    // paths agree on degenerate inputs, not just benchmark-shaped ones
+    if (rawLens.contains(0))
+      train.filter(col("text").isNotNull).select("doc_id").distinct()
     else (longHits +: shortHits.toSeq).reduce(_ union _).distinct()
   }
 
@@ -617,7 +619,10 @@ object DedupQueries {
     import s.implicits._
     val pats = needles.select(col("needle")).as[String].collect()
     val built = graft.functions.AhoCorasick.build(pats.toSeq)
-    if (built.matchesAll) return train.select("doc_id").distinct()
+    // null texts are excluded like the broadcast oracle (contains(null,
+    // needle) is null, never true)
+    if (built.matchesAll)
+      return train.filter(col("text").isNotNull).select("doc_id").distinct()
     val bc = s.sparkContext.broadcast(built.matcher)
     train.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>

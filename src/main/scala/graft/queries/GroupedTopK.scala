@@ -24,11 +24,16 @@ import org.apache.spark.sql.{Dataset, Encoders}
   * stats pass), so ≤ 5 passes cover any real span; typical bands converge
   * in 2-3.
   *
-  * Domain requirements (all hold for money/count/id columns; violated
-  * ones fail loudly): `ord` finite and not -0.0 (NaN breaks the bits
-  * order), `key` unique within its group, group ids in [0, 2^50), and
-  * the per-group spans of ord-bits and key each fit a signed long
-  * (same-sign data always does).
+  * Domain requirements (all hold for money/count/id columns): `ord`
+  * finite (NaN breaks the bits order — checked per row), group ids in
+  * [0, 2^50) (checked), and the per-group spans of ord-bits and key each
+  * fit a signed long (same-sign data always does; checked). -0.0 needs
+  * no restriction: [[sortableBits]] canonicalizes it to +0.0, matching
+  * Spark's sort order where -0.0 ties +0.0 and the key decides. `key`
+  * uniqueness within a group is ASSUMED, not globally verified (that
+  * would cost a shuffle); duplicate (ord, key) pairs inside the final
+  * collected band — the only place they can corrupt the threshold —
+  * are detected and fail loudly.
   */
 object GroupedTopK {
 
@@ -41,10 +46,12 @@ object GroupedTopK {
 
   /** Order-preserving long image of a finite double: positives keep their
     * raw bits (already ascending), negatives flip magnitude bits so
-    * larger doubles always map to larger signed longs.
+    * larger doubles always map to larger signed longs. -0.0 is
+    * canonicalized to +0.0 first — Spark's double ordering ties the two
+    * zeros (nanSafeCompareDoubles), so they must share one bits image.
     */
   @inline def sortableBits(d: Double): Long = {
-    val b = java.lang.Double.doubleToLongBits(d)
+    val b = java.lang.Double.doubleToLongBits(d + 0.0)
     b ^ ((b >> 63) & 0x7fffffffffffffffL)
   }
 
@@ -56,17 +63,24 @@ object GroupedTopK {
   private final case class Band(need: Long, dim: Int, lo: Long, hi: Long,
       tieBits: Long, mass: Long)
 
-  private final case class Stats(minB: Long, maxB: Long, minK: Long,
-      maxK: Long, n: Long)
-
-  /** Per-group (row count, min/max of the ord bits and key) in ONE
-    * parallel scan — partial per partition, merged on the driver. Public
-    * because callers usually need `n` anyway (q34's k = ⌈n/10⌉).
+  /** Per-group scan summary: ord bounds as sign-folded bits, key bounds,
+    * row count. Opaque to callers beyond `n`/`minOrd`/`maxOrd`; pass the
+    * whole map back to [[kthLargest]] so the scan isn't repeated.
     */
-  def groupStats(ds: Dataset[(Int, Double, Long)]): Map[Int, (Long, Double, Double)] =
-    statsPass(ds).map { case (g, st) =>
-      g -> (st.n, fromBits(st.minB), fromBits(st.maxB))
-    }
+  final case class Stats(private[GroupedTopK] val minB: Long,
+      private[GroupedTopK] val maxB: Long,
+      private[GroupedTopK] val minK: Long,
+      private[GroupedTopK] val maxK: Long, n: Long) {
+    def minOrd: Double = fromBits(minB)
+    def maxOrd: Double = fromBits(maxB)
+  }
+
+  /** Per-group [[Stats]] in ONE parallel scan — partial per partition,
+    * merged on the driver. Public because callers usually need `n` anyway
+    * (q34's k = ⌈n/10⌉) and [[kthLargest]] takes the result as-is.
+    */
+  def groupStats(ds: Dataset[(Int, Double, Long)]): Map[Int, Stats] =
+    statsPass(ds)
 
   // the sign-fold is an involution on longs, so decode = re-apply
   @inline private def fromBits(v: Long): Double =
@@ -106,9 +120,15 @@ object GroupedTopK {
     *            set is exactly { ord > ord* ∨ (ord = ord* ∧ key ≤ key*) }.
     */
   def kthLargest(ds: Dataset[(Int, Double, Long)],
-      kBy: Map[Int, Long]): Map[Int, (Double, Long)] = {
+      kBy: Map[Int, Long]): Map[Int, (Double, Long)] =
+    kthLargest(ds, kBy, statsPass(ds))
+
+  /** As above, with the [[groupStats]] result passed in — callers that
+    * already ran the stats scan (q34's plan switch) must not pay it twice.
+    */
+  def kthLargest(ds: Dataset[(Int, Double, Long)], kBy: Map[Int, Long],
+      stats: Map[Int, Stats]): Map[Int, (Double, Long)] = {
     val s = ds.sparkSession
-    val stats = statsPass(ds)
     val done = scala.collection.mutable.Map[Int, (Double, Long)]()
     var bands: Map[Int, Band] = kBy.map { case (g, k) =>
       val st = stats.getOrElse(g,
@@ -137,6 +157,16 @@ object GroupedTopK {
           val sorted = cand.sortWith { (x, y) =>
             val bx = sortableBits(x._2); val by = sortableBits(y._2)
             if (bx != by) bx > by else x._3 < y._3
+          }
+          // duplicate (ord, key) pairs here would silently shift the
+          // threshold — the one place key-uniqueness violations can
+          // corrupt the result, so the one place we pay to check
+          var di = 1
+          while (di < sorted.length) {
+            require(sortableBits(sorted(di)._2) != sortableBits(sorted(di - 1)._2) ||
+              sorted(di)._3 != sorted(di - 1)._3,
+              s"group $g: duplicate (ord, key) pair ${sorted(di)} in band — key not unique")
+            di += 1
           }
           val (_, o, k) = sorted((b.need - 1).toInt)
           done(g) = (o, k)

@@ -70,16 +70,17 @@ object RelationalQueries2 {
     */
   private[graft] def ntileDistSelect(s: SparkSession,
       ds: org.apache.spark.sql.Dataset[(Int, Double, Long)],
-      stats: Map[Int, (Long, Double, Double)]): DataFrame = {
+      stats: Map[Int, GroupedTopK.Stats]): DataFrame = {
     import s.implicits._
-    val kBy = stats.map { case (g, (n, _, _)) => g -> ((n + 9) / 10) }
-    val thr = GroupedTopK.kthLargest(ds, kBy)
+    val kBy = stats.map { case (g, st) => g -> ((st.n + 9) / 10) }
+    val thr = GroupedTopK.kthLargest(ds, kBy, stats)
     val bc = s.sparkContext.broadcast(thr)
     val top = ds.filter { r: (Int, Double, Long) =>
       bc.value.get(r._1).exists { case (p, key) =>
         r._2 > p || (r._2 == p && r._3 <= key) }
     }.toDF("y", "o_totalprice", "o_orderkey")
-    val scalars = stats.toSeq.map { case (g, (n, _, _)) =>
+    val scalars = stats.toSeq.map { case (g, st) =>
+      val n = st.n
       val k = (n + 9) / 10
       (g, if (n == 1L) 0.0 else (k - 1).toDouble / (n - 1).toDouble,
         k.toDouble / n.toDouble)
@@ -383,7 +384,10 @@ object RelationalQueries2 {
     "q34_ntile_dist" -> { (s, dir) =>
       val ds = ntileDistInput(s, dir)
       val stats = GroupedTopK.groupStats(ds)
-      if (stats.valuesIterator.map(_._1).max <= NtileWindowMaxGroupRows)
+      // empty input: Map.max would throw; the window form returns the
+      // correct empty frame
+      if (stats.isEmpty ||
+          stats.valuesIterator.map(_.n).max <= NtileWindowMaxGroupRows)
         ntileDistWindow(s, dir)
       else ntileDistSelect(s, ds, stats)
     },

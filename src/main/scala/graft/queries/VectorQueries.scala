@@ -216,8 +216,11 @@ object VectorQueries {
     val qi = schema.fieldIndex(qCol)
     val oi = schema.fieldIndex(ordCol)
     val ti = schema.fieldIndex(tieCol)
-    // (ord DESC, tie ASC) — Double.compare is NaN-greatest, matching how
-    // Spark orders doubles in the window this replaces
+    // (ord DESC, tie ASC) — comparison replicates Spark's
+    // nanSafeCompareDoubles (NaN greatest, -0.0 == +0.0 so the tie column
+    // decides), matching how Spark orders doubles in the window this
+    // replaces; java.lang.Double.compare would rank +0.0 above -0.0 and
+    // let local pruning evict the row the final window ranks first
     val local = scored.mapPartitions { it =>
       // ord may be double (cosine) or integral (d43's int8 dot ≤ 2^20):
       // the long→double widening is exact far beyond those magnitudes,
@@ -229,8 +232,16 @@ object VectorQueries {
         case i: java.lang.Integer => i.doubleValue
         case x => throw new IllegalArgumentException(s"unordered $ordCol: $x")
       }
+      def nanSafeCmp(a: Double, b: Double): Int = {
+        val an = java.lang.Double.isNaN(a)
+        val bn = java.lang.Double.isNaN(b)
+        if ((an && bn) || a == b) 0
+        else if (an) 1
+        else if (bn) -1
+        else if (a > b) 1 else -1
+      }
       def better(ao: Double, at: Long, bo: Double, bt: Long): Boolean = {
-        val c = java.lang.Double.compare(ao, bo)
+        val c = nanSafeCmp(ao, bo)
         c > 0 || (c == 0 && at < bt)
       }
       val best = scala.collection.mutable.LongMap[Array[org.apache.spark.sql.Row]]()

@@ -130,6 +130,24 @@ class Round6OpsSpec extends SparkSpec {
     assert(gl.map(_.toString).sameElements(el.map(_.toString)))
   }
 
+  test("topKPerQuery: -0.0 ties +0.0 like Spark's sort — tie column decides") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Spark's double order (nanSafeCompareDoubles) ties the two zeros, so
+    // the window ranks vec_id=3 (-0.0) above vec_id=5 (+0.0); a heap
+    // comparing via java.lang.Double.compare would evict vec_id=3 locally
+    // and return the wrong row
+    val df = Seq((0L, 3L, -0.0), (0L, 5L, 0.0), (0L, 7L, -1.0))
+      .toDF("q_id", "vec_id", "cosine").coalesce(1)
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    val expect = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 1).collect()
+    val got = graft.queries.VectorQueries
+      .topKPerQuery(df, 1, "q_id", "cosine", "vec_id").collect()
+    assert(expect.head.getLong(1) == 3L)
+    assert(got.map(_.toString).sameElements(expect.map(_.toString)))
+  }
+
   test("q34 selection plan == window plan (fixtures)") {
     import graft.queries.RelationalQueries2._
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
@@ -165,9 +183,38 @@ class Round6OpsSpec extends SparkSpec {
     for (g <- kBy.keys) assert(got(g) == oracle(g), s"group $g")
   }
 
+  test("GroupedTopK: -0.0 ties +0.0 (key decides); duplicate keys fail loudly") {
+    import spark.implicits._
+    // zeros tie under Spark's sort: the k=2 threshold must be the LOWER
+    // key of the tie class (3, carrying -0.0), not the +0.0 row
+    val ds = Seq((0, -0.0, 3L), (0, 0.0, 5L), (0, 1.0, 1L)).toDS()
+    val (o, k) = graft.queries.GroupedTopK.kthLargest(ds, Map(0 -> 2L))(0)
+    assert(o == 0.0 && k == 3L)
+    // a duplicate (ord, key) pair inside the collected band corrupts the
+    // threshold silently unless checked — must throw, not over-select
+    val dup = Seq((0, 1.0, 5L), (0, 1.0, 5L), (0, 2.0, 1L)).toDS()
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.GroupedTopK.kthLargest(dup, Map(0 -> 2L))
+    }
+    assert(e.getMessage.contains("key not unique"))
+  }
+
+  test("q34: empty orders table takes the window plan and returns empty") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q34-empty").toString
+    Seq.empty[(Long, java.sql.Date, Double)]
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = graft.queries.RelationalQueries2.queries("q34_ntile_dist")(spark, dir)
+    assert(out.collect().isEmpty)
+  }
+
   test("d48 scan path: empty needle means contains('') — all three paths agree") {
     import spark.implicits._
-    val train = Seq((1L, "srcA", "anything"), (2L, "srcB", ""))
+    // doc 3 has NULL text: SQL contains(null, '') is null, never true, so
+    // every path must exclude it — matching the broadcast oracle exactly
+    val train = Seq((1L, "srcA", "anything"), (2L, "srcB", ""),
+        (3L, "srcC", null.asInstanceOf[String]))
       .toDF("doc_id", "source", "text")
     val needles = Seq("", "zzz-not-present").toDF("needle")
     def ids(df: org.apache.spark.sql.DataFrame) =
