@@ -44,13 +44,34 @@ object RelationalQueries {
              count(lit(1)).as("n_rows"))
     },
     // C6/C14 — 3-way shuffle equi-join, revenue per market segment.
+    // The aggregate is pushed below the CUSTOMER join (the q05 trick):
+    // only c_mktsegment survives to the output, so the lineitem⋈orders
+    // result pre-aggregates per custkey and the second join shuffles
+    // |customer| slim rows instead of the full joined lineitem stream —
+    // against a corpus-sized customer table no one can broadcast at
+    // 100 TB. (Pushing a second agg below the ORDERS join — per-orderkey
+    // partials — was measured SLOWER at sf10, 45 s vs 34 s: ScaleUp's
+    // remapped orderkeys aren't clustered in the fixture, so the 60 M-row
+    // map-side hash agg collapses nothing and just adds a pass; on a
+    // lineitem laid out orderkey-clustered it would win.) Partial sums
+    // stay DECIMAL(20,6)-exact until ONE final cast — decimal addition
+    // is associative, so bit-identical to the single-level dsum (oracle
+    // hash unchanged).
     "q03_join_revenue" -> { (s, dir) =>
-      t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      val perCust = t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(org.apache.spark.sql.types.DecimalType(20, 6)).as("disc_price"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum("disc_price").as("rev"), count(lit(1)).as("n"))
+      perCust
+        .join(t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
-             count(lit(1)).as("n_items"))
+        .agg(sum("rev").cast("double").as("revenue"),
+          sum("n").as("n_items"))
         .orderBy("c_mktsegment")
     },
     // C7 — broadcast the small dims: supplier→nation→region star join.
