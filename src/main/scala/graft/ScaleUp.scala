@@ -34,9 +34,12 @@ object ScaleUp {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-      // default; surface it as epoch-nano longs — exactly how Q.t reads
-      // it, so the rewritten (plain INT64) column is read-compatible
+      // If events.ts is parquet TIMESTAMP(NANOS) (older fixture
+      // generations), Spark 4 rejects it by default; nanosAsLong surfaces
+      // it as epoch-nano longs — exactly how Q.t reads it, so the
+      // rewritten (plain INT64) column is read-compatible. For the current
+      // timestamp[us] fixtures this conf is a no-op and ts round-trips as
+      // TIMESTAMP(MICROS); Q.epochUs dispatches on whichever type lands.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -26,11 +26,7 @@ object Verify {
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      dumpOne(spark, sfDir, outDir, name, fn); ()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -49,4 +45,37 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
+
+  /** Dump one query result to `outDir/name`; returns whether it succeeded.
+    *
+    * On ANY failure (analysis error, runtime error, write error) it leaves
+    * an EMPTY `outDir/name` directory — no parquet part — so the driver's
+    * checker reports the key as a FAIL instead of the key silently
+    * vanishing from the correctness report (round 6 lost 7
+    * analysis-broken queries to silent absence), and prints a single-line
+    * `[verify] FAIL <name>: <error>` on BOTH stdout and stderr (stderr
+    * alone can be swallowed by the driver's output capture).
+    */
+  private[graft] def dumpOne(spark: SparkSession, sfDir: String,
+      outDir: String, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      true
+    } catch { case e: Throwable =>
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+        f.delete(); ()
+      }
+      val d = new java.io.File(s"$outDir/$name")
+      // a failed run can leave committed part files / _temporary trees —
+      // clear them so the marker dir is unambiguously empty
+      if (d.exists()) rmTree(d)
+      d.mkdirs()
+      val msg = s"[verify] FAIL $name: ${e.toString.takeWhile(_ != '\n')}"
+      println(msg)
+      System.err.println(msg)
+      false
+    }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampType}
 
 /** Shared helpers for the SparkEntry query battery.
   *
@@ -20,10 +20,14 @@ import org.apache.spark.sql.types.DecimalType
 object Q {
   /** Read one fixture table of the TPC-H-ish star schema (TESTDATA.md).
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; `nanosAsLong` surfaces it as a LongType of epoch-nanoseconds,
-    * which is what the µs-exact time arithmetic wants anyway (`ts div 1000`
-    * ≡ DuckDB `epoch_us(ts)`).
+    * `events.ts` has shipped under two physical types across fixture
+    * generations: parquet TIMESTAMP(NANOS) (read as a LongType of
+    * epoch-nanos via `nanosAsLong` — Spark 4 rejects ns timestamps by
+    * default, and the ScaleUp fixtures still write int64 nanos) and
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). The engine reads whatever
+    * the file gives it — all time arithmetic goes through [[epochUs]],
+    * which dispatches on the read schema. `nanosAsLong` stays set: it only
+    * affects genuine ns columns and is a no-op for µs files.
     */
   // Per-session plan-handle cache. The values (DataFrames) strongly
   // reference their SparkSession, so entries pin the session for the cache
@@ -145,6 +149,29 @@ object Q {
       getOrBuild(m, k)(mk)
     }
   }
+
+  /** `events.ts` as exact integer epoch-MICROSECONDS (≡ DuckDB
+    * `epoch_us(ts)`), dispatching on the physical type the file was read
+    * with (the fixtures have shipped both int64-nanos and timestamp[us]
+    * across driver regenerations — a real engine reads what the file
+    * gives it, cf. the reference's inferred schema model, node.py:134-135):
+    *   - LongType (ns file under `nanosAsLong`, incl. ScaleUp fixtures):
+    *     `ts div 1000` — integer floor-division, exact.
+    *   - TimestampType / TIMESTAMP_NTZ (µs file): `unix_micros` after a
+    *     cast to TIMESTAMP — `unix_micros` rejects NTZ input, and the cast
+    *     is exact under the UTC session timezone forced in build.sbt /
+    *     Verify / Bench (NTZ wall-clock reinterpreted as UTC instant,
+    *     bit-identical µs count; for an already-TIMESTAMP column the cast
+    *     is a no-op).
+    * µs is the precision both engines share (Spark truncates ns parquet to
+    * µs semantics in arithmetic; DuckDB's epoch_us(TIMESTAMP_NS) floors the
+    * same way), so cross-engine comparisons stay bit-exact.
+    */
+  private[graft] def epochUs(df: DataFrame): Column =
+    df.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case _        => unix_micros(col("ts").cast(TimestampType))
+    }
 
   /** Id-range DECILE bucket: floor(id·10 / (max+1)) against a broadcast
     * 1-row max — map-side integer math, no global row_number, so the

@@ -8,10 +8,10 @@ import org.apache.spark.sql.functions._
   * windows + frames, set ops, scalar function families, pivot, subqueries,
   * and the UDF/UDAF extension surface.
   *
-  * Timestamp rule: `events.ts` is parquet timestamp[ns]; Spark truncates to
-  * µs on read while DuckDB keeps ns, so all time arithmetic goes through
-  * integer epoch-microseconds (`unix_micros` ≡ DuckDB `epoch_us`) — exact on
-  * both engines.
+  * Timestamp rule: all `events.ts` time arithmetic goes through integer
+  * epoch-microseconds via [[Q.epochUs]] (≡ DuckDB `epoch_us`) — exact on
+  * both engines, and robust to the fixture's physical type (the driver has
+  * shipped both timestamp[ns] and timestamp[us] generations).
   */
 object RelationalQueries2 {
   import Q._
@@ -19,10 +19,12 @@ object RelationalQueries2 {
   /** 30-minute session window in µs (range-join bucket width). */
   private val W_US = 1800000000L
 
-  private def ev(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").select(
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.select(
       col("event_id"), col("user_id"), col("event_type"), col("value"),
-      expr("ts div 1000").as("us"))
+      epochUs(e).as("us"))
+  }
 
   /** Above this many rows in the largest year, q34 abandons the
     * partitioned window (one task per year) for the selection plan.

@@ -108,9 +108,10 @@ object RelationalQueries4 {
     // one per-user min-agg + one join back + one hash agg — the join key
     // (user_id) is the natural partition key at scale.
     "q44_cohort_retention" -> { (s, dir) =>
-      val e = t(s, dir, "events")
+      val ev0 = t(s, dir, "events")
+      val e = ev0
         .select(col("user_id"), date_trunc("week",
-          timestamp_micros(expr("ts div 1000"))).cast("date").as("week"))
+          timestamp_micros(epochUs(ev0))).cast("date").as("week"))
       val cohort = e.groupBy("user_id").agg(min("week").as("cohort_week"))
       e.join(cohort, "user_id")
         .withColumn("offset_w",
@@ -129,9 +130,10 @@ object RelationalQueries4 {
     // Restricted to the stream's first day — over the full fixture month
     // every user completes the funnel and the query degenerates to 1 row.
     "q45_funnel" -> { (s, dir) =>
-      val ev = t(s, dir, "events")
+      val ev0 = t(s, dir, "events")
+      val ev = ev0
         .select(col("user_id"), col("event_type"),
-          expr("ts div 1000").as("us"))
+          epochUs(ev0).as("us"))
         .filter(col("us") < 1704153600000000L) // < 2024-01-02 00:00 UTC
       val su = ev.filter(col("event_type") === "signup")
         .groupBy("user_id").agg(min("us").as("t_signup"))
