@@ -35,4 +35,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // multi-second anomalies on otherwise sub-second queries). The
   // container has 128 GiB; override via SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+  // The 119-query battery generates thousands of codegen'd classes; the
+  // default 240m code cache forces JIT sweeping/flushes mid-battery and
+  // C2-compiled methods get discarded while still hot (round 6's 5.7x
+  // battery pathology: hot queries stuck at low tier behind a saturated
+  // C2 queue). 512m holds the whole battery's compiled surface.
+  "-XX:ReservedCodeCacheSize=512m",
+) ++
+  // Experiment hook: SPARK_GRAFT_JVM_OPTS="-XX:+PrintCompilation ..."
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
+    .flatMap(_.split("\\s+").toSeq).filter(_.nonEmpty)

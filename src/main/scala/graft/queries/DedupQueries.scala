@@ -1053,7 +1053,17 @@ object DedupQueries {
       val v = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding"))
         .withColumn("nrm", l2norm(col("embedding")))
+      // Candidate-pair audit (the d32-recall-audit pattern): d12 is
+      // irreducibly quadratic WITHIN a label (see tile-kernel note above),
+      // so each output row carries its label's candidate-pair count —
+      // when the fixture corpus grows, the quadratic term is visible in
+      // the verified output rather than only in wall-clock.
+      val cand = v.groupBy("label").agg(count(lit(1)).as("c"))
+        .select(col("label"), expr("c * (c - 1) div 2").as("n_candidate_pairs"))
       embedNeardupBlocked(s, v, 0.4)
+        .join(broadcast(cand), "label")
+        .select(col("label"), col("va"), col("vb"), col("cosine"),
+          col("n_candidate_pairs"))
         .orderBy("label", "va", "vb")
     },
     // D1/D2 audit — per-document duplicate-n-gram coverage: the fraction of
@@ -1590,10 +1600,15 @@ object DedupQueries {
     "d12_embed_neardup" ->
       s"""WITH v AS (
          |  SELECT vec_id, label, embedding, ${oNorm("embedding")} AS nrm
-         |  FROM embeddings)
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT label, c * (c - 1) // 2 AS n_candidate_pairs
+         |  FROM (SELECT label, COUNT(*) AS c FROM embeddings GROUP BY label))
          |SELECT a.label AS label, a.vec_id AS va, b.vec_id AS vb,
-         |       ${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+         |       ${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine,
+         |       cand.n_candidate_pairs
          |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+         |JOIN cand ON cand.label = a.label
          |WHERE ${oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.4
          |ORDER BY label, va, vb""".stripMargin,
     "d34_ngram_coverage" ->

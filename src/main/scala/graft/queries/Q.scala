@@ -55,6 +55,22 @@ object Q {
   def clear(spark: SparkSession): Unit =
     planCache.synchronized { planCache.remove(spark); touchCache.remove(spark) }
 
+  /** Unpersist every memoized intermediate and drop ALL cached handles for
+    * a LIVE session — restores the cold-start state a fresh process would
+    * see (modulo JIT/page cache). Bench calls this between timed passes so
+    * each pass charges shared-table builds to the same queries a
+    * single-pass run would.
+    */
+  def reset(spark: SparkSession): Unit = planCache.synchronized {
+    Option(planCache.get(spark)).foreach { m =>
+      m.keys.filter(_._2.startsWith("#")).toSeq
+        .foreach(k => m.remove(k).foreach(_.unpersist(blocking = true)))
+    }
+    planCache.remove(spark)
+    touchCache.remove(spark)
+    ()
+  }
+
   // LRU clocks for memoized entries (per session, same lifecycle as
   // planCache): memo() stamps every access, eviction walks oldest-first.
   private val touchClock = new java.util.concurrent.atomic.AtomicLong()
