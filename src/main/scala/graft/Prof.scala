@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Scratch profiler for bench hot spots (not part of the library surface). */
 object Prof {
@@ -15,20 +17,47 @@ object Prof {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def force(df: org.apache.spark.sql.DataFrame): Long = {
+      df.queryExecution.toRdd
+        .foreachPartition(it => while (it.hasNext) { it.next(); () })
+      0L
+    }
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
     }
 
-    // warmup
-    time("warmup_d01")(graft.queries.DedupQueries.queries("d01_dedup_exact")(spark, dir).count())
-    time("d02_jaccard")(graft.queries.DedupQueries.queries("d02_dedup_jaccard")(spark, dir).count())
-    time("d03_minhash")(graft.queries.DedupQueries.queries("d03_dedup_minhash_lsh")(spark, dir).count())
-    spark.catalog.clearCache()
-    time("d03_cold")(graft.queries.DedupQueries.queries("d03_dedup_minhash_lsh")(spark, dir).count())
-    spark.catalog.clearCache()
-    time("d02_cold")(graft.queries.DedupQueries.queries("d02_dedup_jaccard")(spark, dir).count())
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02")))
+    val gb = () => li.groupBy("l_returnflag", "l_linestatus")
+
+    // Decompose q01's cost: scan+group vs double sums vs decimal sums.
+    for (round <- 1 to 3) {
+      time(s"r$round scan_count")(force(gb().agg(count(lit(1)).as("n"))))
+      time(s"r$round double_sums")(force(gb().agg(
+        sum(col("l_quantity")).as("a"),
+        sum(col("l_extendedprice")).as("b"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("c"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("d"),
+        sum(col("l_discount")).as("e"))))
+      time(s"r$round decimal20_sums")(force(gb().agg(
+        sum(col("l_quantity").cast(DecimalType(20, 6))).as("a"),
+        sum(col("l_extendedprice").cast(DecimalType(20, 6))).as("b"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(20, 6))).as("c"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).cast(DecimalType(20, 6))).as("d"),
+        sum(col("l_discount").cast(DecimalType(20, 6))).as("e"))))
+      time(s"r$round longmicros_sums")(force(gb().agg(
+        sum(unscaled(col("l_quantity"))).as("a"),
+        sum(unscaled(col("l_extendedprice"))).as("b"),
+        sum(unscaled(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("c"),
+        sum(unscaled(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("d"),
+        sum(unscaled(col("l_discount"))).as("e"))))
+    }
     spark.stop()
   }
+
+  /** exact micro-units long: double -> Decimal(20,6) -> unscaled long */
+  private def unscaled(c: org.apache.spark.sql.Column) =
+    (c.cast(DecimalType(20, 6)) * lit(1000000L)).cast("long")
 }
