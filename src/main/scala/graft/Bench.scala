@@ -125,7 +125,7 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
-    def runPass(): Seq[(String, Double)] =
+    def runPass(): Seq[(String, Double, Boolean)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         settle(10) // drain the previous query's compile backlog (untimed)
         val (jit0, gc0) =
@@ -146,7 +146,7 @@ object Bench {
           val jd = if (jitBean != null) jitBean.getTotalCompilationTime - jit0 else -1L
           System.err.println(f"#diag $name%-28s ${sec}%8.3fs jit=${jd}ms gc=${gcMs - gc0}ms")
         }
-        name -> sec
+        (name, sec, failed.isDefined)
       }
     // Two timed passes, per-query MINIMUM. Measured (runs 1-5 this round,
     // identical code): the same battery swings 90s..175s run-to-run, with
@@ -168,8 +168,14 @@ object Bench {
         f"#pass $p/$passes total=${r.map(_._2).sum}%.3fs")
       r
     }
+    // Per-query min over SUCCESSFUL passes only: a failed run's elapsed
+    // time is how fast the error was thrown, not a measurement, and must
+    // not shadow a successful pass's real time. A query that failed every
+    // pass keeps its (loud, #fail-marked) elapsed time.
     val results = passResults.head.map(_._1).map { n =>
-      n -> passResults.map(_.collectFirst { case (`n`, v) => v }.get).min
+      val runs = passResults.map(_.collectFirst { case (`n`, v, f) => (v, f) }.get)
+      val ok = runs.collect { case (v, false) => v }
+      n -> (if (ok.nonEmpty) ok.min else runs.map(_._1).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
