@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Per-query minimum across timed passes, over SUCCESSFUL runs only: a
+    * failed run's elapsed time is how fast the error was thrown, not a
+    * measurement, and must not shadow a successful pass's real time. A
+    * query that failed every pass keeps its (loud, #fail-marked) elapsed
+    * time. Each pass is `(name, seconds, failed)` in battery order; output
+    * keeps pass-1 order.
+    */
+  private[graft] def minOverPasses(
+      passResults: Seq[Seq[(String, Double, Boolean)]]): Seq[(String, Double)] =
+    passResults.head.map(_._1).map { n =>
+      val runs = passResults.map(_.collectFirst { case (`n`, v, f) => (v, f) }.get)
+      val ok = runs.collect { case (v, false) => v }
+      n -> (if (ok.nonEmpty) ok.min else runs.map(_._1).min)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -168,15 +183,7 @@ object Bench {
         f"#pass $p/$passes total=${r.map(_._2).sum}%.3fs")
       r
     }
-    // Per-query min over SUCCESSFUL passes only: a failed run's elapsed
-    // time is how fast the error was thrown, not a measurement, and must
-    // not shadow a successful pass's real time. A query that failed every
-    // pass keeps its (loud, #fail-marked) elapsed time.
-    val results = passResults.head.map(_._1).map { n =>
-      val runs = passResults.map(_.collectFirst { case (`n`, v, f) => (v, f) }.get)
-      val ok = runs.collect { case (v, false) => v }
-      n -> (if (ok.nonEmpty) ok.min else runs.map(_._1).min)
-    }
+    val results = minOverPasses(passResults)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -103,8 +103,8 @@ object RelationalQueries4 {
     // C17/C25 — COHORT RETENTION over the event stream: users bucketed by
     // first-seen week, activity counted per (cohort, weeks-since). Weekly
     // cohorts because the fixture event stream spans one month. All time
-    // math in epoch-µs longs (`ts` surfaces as ns — µs is the precision
-    // both engines share; week truncation is unaffected below µs). Shape:
+    // math in epoch-µs longs via Q.epochUs (µs is the precision both
+    // engines share; week truncation is unaffected below µs). Shape:
     // one per-user min-agg + one join back + one hash agg — the join key
     // (user_id) is the natural partition key at scale.
     "q44_cohort_retention" -> { (s, dir) =>

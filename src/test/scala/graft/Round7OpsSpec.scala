@@ -137,4 +137,17 @@ class Round7OpsSpec extends SparkSpec {
     val parts = new java.io.File(s"$out/fine").listFiles()
     assert(parts != null && parts.exists(_.getName.endsWith(".parquet")))
   }
+
+  // ------------------------------------------------------------- bench
+  test("Bench.minOverPasses ignores failed runs in the per-query minimum") {
+    val p1 = Seq(("a", 5.0, false), ("b", 0.01, true), ("c", 2.0, true))
+    val p2 = Seq(("a", 3.0, false), ("b", 4.0, false), ("c", 1.5, true))
+    val r = Bench.minOverPasses(Seq(p1, p2)).toMap
+    assert(r("a") == 3.0, "plain min over successful runs")
+    assert(r("b") == 4.0,
+      "a failed run's (fast) elapsed time must not shadow a real time")
+    assert(r("c") == 1.5, "all-failed keeps the min elapsed time, loudly")
+    // single pass passes through
+    assert(Bench.minOverPasses(Seq(p1)).toMap.apply("b") == 0.01)
+  }
 }
