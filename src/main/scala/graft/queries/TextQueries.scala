@@ -75,8 +75,7 @@ object TextQueries {
       t(s, dir, "documents")
         .select(col("doc_id"),
           size(tokens(col("text"))).as("ws_tokens"),
-          size(expr(s"regexp_extract_all(text, '$bpeishRegex', 0)"))
-            .as("bpeish_tokens"),
+          expr(s"regexp_count(text, '$bpeishRegex')").as("bpeish_tokens"),
           length(col("text")).as("n_chars"))
         .withColumn("chars_per_token",
           col("n_chars").cast("double") / col("bpeish_tokens"))
@@ -91,7 +90,7 @@ object TextQueries {
           regexp_replace(
             regexp_replace(col("text"), "[0-9]+", "<num>"),
             "\\b(key|hash)\\b", "<redacted>").as("clean_text"),
-          size(expr("regexp_extract_all(text, '\\\\b(key|hash)\\\\b', 0)"))
+          expr("regexp_count(text, '\\\\b(key|hash)\\\\b')")
             .as("n_redacted"))
         .orderBy("doc_id")
     },
@@ -157,7 +156,7 @@ object TextQueries {
       val w = Window.partitionBy("source").orderBy("doc_id")
       t(s, dir, "documents")
         .withColumn("n_tok",
-          size(expr(s"regexp_extract_all(text, '$bpeishRegex', 0)")))
+          expr(s"regexp_count(text, '$bpeishRegex')"))
         .withColumn("cum", sum("n_tok").over(w))
         .withColumn("seq_id", expr("(cum - n_tok) div 256"))
         .groupBy("source", "seq_id")
@@ -313,11 +312,11 @@ object TextQueries {
     "d37_pii_stats" -> { (s, dir) =>
       val d = t(s, dir, "documents")
         .withColumn("digit_runs",
-          size(expr("regexp_extract_all(text, '[0-9]+', 0)")))
+          expr("regexp_count(text, '[0-9]+')"))
         .withColumn("email_hits",
-          size(expr("regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+', 0)")))
+          expr("regexp_count(text, '[a-z0-9.]+@[a-z0-9.]+')"))
         .withColumn("block_hits",
-          size(expr("regexp_extract_all(text, '\\\\b(key|hash|secret)\\\\b', 0)")))
+          expr("regexp_count(text, '\\\\b(key|hash|secret)\\\\b')"))
       d.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("digit_runs") > 0, 1L).otherwise(0L)).as("docs_with_digits"),
