@@ -16,12 +16,30 @@ object Bench {
       n -> (if (ok.nonEmpty) ok.min else runs.map(_._1).min)
     }
 
+  /** Queries that failed EVERY pass — their "time" above is how fast the
+    * error threw, not a measurement. Surfaced as a `fails` key in the
+    * machine-parsed JSON line: the per-query `#fail` prints land hundreds
+    * of lines before the driver's ~2000-char tail window, so without this
+    * a battery-wide breakage reads as a LOWER total (the round-6 failure
+    * mode, at the driver interface this time).
+    */
+  private[graft] def allFailed(
+      passResults: Seq[Seq[(String, Double, Boolean)]]): Seq[String] =
+    passResults.head.map(_._1).filter { n =>
+      passResults.forall(_.collectFirst { case (`n`, _, f) => f }.get)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC pinned HERE, not only via build.sbt's -D flag: Q.epochUs's
+      // NTZ→TIMESTAMP arm makes events semantics timezone-dependent, and
+      // a spark-submit launch (no sbt javaOptions) on a non-UTC host
+      // would otherwise time a different row set than Verify checks
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     // Optional extra confs for experiments: SPARK_GRAFT_CONF="k=v;k=v"
@@ -108,15 +126,19 @@ object Bench {
     // OUTSIDE the measured window, so per-query numbers are steady-state
     // JIT-drained times, comparable across battery positions and rounds.
     val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    // 250ms poll windows with a proportional threshold (<10% compile duty
+    // cycle), not 1s: the window is pure untimed idle when the C2 queue is
+    // already drained, and at 119 queries × 2 passes an unconditional 1s
+    // first window alone added ~4 min of wall-clock per bench run.
     def settle(maxSec: Int): Unit =
       if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported) {
         val deadline = System.nanoTime() + maxSec * 1000000000L
         var prev = jitBean.getTotalCompilationTime
         var settled = false
         while (!settled && System.nanoTime() < deadline) {
-          Thread.sleep(1000)
+          Thread.sleep(250)
           val now = jitBean.getTotalCompilationTime
-          settled = now - prev < 100 // <100ms compile work in the last 1s
+          settled = now - prev < 25 // <25ms compile work in the last 250ms
           prev = now
         }
       }
@@ -184,12 +206,14 @@ object Bench {
       r
     }
     val results = minOverPasses(passResults)
+    val failed = allFailed(passResults)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val failsJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full-precision, full-name per-query detail for humans/archaeology.
     // Prefixed so it can never be mistaken for the machine-readable line.
-    println(s"""#detail {"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""#detail {"metric":"total","value":$total,"unit":"sec","queries":$qs,"fails":$failsJson,"sf":"$sfDir"}""")
     // The driver keeps only the LAST ~2000 chars of output and json-parses
     // the result line from that window (BENCH_r03.json: the 79-query
     // full-precision line is ~2900 chars and got truncated -> parsed:null).
@@ -208,7 +232,11 @@ object Bench {
     val compactQs = shortNames.zip(results).map { case (sk, (_, v)) =>
       s""""$sk":${f3(v)}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$compactQs,"sf":"$sfDir"}""")
+    // fails uses the same short names as queries; empty list = all green
+    val shortByFull = results.map(_._1).zip(shortNames).toMap
+    val compactFails = failed.map(n => "\"" + shortByFull(n) + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$compactQs,"fails":$compactFails,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

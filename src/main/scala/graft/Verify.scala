@@ -72,7 +72,11 @@ object Verify {
       // a failed run can leave committed part files / _temporary trees —
       // clear them so the marker dir is unambiguously empty
       if (d.exists()) rmTree(d)
-      d.mkdirs()
+      // the marker dir is the failure CONTRACT — if it can't be (re)made
+      // empty, say so rather than silently reverting to round-6's
+      // key-vanishes behavior
+      if (!d.mkdirs() && !(d.isDirectory && Option(d.list()).forall(_.isEmpty)))
+        println(s"[verify] FAIL-MARKER UNWRITABLE for $name at $d")
       val msg = s"[verify] FAIL $name: ${e.toString.takeWhile(_ != '\n')}"
       println(msg)
       System.err.println(msg)

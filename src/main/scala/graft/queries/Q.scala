@@ -186,7 +186,15 @@ object Q {
   private[graft] def epochUs(df: DataFrame): Column =
     df.schema("ts").dataType match {
       case LongType => expr("ts div 1000")
-      case _        => unix_micros(col("ts").cast(TimestampType))
+      case TimestampType | org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast(TimestampType))
+      // fail FAST on a third fixture drift: the catch-all cast would
+      // accept e.g. StringType and null out unparseable rows — queries
+      // would run and produce wrong/empty results instead of naming the
+      // drifted type at the dispatch site (the round-6 lesson)
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other — " +
+          "extend Q.epochUs for this fixture generation")
     }
 
   /** Id-range DECILE bucket: floor(id·10 / (max+1)) against a broadcast

@@ -112,6 +112,27 @@ class Round7OpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(fromNs == us, s"LongType(ns) arm: $fromNs != $us")
     assert(fromTs == us, s"Timestamp arm: $fromTs != $us")
+    // TIMESTAMP_NTZ — the ACTUAL read type of the current timestamp[us]
+    // fixtures, and the only arm whose exactness depends on the UTC
+    // session timezone (NTZ wall-clock reinterpreted as a UTC instant).
+    // An hours-level timezone regression passes the fixture-drift
+    // plausibility window above, so pin exact µs values here.
+    val ntzDf = us.toDF("us")
+      .select(to_timestamp_ntz(timestamp_micros(col("us"))
+        .cast("string")).as("ts"))
+    assert(ntzDf.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val fromNtz = ntzDf.select(graft.queries.Q.epochUs(ntzDf).as("us"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(fromNtz == us, s"TIMESTAMP_NTZ arm: $fromNtz != $us")
+    // a third fixture drift must fail FAST at the dispatch site, not null
+    // out downstream — strings are the canonical silent-corruption type
+    val strDf = Seq("2024-01-01 00:00:00").toDF("ts")
+    val err = intercept[IllegalStateException] {
+      graft.queries.Q.epochUs(strDf)
+    }
+    assert(err.getMessage.contains("StringType"),
+      s"dispatch error must name the drifted type: ${err.getMessage}")
   }
 
   // ------------------------------------------------------------- verify
@@ -149,5 +170,16 @@ class Round7OpsSpec extends SparkSpec {
     assert(r("c") == 1.5, "all-failed keeps the min elapsed time, loudly")
     // single pass passes through
     assert(Bench.minOverPasses(Seq(p1)).toMap.apply("b") == 0.01)
+  }
+
+  test("Bench.allFailed surfaces only every-pass failures for the JSON fails key") {
+    val p1 = Seq(("a", 5.0, false), ("b", 0.01, true), ("c", 2.0, true))
+    val p2 = Seq(("a", 3.0, false), ("b", 4.0, false), ("c", 1.5, true))
+    // b recovered in pass 2 => measured; c failed every pass => its "time"
+    // is an error-throw time and must be machine-visible as a failure
+    assert(Bench.allFailed(Seq(p1, p2)) == Seq("c"))
+    assert(Bench.allFailed(Seq(p1)) == Seq("b", "c"))
+    assert(Bench.allFailed(Seq(p2.map { case (n, v, _) => (n, v, false) }))
+      .isEmpty)
   }
 }
