@@ -113,9 +113,15 @@ class GraftEngine(
       opened.get(store).orElse(
         if (isNameConnected(name)) Some(table(name)) else None)
     } else opened.values.toSeq
-    tabs.filter(_.isConnected)
-      .foreach(t => t.read.createOrReplaceTempView(t.sqlName))
-    spark.sql(query)
+    val views = tabs.filter(_.isConnected)
+    views.foreach(t => t.read.createOrReplaceTempView(t.sqlName))
+    // analysis is EAGER (the returned frame holds resolved scans, not view
+    // references), so the views can be dropped immediately — leaving them
+    // registered would let a LATER caller on the same SparkSession resolve
+    // another node's stale table snapshot instead of failing the declared-
+    // dataflow check (and read a version dir retention may since have gc'd)
+    try spark.sql(query)
+    finally views.foreach(t => spark.catalog.dropTempView(t.sqlName))
   }
 
   /** Streams register here so normal execution end persists their progress

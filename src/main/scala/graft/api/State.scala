@@ -26,12 +26,27 @@ class State(stateDir: Path, nodeId: String,
   private var cache: Map[String, JValue] = loadFile()
   private var newRunRequested: Option[NewRunRequest] = None
 
-  private def loadFile(): Map[String, JValue] =
-    if (!Files.exists(path)) Map.empty
-    else JsonMethods.parse(new String(Files.readAllBytes(path), StandardCharsets.UTF_8)) match {
-      case JObject(fields) => fields.toMap
-      case _ => Map.empty
-    }
+  private def loadFile(): Map[String, JValue] = {
+    def parse(p: Path): Map[String, JValue] =
+      JsonMethods.parse(
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8)) match {
+        case JObject(fields) => fields.toMap
+        case _ => Map.empty
+      }
+    // Recovery for persist()'s non-atomic fallback window (same contract
+    // as TableCatalog.load): tmp, when present, is always a COMPLETELY
+    // written document, so a truncated/missing final file recovers from
+    // tmp instead of bricking the node with a parse error every run.
+    val tmp = stateDir.resolve(s"$nodeId.json.tmp")
+    if (Files.exists(path)) {
+      try parse(path)
+      catch { case _: Throwable =>
+        if (Files.exists(tmp)) parse(tmp)
+        else parse(path) // tmp consumed => the replace finished; re-read
+      }
+    } else if (Files.exists(tmp)) parse(tmp) // crash before the move
+    else Map.empty
+  }
 
   private def persist(): Unit = {
     Files.createDirectories(stateDir)

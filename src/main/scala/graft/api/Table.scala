@@ -113,7 +113,14 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     * BOUND, not a value — unsafe as a cursor). Missing columns make the
     * streaming source fall back to a scan, never return a wrong offset.
     */
-  private def footerStats(vid: String): (Long, Map[String, String]) = {
+  /** Footer stats over an explicit file set: (rows, per-column max).
+    * Map value semantics: `Some(v)` = qualified running max, `None` =
+    * column SEEN but disqualified (unusable stats, unsupported type,
+    * truncated binary, or mixed physical types across files); a column
+    * absent from the map never appeared in any footer.
+    */
+  private def footerStatsCore(
+      files: Seq[java.io.File]): (Long, Map[String, Option[Any]]) = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
@@ -122,7 +129,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     // per-column running max over all row groups; a column drops to None
     // (untracked forever) the first time a row group lacks usable stats
     val maxes = scala.collection.mutable.Map.empty[String, Option[Any]]
-    filesIn(vid).foreach { f =>
+    files.foreach { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -181,7 +188,16 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
                     case (_, None) => None
                     case (None, nv) => nv
                     case (Some(p), Some(n)) =>
-                      Some(if (p.asInstanceOf[Comparable[Any]].compareTo(n) >= 0) p else n)
+                      // a version dir whose column changes PHYSICAL type
+                      // across files (legacy/externally-written dirs,
+                      // which recordCount explicitly supports) makes this
+                      // compare heterogeneous — disqualify the column
+                      // (readers fall back to a scan) instead of throwing
+                      // AFTER the append already committed
+                      try Some(
+                        if (p.asInstanceOf[Comparable[Any]].compareTo(n) >= 0) p
+                        else n)
+                      catch { case _: ClassCastException => None }
                   }
               }
             }
@@ -189,18 +205,81 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
         }
       } finally r.close()
     }
-    val enc = maxes.collect { case (k, Some(v)) =>
-      k -> (v match {
-        case ts: java.sql.Timestamp => ts.toInstant.toString
-        case other => other.toString
-      })
-    }.toMap
-    (rows, enc)
+    (rows, maxes.toMap)
+  }
+
+  /** The streaming source's offset encoding (GraftTableSource.encode):
+    * timestamps as ISO instants, everything else via its SQL string form.
+    */
+  private def encodeStat(v: Any): String = v match {
+    case ts: java.sql.Timestamp => ts.toInstant.toString
+    case other => other.toString
+  }
+
+  /** Inverse of [[encodeStat]], typed by a value of the SAME column read
+    * from a newer footer — throws on type drift (callers disqualify).
+    */
+  private def decodeStatLike(enc: String, like: Any): Any = like match {
+    case _: java.lang.Long => java.lang.Long.valueOf(enc)
+    case _: java.lang.Integer => java.lang.Integer.valueOf(enc)
+    case _: java.lang.Double => java.lang.Double.valueOf(enc)
+    case _: java.sql.Timestamp =>
+      java.sql.Timestamp.from(java.time.Instant.parse(enc))
+    case _ => enc
+  }
+
+  private def footerStats(vid: String): (Long, Map[String, String]) = {
+    val (rows, maxes) = footerStatsCore(filesIn(vid).toSeq)
+    (rows, maxes.collect { case (k, Some(v)) => k -> encodeStat(v) })
   }
 
   private def stampVersionStats(vid: String): Unit = {
     val (rows, cursorMax) = footerStats(vid)
     catalog.setVersionStats(name, vid, rows, cursorMax)
+  }
+
+  /** Post-append stamp that reads ONLY the files the append created,
+    * merging with the version's previous stamp. Merge rules (all
+    * CONSERVATIVE — a dropped column costs a scan fallback, a wrong max
+    * would corrupt streaming offsets):
+    *   - column stamped before + qualified in the new files → max of the
+    *     two (decode the stored string by the new value's type; any
+    *     decode/compare failure disqualifies);
+    *   - stamped before + absent from the new files (schema evolution:
+    *     the new rows are all-null there) → keep the previous max;
+    *   - stamped before + DISQUALIFIED in a new file → disqualified;
+    *   - NOT stamped before → stays unstamped, even if the new files
+    *     could stamp it: absence can mean "disqualified by an older file"
+    *     (data-dependent, e.g. a truncated >256-byte binary bound), and
+    *     stamping from new files alone could UNDERSTATE the true max.
+    *     The next upsert/replace (fresh version, full stamp) recovers it.
+    * Falls back to the full recompute when the version has no previous
+    * stamp (legacy manifests).
+    */
+  private def stampVersionStatsAfterAppend(
+      vid: String, preExisting: Set[String]): Unit = {
+    val prev = manifest.versions.find(_.id == vid)
+    (prev.flatMap(_.rowCount), prev.flatMap(_.cursorMax)) match {
+      case (Some(prevRows), Some(prevMax)) =>
+        val newFiles = filesIn(vid).filterNot(f => preExisting(f.getAbsolutePath))
+        val (newRows, newMaxes) = footerStatsCore(newFiles.toSeq)
+        val merged = prevMax.flatMap { case (k, prevEnc) =>
+          newMaxes.get(k) match {
+            case None => Some(k -> prevEnc) // absent in new files: keep
+            case Some(None) => None         // disqualified by a new file
+            case Some(Some(nv)) =>
+              try {
+                val pv = decodeStatLike(prevEnc, nv)
+                val mx =
+                  if (pv.asInstanceOf[Comparable[Any]].compareTo(nv) >= 0) pv
+                  else nv
+                Some(k -> encodeStat(mx))
+              } catch { case _: Exception => None } // type drift
+          }
+        }
+        catalog.setVersionStats(name, vid, prevRows + newRows, merged)
+      case _ => stampVersionStats(vid)
+    }
   }
 
   private def activeDf: Option[DataFrame] =
@@ -270,7 +349,10 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     */
   def readSql(sql: String): DataFrame = {
     read.createOrReplaceTempView(sqlName)
-    spark.sql(sql)
+    // analysis is eager; drop the view so a later session-sharing caller
+    // can't resolve this table's stale snapshot without declaring it
+    try spark.sql(sql)
+    finally spark.catalog.dropTempView(sqlName)
   }
 
   // --- write surface (node.py:269-414) ---
@@ -288,7 +370,10 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
       uniqueOn: Seq[String] = Nil,
       addCreated: String = null,
       addMonotonicId: String = null,
-      autoIndexes: Boolean = true,
+      // boxed so "not passed" (null) preserves the persisted flag — every
+      // other meta field merges-or-preserves, and a second init() tweaking
+      // something else must not silently flip indexing back on
+      autoIndexes: java.lang.Boolean = null,
       bucketBy: Int = 0,
       retentionMillis: Long = -1L): Table = {
     require(bucketBy == 0 || uniqueOn.nonEmpty || manifest.meta.uniqueOn.nonEmpty,
@@ -304,7 +389,7 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
       uniqueOn = if (uniqueOn.nonEmpty) uniqueOn.toList else m.uniqueOn,
       addCreated = Option(addCreated).orElse(m.addCreated),
       addMonotonicId = Option(addMonotonicId).orElse(m.addMonotonicId),
-      autoIndexes = autoIndexes,
+      autoIndexes = Option(autoIndexes).fold(m.autoIndexes)(_.booleanValue),
       numBuckets = if (bucketBy > 0) Some(bucketBy) else m.numBuckets,
       retentionMillis =
         if (retentionMillis >= 0L) Some(retentionMillis) else m.retentionMillis))
@@ -324,7 +409,6 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     */
   def flush(): Unit = if (connected && buffer.nonEmpty) catalog.withTableLock(name) {
     val batch = buffer.reduce(_.unionByName(_, allowMissingColumns = true))
-    buffer.clear()
     val isNew = manifest.activeVersion.isEmpty
     val vid = manifest.activeVersion.getOrElse {
       val (_, v) = catalog.createVersion(name)
@@ -339,10 +423,20 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     val (buckets, attest) =
       if (activeFiles.nonEmpty) (layoutBuckets(vid), exactLayoutBuckets(vid).isDefined)
       else (bucketCount, true)
+    // snapshot the dir BEFORE the write so the stats stamp can read only
+    // the footers this append created (an append-heavy table otherwise
+    // pays O(all files) driver-side footer reads per flush — quadratic
+    // cumulative I/O for exactly the streaming workload the manifest
+    // stamps exist to serve)
+    val preExisting = filesIn(vid).map(_.getAbsolutePath).toSet
     writeInto(clustered(decorate(conform(batch))),
       catalog.versionDir(name, vid).toString, SaveMode.Append, buckets, attest)
-    stampVersionStats(vid)
+    stampVersionStatsAfterAppend(vid, preExisting)
     if (!isNew) catalog.recordEvent(name, "update")
+    // cleared only AFTER the write + stamp succeed: a failed flush keeps
+    // the buffered appends, so a caller that catches and retries gets the
+    // rows written instead of a silently successful no-op
+    buffer.clear()
   }
 
   // --- hash-bucketed layout (the 100 TB upsert/point-lookup path) ---
@@ -628,10 +722,13 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     * (node.py:360-362).
     */
   def executeSql(sql: String): DataFrame = if (!connected) spark.emptyDataFrame else {
-    if (hasActiveVersion) read.createOrReplaceTempView(sqlName)
+    val registered = hasActiveVersion
+    if (registered) read.createOrReplaceTempView(sqlName)
     val planClass = spark.sessionState.sqlParser.parsePlan(sql)
       .getClass.getSimpleName.toLowerCase
-    val result = spark.sql(sql)
+    val result =
+      try spark.sql(sql)
+      finally if (registered) spark.catalog.dropTempView(sqlName)
     // classify create-vs-modify from the parsed plan root (node.py:360-362);
     // a side-effect-free query emits NO event — phantom updates would
     // spuriously cascade every downstream consumer

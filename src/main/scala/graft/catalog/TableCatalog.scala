@@ -333,6 +333,11 @@ class TableCatalog(val root: Path) {
   def acquireReadLease(name: String, vid: String,
       ttlMillis: Long = TableCatalog.DefaultLeaseTtlMillis): ReadLease =
     withTableLock(name) {
+      // sweep expired leases on every acquisition (already under the table
+      // lock, and the dir stays small because of it): a table whose
+      // retention gc never runs must not accumulate crashed readers'
+      // lease files unboundedly
+      leasedVids(name)
       Files.createDirectories(leaseDir(name))
       val p = leaseDir(name).resolve(
         s"$vid.${java.util.UUID.randomUUID().toString.take(8)}.lease")

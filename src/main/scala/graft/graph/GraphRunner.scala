@@ -101,7 +101,10 @@ class GraphRunner(
         n.inputs.keys.foreach { port =>
           eng.table(port).read.createOrReplaceTempView(port)
         }
-        spark.sql(sql)
+        // drop after eager analysis: port names are node-local aliases and
+        // must not leak into the NEXT node's SQL resolution scope
+        try spark.sql(sql)
+        finally n.inputs.keys.foreach(spark.catalog.dropTempView(_))
       }
       eng.table(outPort, "w").replace(result)
     } else {

@@ -214,12 +214,24 @@ class GraftTableSource(sqlContext: SQLContext, cat: TableCatalog,
     fs.rename(tmp, hwPath)
   }
 
-  /** Inverse of [[encode]] against the cursor column's type. */
+  /** Inverse of [[encode]] against the cursor column's type. Every type a
+    * cursor column can legally carry must decode to the SAME runtime class
+    * a scan would return: clamp() compares the persisted high water against
+    * scanned values with a raw Comparable cast, and a String-vs-Date
+    * mismatch after a stream restart throws on every subsequent trigger.
+    */
   private def decode(enc: String): Any =
     schema.fields.find(_.name == orderBy).map(_.dataType) match {
       case Some(org.apache.spark.sql.types.LongType) => enc.toLong
       case Some(org.apache.spark.sql.types.IntegerType) => enc.toInt
+      case Some(org.apache.spark.sql.types.ShortType) => enc.toShort
+      case Some(org.apache.spark.sql.types.ByteType) => enc.toByte
       case Some(org.apache.spark.sql.types.DoubleType) => enc.toDouble
+      case Some(org.apache.spark.sql.types.FloatType) => enc.toFloat
+      case Some(org.apache.spark.sql.types.DateType) =>
+        java.sql.Date.valueOf(enc) // encode: java.sql.Date.toString = ISO date
+      case Some(_: org.apache.spark.sql.types.DecimalType) =>
+        new java.math.BigDecimal(enc)
       case Some(TimestampType) =>
         java.sql.Timestamp.from(java.time.Instant.parse(enc))
       case _ => enc
@@ -301,7 +313,13 @@ class GraftTableSource(sqlContext: SQLContext, cat: TableCatalog,
     val pinned = endOff.vid
       .filter(vid => cat.refresh(table).exists(_.versions.exists(_.id == vid)))
       .flatMap { vid =>
-        cat.acquireReadLease(table, vid)
+        // one LIVE lease per source: micro-batches execute sequentially,
+        // so by the time this batch's plan is built the previous batch has
+        // fully drained — release its lease instead of leaking one file
+        // per trigger (a 1 s trigger would otherwise mint ~86k files/day,
+        // swept only when a retention gc happens to run)
+        currentLease.foreach(_.release())
+        currentLease = Some(cat.acquireReadLease(table, vid))
         versionDf(vid)
       }
     val base = pinned.orElse(activeDf).getOrElse(
@@ -330,5 +348,13 @@ class GraftTableSource(sqlContext: SQLContext, cat: TableCatalog,
   override def deserializeOffset(json: String): org.apache.spark.sql.connector.read.streaming.Offset =
     CursorOffset.parse(json)
 
-  override def stop(): Unit = ()
+  // the replay-pin lease for the in-flight batch; released when the next
+  // batch supersedes it or the stream stops (a crash leaves at most ONE
+  // file, reclaimed by the lease TTL)
+  @volatile private var currentLease: Option[cat.ReadLease] = None
+
+  override def stop(): Unit = {
+    currentLease.foreach(_.release())
+    currentLease = None
+  }
 }

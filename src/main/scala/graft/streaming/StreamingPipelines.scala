@@ -216,6 +216,10 @@ object StreamingPipelines {
       s"tailTable('${table.name}') needs an existing active version for its schema"))
     table.read.sparkSession.readStream.schema(sch)
       .parquet(table.activeVersionDir.get)
+      // bucketed layouts add a discovered __bucket partition column the
+      // batch read paths (table.read/activeDf) drop — match them so a
+      // consumer written against table.schema never sees the layout detail
+      .drop("__bucket")
   }
 
   /** Stream into a catalog table: each micro-batch goes through the

@@ -1,0 +1,193 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+
+import graft.api.{GraftEngine, State}
+
+/** Round-7 hardening: fixes from the adversarial review of the api/
+  * catalog/streaming layer — failed-flush buffer retention, incremental
+  * footer stamping, init() meta preservation, SQL temp-view scoping,
+  * State crash recovery, streaming-source cursor types and lease
+  * lifecycle, tailTable bucket-column hygiene.
+  */
+class Round7HardeningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("failed flush retains the buffer; the retry writes the rows") {
+    val e = new GraftEngine(spark, freshRoot())
+    val t = e.table("flushfail", "w")
+    Round7HardeningSpec.armed.set(true)
+    val boom = udf { (id: Long) =>
+      if (Round7HardeningSpec.armed.getAndSet(false))
+        throw new RuntimeException("injected write failure")
+      id
+    }
+    t.append(Seq(1L, 2L).toDF("id").withColumn("v", boom(col("id"))))
+    intercept[Exception] { t.flush() }
+    // the buffered append must survive the failure: the retry writes it
+    t.flush()
+    assert(t.read.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "rows appended before a failed flush must land on the retry")
+    // and the buffer is now drained — a third flush is a no-op
+    val vCount = t.manifest.versions.size
+    t.flush()
+    assert(t.manifest.versions.size == vCount)
+  }
+
+  test("flush stamps stats incrementally and matches the full recompute") {
+    val e = new GraftEngine(spark, freshRoot())
+    val t = e.table("incstamp", "w")
+    t.append(Seq((1L, "a"), (5L, "b")).toDF("id", "v")); t.flush()
+    def info = t.manifest.versions
+      .find(_.id == t.manifest.activeVersion.get).get
+    assert(info.rowCount.contains(2L))
+    assert(info.cursorMax.exists(_.get("id").contains("5")))
+    // second flush: rows accumulate, max advances — stamped from the NEW
+    // files only (merge with the previous stamp)
+    t.append(Seq((9L, "c")).toDF("id", "v")); t.flush()
+    assert(info.rowCount.contains(3L))
+    assert(info.cursorMax.exists(_.get("id").contains("9")))
+    // third flush with a LOWER id: max must not regress
+    t.append(Seq((7L, "d")).toDF("id", "v")); t.flush()
+    assert(info.rowCount.contains(4L))
+    assert(info.cursorMax.exists(_.get("id").contains("9")))
+    // schema evolution: a column first seen mid-version stays UNSTAMPED
+    // (absence in the earlier stamp is indistinguishable from an earlier
+    // disqualification, and stamping from new files alone could understate
+    // the true max — conservative costs only a scan fallback)
+    t.append(Seq((11L, "e", 100L)).toDF("id", "v", "late")); t.flush()
+    assert(info.rowCount.contains(5L))
+    assert(info.cursorMax.exists(_.get("id").contains("11")))
+    assert(info.cursorMax.exists(!_.contains("late")),
+      "a column absent from the version's first stamp must stay unstamped")
+  }
+
+  test("init() preserves autoIndexes when a later call tweaks other fields") {
+    val e = new GraftEngine(spark, freshRoot())
+    val t = e.table("metakeep", "w")
+    t.init(uniqueOn = Seq("id"), autoIndexes = false)
+    assert(!t.manifest.meta.autoIndexes)
+    t.init(retentionMillis = 86400000L) // autoIndexes not passed
+    assert(!t.manifest.meta.autoIndexes,
+      "init() must not reset flags the caller did not pass")
+    assert(t.manifest.meta.retentionMillis.contains(86400000L))
+    t.init(autoIndexes = true)
+    assert(t.manifest.meta.autoIndexes)
+  }
+
+  test("sql()/readSql() scope their temp views to the call") {
+    val e = new GraftEngine(spark, freshRoot())
+    val t = e.table("sqlscope", "w")
+    t.append(Seq((1L, "a")).toDF("id", "v")); t.flush()
+    assert(e.sql("SELECT count(*) n FROM sqlscope").as[Long].head() == 1L)
+    // the view must NOT survive the call: a later caller on the same
+    // SparkSession would resolve this node's stale snapshot instead of
+    // failing its own declared-dataflow check
+    assert(!spark.catalog.tableExists("sqlscope"),
+      "engine.sql must drop its views after analysis")
+    assert(t.readSql("SELECT max(id) FROM sqlscope").as[Long].head() == 1L)
+    assert(!spark.catalog.tableExists("sqlscope"),
+      "readSql must drop its view after analysis")
+    // the returned frame stays executable after the view is gone
+    val df = e.sql("SELECT id FROM sqlscope WHERE id > 0")
+    assert(!spark.catalog.tableExists("sqlscope"))
+    assert(df.as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("State recovers from a crash-truncated file via the tmp document") {
+    val root = Files.createTempDirectory("state-rec-")
+    // simulate the non-atomic-replace crash window: final file truncated,
+    // tmp (always completely written before the move) intact
+    Files.write(root.resolve("n1.json"),
+      """{"k":"OLD","unterminated""".getBytes(StandardCharsets.UTF_8))
+    Files.write(root.resolve("n1.json.tmp"),
+      """{"k":"NEW"}""".getBytes(StandardCharsets.UTF_8))
+    val s = new State(root, "n1")
+    assert(s.get("k").contains("NEW"),
+      "a truncated state file must recover from the completed tmp")
+    // crash BEFORE the move: only tmp exists
+    Files.write(root.resolve("n2.json.tmp"),
+      """{"k":"TMPONLY"}""".getBytes(StandardCharsets.UTF_8))
+    assert(new State(root, "n2").get("k").contains("TMPONLY"))
+  }
+
+  test("graft-table source: DATE cursor survives a restart (typed decode)") {
+    import graft.streaming.CursorOffset
+    val root = freshRoot()
+    val e = new GraftEngine(spark, root)
+    val t = e.table("date_src", "w")
+    t.append(Seq(
+      (java.sql.Date.valueOf("2024-01-05"), "a"),
+      (java.sql.Date.valueOf("2024-02-01"), "b")).toDF("d", "v"))
+    t.flush()
+    val provider = new graft.streaming.GraftTableSourceProvider
+    val meta = Files.createTempDirectory("date-meta-").toUri.toString
+      .stripSuffix("/")
+    val params = Map("root" -> root, "table" -> "date_src", "orderBy" -> "d")
+    val s1 = provider.createSource(spark.sqlContext, meta, None,
+      "graft-table", params)
+    def off(s: org.apache.spark.sql.execution.streaming.Source) =
+      s.getOffset.map(o => CursorOffset.parse(o.json).value)
+    assert(off(s1) == Some("2024-02-01"))
+    // RESTART: a fresh instance decodes the persisted high water as a
+    // java.sql.Date — before the typed decode it came back as a String and
+    // the first clamp compare threw ClassCastException on every trigger
+    val s2 = provider.createSource(spark.sqlContext, meta, None,
+      "graft-table", params)
+    assert(off(s2) == Some("2024-02-01"))
+    t.append(Seq((java.sql.Date.valueOf("2024-03-09"), "c")).toDF("d", "v"))
+    t.flush()
+    assert(off(s2) == Some("2024-03-09"),
+      "post-restart polls must keep advancing the date cursor")
+  }
+
+  test("graft-table source: replay leases are released, not leaked per batch") {
+    val root = freshRoot()
+    val e = new GraftEngine(spark, root)
+    val t = e.table("lease_src", "w")
+    t.append(Seq((1L, "a")).toDF("id", "v")); t.flush()
+    val provider = new graft.streaming.GraftTableSourceProvider
+    val meta = Files.createTempDirectory("lease-meta-").toUri.toString
+      .stripSuffix("/")
+    val params = Map("root" -> root, "table" -> "lease_src", "orderBy" -> "id")
+    val src = provider.createSource(spark.sqlContext, meta, None,
+      "graft-table", params).asInstanceOf[graft.streaming.GraftTableSource]
+    val leaseDir = Paths.get(root, "lease_src", "leases")
+    def leases: Long =
+      if (!Files.isDirectory(leaseDir)) 0L
+      else Files.list(leaseDir).filter(_.toString.endsWith(".lease")).count()
+    // several sequential batches: at most ONE live lease (the in-flight
+    // batch's pin) — previously every trigger minted a new file, swept
+    // only if a retention gc happened to run
+    for (i <- 2 to 4) {
+      t.append(Seq((i.toLong, s"r$i")).toDF("id", "v")); t.flush()
+      val end = src.getOffset.get
+      src.batchPlan(None, end).collect()
+      assert(leases <= 1L, s"batch $i leaked lease files")
+    }
+    src.stop()
+    assert(leases == 0L, "stop() must release the in-flight lease")
+  }
+
+  test("tailTable on a bucketed table hides the __bucket layout column") {
+    val e = new GraftEngine(spark, freshRoot())
+    val t = e.table("buck_tail", "w")
+    t.init(uniqueOn = Seq("id"), bucketBy = 2)
+    t.upsert(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val stream = graft.streaming.StreamingPipelines.tailTable(t)
+    assert(!stream.schema.fieldNames.contains("__bucket"),
+      "streaming schema must match table.read (layout column dropped)")
+    assert(stream.schema.fieldNames.sorted.toSeq ==
+      t.schema.get.fieldNames.sorted.toSeq)
+  }
+}
+
+object Round7HardeningSpec {
+  /** Arms the injected flush failure exactly once (local-mode executors
+    * share the JVM, so a static flag reaches the task).
+    */
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
