@@ -83,20 +83,8 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
   private def activeFiles: Array[java.io.File] =
     manifest.activeVersion.toArray.flatMap(filesIn)
 
-  private def filesIn(vid: String): Array[java.io.File] = {
-    val d = catalog.versionDir(name, vid).toFile
-    // every listFiles is null-guarded: a retention sweep may delete the
-    // dir between the exists check and the listing (documented race) —
-    // that must read as "no files", not NPE
-    val top = Option(d.listFiles((f: java.io.File) =>
-      f.getName.endsWith(".parquet"))).getOrElse(Array.empty[java.io.File])
-    val nested = Option(d.listFiles((f: java.io.File) =>
-      f.isDirectory && f.getName.startsWith("__bucket=")))
-      .getOrElse(Array.empty[java.io.File])
-      .flatMap(b => Option(b.listFiles((f: java.io.File) =>
-        f.getName.endsWith(".parquet"))).getOrElse(Array.empty[java.io.File]))
-    top ++ nested
-  }
+  private def filesIn(vid: String): Array[java.io.File] =
+    catalog.dataFiles(name, vid) // single owner of the version-dir layout
 
   /** Row count AND per-column max of a version dir from parquet FOOTERS —
     * metadata-only, O(#files) driver-side reads, no Spark job. Stamped
@@ -283,10 +271,8 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
   }
 
   private def activeDf: Option[DataFrame] =
-    manifest.activeVersion.filter(_ => connected && activeFiles.nonEmpty)
-      .map(vid => spark.read.option("mergeSchema", "true")
-        .parquet(catalog.versionDir(name, vid).toString)
-        .drop("__bucket")) // layout detail, not user schema
+    manifest.activeVersion.filter(_ => connected)
+      .flatMap(vid => catalog.versionScan(spark, name, vid))
 
   // --- read surface (node.py:141-189) ---
 

@@ -159,6 +159,37 @@ class TableCatalog(val root: Path) {
   def versionDir(name: String, vid: String): Path = tableDir(name).resolve(vid)
   private def manifestPath(name: String): Path = tableDir(name).resolve("manifest.json")
 
+  /** Every parquet data file of one version — the SINGLE owner of the
+    * version-dir physical layout (flat files, or `__bucket=K` partition
+    * subdirs for bucketed tables). Table and the streaming source both
+    * read through here so the two paths can never drift. Every listFiles
+    * is null-guarded: a retention sweep may delete the dir between checks
+    * (documented race) — that must read as "no files", not NPE.
+    */
+  def dataFiles(name: String, vid: String): Array[java.io.File] = {
+    val d = versionDir(name, vid).toFile
+    val top = Option(d.listFiles((f: java.io.File) =>
+      f.getName.endsWith(".parquet"))).getOrElse(Array.empty[java.io.File])
+    val nested = Option(d.listFiles((f: java.io.File) =>
+      f.isDirectory && f.getName.startsWith("__bucket=")))
+      .getOrElse(Array.empty[java.io.File])
+      .flatMap(b => Option(b.listFiles((f: java.io.File) =>
+        f.getName.endsWith(".parquet"))).getOrElse(Array.empty[java.io.File]))
+    top ++ nested
+  }
+
+  /** The canonical scan of one version: user-facing schema (mergeSchema
+    * for schema-on-write evolution, the `__bucket` layout column dropped),
+    * or None for a fileless version (reset(), crash-before-write) — which
+    * must read as "no data yet", not throw schema-inference errors.
+    */
+  def versionScan(spark: org.apache.spark.sql.SparkSession, name: String,
+      vid: String): Option[org.apache.spark.sql.DataFrame] =
+    if (dataFiles(name, vid).isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true")
+      .parquet(versionDir(name, vid).toString)
+      .drop("__bucket"))
+
   def exists(name: String): Boolean = Files.exists(manifestPath(name))
 
   def load(name: String): Option[TableManifest] = synchronized {

@@ -129,26 +129,11 @@ class GraftTableSource(sqlContext: SQLContext, cat: TableCatalog,
 
   private def spark = sqlContext.sparkSession
 
-  private def hasParquet(vid: String): Boolean = {
-    // a fileless version (reset(), crash-before-write) must read as
-    // "no data yet", not throw schema-inference errors
-    val d = cat.versionDir(table, vid).toFile
-    val top = Option(d.listFiles((f: java.io.File) =>
-      f.getName.endsWith(".parquet"))).getOrElse(Array.empty[java.io.File])
-    val nested = Option(d.listFiles((f: java.io.File) =>
-      f.isDirectory && f.getName.startsWith("__bucket=")))
-      .getOrElse(Array.empty[java.io.File])
-      .exists(b => Option(b.listFiles((f: java.io.File) =>
-        f.getName.endsWith(".parquet"))).exists(_.nonEmpty))
-    top.nonEmpty || nested
-  }
-
+  // single owner of the version-dir layout: TableCatalog.versionScan —
+  // fileless versions (reset(), crash-before-write) read as None, and the
+  // scan recipe (mergeSchema, __bucket dropped) is Table.read's
   private def versionDf(vid: String): Option[DataFrame] =
-    if (hasParquet(vid))
-      Some(spark.read.option("mergeSchema", "true")
-        .parquet(cat.versionDir(table, vid).toString)
-        .drop("__bucket"))
-    else None
+    cat.versionScan(spark, table, vid)
 
   private def activeVid: Option[String] =
     cat.refresh(table).flatMap(_.activeVersion)
