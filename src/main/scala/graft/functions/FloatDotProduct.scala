@@ -37,25 +37,42 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "float_dot"
 
-  // Length mismatch yields NULL — the same answer the higher-order
-  // formulation gives (zip_with pads with null, which poisons the
-  // aggregate fold). A silent partial dot product would look plausible
-  // and be wrong.
+  // Length mismatch and NULL ELEMENTS yield NULL — the same answers the
+  // higher-order formulation gives (zip_with pads with null / passes the
+  // null element through, which poisons the aggregate fold). A silent
+  // partial dot product — or a null slot read as 0.0f — would look
+  // plausible and be wrong. The element null checks are emitted only when
+  // a side's ArrayType admits nulls, so the parquet embedding scan
+  // (containsNull = false) keeps the tight two-load loop.
+  private def mayHaveNullElements: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) null
     else {
+      val checkNulls = mayHaveNullElements
       var s = 0.0
       var i = 0
-      while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      while (i < n) {
+        if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
       s
     }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nullElemCheck =
+        if (mayHaveNullElements)
+          s"""if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
          |int n = $a.numElements();
          |if (n != $b.numElements()) {
@@ -63,9 +80,12 @@ case class FloatDotProduct(left: Expression, right: Expression)
          |} else {
          |  double acc = 0.0;
          |  for (int i = 0; i < n; i++) {
+         |    $nullElemCheck
          |    acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
          |  }
-         |  ${ev.value} = acc;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = acc;
+         |  }
          |}
        """.stripMargin
     })

@@ -42,11 +42,20 @@ object TextFunctions {
   def oTokenHash60(e: String): String =
     s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT)"
 
+  // one digest per thread: hash60 sits on the per-shingle streaming hot
+  // path (bandSignatures in lshCandidateStream's flatMap), and
+  // getInstance per call is a provider lookup + allocation — the same
+  // hoisting the batch twin does per partition (DedupQueries.docShingles)
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** JVM-side value of [[tokenHash60]]: the numeric value of md5's first
     * 15 hex chars — first 7 bytes followed by the high nibble of byte 7.
     */
   def hash60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
+    val d = md5Digest.get() // digest() leaves the instance reset for the next call
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var v = 0L
     var i = 0

@@ -132,11 +132,25 @@ object GraphLoader {
     * resolves to `<componentsDir>/org/component/v1/graph.yml` — the
     * engine-side stand-in for the platform's published-component store.
     */
-  def load(path: Path, componentsDir: Option[Path] = None): GraphConfig = {
+  def load(path: Path, componentsDir: Option[Path] = None): GraphConfig =
+    load(path, componentsDir, Set.empty)
+
+  private def load(path: Path, componentsDir: Option[Path],
+      loading: Set[Path]): GraphConfig = {
+    // cycle detection: a subgraph/component that (transitively) includes
+    // itself must be a named error, not a StackOverflowError
+    val canonical = path.toAbsolutePath.normalize
+    if (loading(canonical)) throw new IllegalArgumentException(
+      s"cyclic subgraph/component reference: $canonical includes itself " +
+        s"(inclusion chain: ${loading.mkString(" -> ")})")
     val cfg = parse(new String(Files.readAllBytes(path), StandardCharsets.UTF_8))
+    // a bare relative path ("graph.yml") has a null parent — resolve
+    // child refs against the current directory, not NPE
+    val parentDir = Option(canonical.getParent)
+      .getOrElse(java.nio.file.Paths.get("."))
 
     def inline(node: NodeConfig, childPath: Path): Seq[NodeConfig] = {
-      val child = load(childPath, componentsDir)
+      val child = load(childPath, componentsDir, loading + canonical)
       // ports exposed by the child resolve to the parent's bound stores —
       // but only names the child lists under `exposes:` are rebindable;
       // a child-internal store that merely shares a parent port's name
@@ -146,17 +160,29 @@ object GraphLoader {
       val all: Map[String, String] = node.inputs ++ node.outputs
       val rebind: Map[String, String] =
         if (exposed.isEmpty) all else all.view.filterKeys(exposed).toMap
+      // entry nodes: consume nothing the child graph itself produces —
+      // these are what the wrapper's `trigger:` cron fires after
+      // flattening (the rest of the child DAG follows via cascade)
+      val childProduced: Set[String] = child.functions.flatMap(_.outputs.values).toSet
       child.functions.map { n =>
+        val isEntry = n.inputs.values.forall(st => !childProduced(st))
         n.copy(
           id = s"${node.id}/${n.id}",
           inputs = n.inputs.map { case (p, st) => p -> rebind.getOrElse(st, s"${node.id}/$st") },
-          outputs = n.outputs.map { case (p, st) => p -> rebind.getOrElse(st, s"${node.id}/$st") })
+          outputs = n.outputs.map { case (p, st) => p -> rebind.getOrElse(st, s"${node.id}/$st") },
+          // the wrapper's instantiation parameters flow to every child
+          // node (wrapper wins over child defaults — reference
+          // edit.py:175-200, a component is parameterized at use site);
+          // its cron lands on the child's entry nodes unless they
+          // schedule themselves
+          parameters = n.parameters ++ node.parameters,
+          trigger = if (isEntry) n.trigger.orElse(node.trigger) else n.trigger)
       }
     }
 
     val flattened = cfg.functions.flatMap {
       case sub if sub.isSubgraph =>
-        inline(sub, path.getParent.resolve(sub.nodeFile.get))
+        inline(sub, parentDir.resolve(sub.nodeFile.get))
       case comp if comp.uses.isDefined =>
         val dir = componentsDir.getOrElse(throw new IllegalArgumentException(
           s"node ${comp.id} uses '${comp.uses.get}' but no components dir was given"))

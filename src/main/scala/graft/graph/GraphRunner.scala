@@ -84,12 +84,22 @@ class GraphRunner(
     val n = node(id)
     val eng = engineFor(n)
     if (n.isWebhook) {
-      // webhook nodes only materialize their same-named append table (B5)
-      eng.table(n.webhook.get, "w")
+      // webhook nodes only materialize their same-named append table (B5):
+      // touching the manifest forces loadOrCreate to PERSIST it — merely
+      // constructing the Table handle wrote nothing, so a host that
+      // triggered the webhook node to pre-create the store got nothing
+      eng.table(n.webhook.get, "w").manifest
+      ()
     } else if (n.isSql) {
       val sqlPath = graphDir.map(_.resolve(n.nodeFile.get)).getOrElse(
         throw new IllegalStateException("sql node needs graphDir"))
       val sql = render(new String(Files.readAllBytes(sqlPath), StandardCharsets.UTF_8), n)
+      // a SQL node materializes ONE result table; accepting extra outputs
+      // and writing whichever HashMap iteration yields first would leave
+      // the others silently empty (and their consumers never triggered)
+      require(n.outputs.size <= 1,
+        s"sql node ${n.id} declares ${n.outputs.size} outputs " +
+          s"(${n.outputs.keys.mkString(", ")}); a SQL node writes exactly one")
       val outPort = n.outputs.keys.headOption.getOrElse(
         throw new IllegalArgumentException(s"sql node ${n.id} needs an output store"))
       // register input ports as views under their PORT names, run, replace
@@ -173,11 +183,16 @@ class GraphRunner(
         (n.inputs.nonEmpty && inputEventCount(n) > seenEvents(n.id)) ||
           pendingRerun.contains(n.id)
       }
+      // bound checked PER NODE, not per sweep: maxSteps caps total node
+      // runs exactly, so a write-your-own-input cycle cannot overshoot by
+      // the size of the eligible set
       eligible.foreach { n =>
-        pendingRerun -= n.id
-        runNode(n.id)
-        progressed = true
-        steps += 1
+        if (steps < maxSteps) {
+          pendingRerun -= n.id
+          runNode(n.id)
+          progressed = true
+          steps += 1
+        }
       }
     }
   }

@@ -14,16 +14,21 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** CSV with header + schema inference, or an explicit DDL schema (C2). */
+  /** CSV with header + schema inference, or an explicit DDL schema (C2).
+    * Defaults are applied BEFORE the caller's options so an explicit
+    * `header=false` / `inferSchema=false` wins — the reverse order
+    * silently consumed a headerless file's first data row as names.
+    */
   def csv(spark: SparkSession, path: String, schemaDdl: Option[String] = None,
       options: Map[String, String] = Map.empty): DataFrame =
-    withSchema(spark.read.options(options).option("header", "true"), schemaDdl)
+    withSchema(spark.read.option("header", "true"), schemaDdl)
+      .options(options)
       .csv(path)
 
   /** JSON lines with inference or explicit DDL schema (C2). */
   def json(spark: SparkSession, path: String, schemaDdl: Option[String] = None,
       options: Map[String, String] = Map.empty): DataFrame =
-    withSchema(spark.read.options(options), schemaDdl).json(path)
+    withSchema(spark.read, schemaDdl).options(options).json(path)
 
   /** ORC — the other columnar interchange format Spark ships natively
     * (C2). Same pushdown/pruning story as parquet (vectorized reader,

@@ -6,6 +6,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.functions._
 
 import graft.api.{GraftEngine, State}
+import graft.graph.{GraphLoader, GraphRunner}
 
 /** Round-7 hardening: fixes from the adversarial review of the api/
   * catalog/streaming layer — failed-flush buffer retention, incremental
@@ -170,6 +171,143 @@ class Round7HardeningSpec extends SparkSpec {
     }
     src.stop()
     assert(leases == 0L, "stop() must release the in-flight lease")
+  }
+
+  test("Sources.csv: caller options override the header/inferSchema defaults") {
+    val dir = Files.createTempDirectory("csvopt-")
+    Files.write(dir.resolve("h.csv"),
+      "5,x\n6,y\n".getBytes(StandardCharsets.UTF_8)) // headerless
+    val df = graft.sources.Sources.csv(spark, dir.resolve("h.csv").toString,
+      schemaDdl = Some("id BIGINT, v STRING"),
+      options = Map("header" -> "false"))
+    assert(df.count() == 2L,
+      "header=false must win over the default, or the first row is eaten")
+    assert(df.as[(Long, String)].collect().toSet == Set((5L, "x"), (6L, "y")))
+  }
+
+  test("float_dot null elements poison to NULL, matching the HOF formulation") {
+    graft.functions.FloatDotProduct.register(spark)
+    val df = Seq(1).toDF("i").selectExpr(
+      "float_dot(array(CAST(NULL AS FLOAT), 2.0F), array(3.0F, 4.0F)) AS nd",
+      "aggregate(zip_with(array(CAST(NULL AS FLOAT), 2.0F), array(3.0F, 4.0F), " +
+        "(x, y) -> CAST(x AS DOUBLE) * y), 0D, (s, v) -> s + v) AS hof",
+      "float_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS clean")
+    val r = df.head()
+    assert(r.isNullAt(0), "a null element must poison float_dot to NULL")
+    assert(r.isNullAt(1), "HOF reference must agree (zip_with null poisons)")
+    assert(r.getDouble(2) == 11.0)
+  }
+
+  test("flatten propagates the wrapper's parameters and cron to components") {
+    val dir = Files.createTempDirectory("graph-flat-")
+    val reg = dir.resolve("components")
+    val compDir = reg.resolve("acme").resolve("scaled").resolve("v1")
+    Files.createDirectories(compDir)
+    Files.write(compDir.resolve("graph.yml"),
+      """functions:
+        |  - node_file: entry.sql
+        |    id: eeeeeeee
+        |    inputs:  {in: comp_in}
+        |    outputs: {out: mid}
+        |    parameters: {scale: 1, kept: "child"}
+        |  - node_file: follow.sql
+        |    id: gggggggg
+        |    inputs:  {in2: mid}
+        |    outputs: {out2: comp_out}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("graph.yml"),
+      """functions:
+        |  - uses: acme/scaled@v1
+        |    id: ffffffff
+        |    trigger: "0 9 * * *"
+        |    parameters: {scale: 7}
+        |    inputs:  {comp_in: raw}
+        |    outputs: {comp_out: enriched}
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val g = GraphLoader.load(dir.resolve("graph.yml"), Some(reg))
+    val entry = g.functions.find(_.id == "ffffffff/eeeeeeee").get
+    val follow = g.functions.find(_.id == "ffffffff/gggggggg").get
+    // wrapper parameters reach every child node, use-site wins, child-only
+    // keys survive — a {{ params.scale }} template in the child must bind
+    assert(entry.parameters == Map("scale" -> 7, "kept" -> "child"))
+    assert(follow.parameters == Map("scale" -> 7))
+    // the wrapper's cron lands on the ENTRY node (consumes nothing the
+    // child produces); the downstream node follows via cascade, not cron
+    assert(entry.trigger.contains("0 9 * * *"))
+    assert(follow.trigger.isEmpty)
+  }
+
+  test("cyclic subgraph references fail with a named error, not StackOverflow") {
+    val dir = Files.createTempDirectory("graph-cycle-")
+    Files.write(dir.resolve("graph.yml"),
+      """functions:
+        |  - node_file: graph.yml
+        |    id: selfloop
+        |""".stripMargin.getBytes(StandardCharsets.UTF_8))
+    val err = intercept[IllegalArgumentException] {
+      GraphLoader.load(dir.resolve("graph.yml"))
+    }
+    assert(err.getMessage.contains("cyclic"), err.getMessage)
+  }
+
+  test("sql nodes reject multiple outputs loudly instead of writing one") {
+    val dir = Files.createTempDirectory("graph-multi-")
+    Files.write(dir.resolve("two.sql"),
+      "SELECT 1 AS x".getBytes(StandardCharsets.UTF_8))
+    val yaml =
+      """functions:
+        |  - node_file: two.sql
+        |    id: bbbbbbbb
+        |    outputs: {a: t1, b: t2}
+        |""".stripMargin
+    val runner = new GraphRunner(spark, GraphLoader.parse(yaml),
+      freshRoot(), Some(dir))
+    val err = intercept[IllegalArgumentException] { runner.runNode("bbbbbbbb") }
+    assert(err.getMessage.contains("exactly one"), err.getMessage)
+  }
+
+  test("triggering a webhook node materializes its append table on disk") {
+    val yaml =
+      """functions:
+        |  - webhook: hooked_rows
+        |    id: wwwwwwww
+        |""".stripMargin
+    val root = freshRoot()
+    val runner = new GraphRunner(spark, GraphLoader.parse(yaml), root, None)
+    runner.runNode("wwwwwwww")
+    assert(new graft.catalog.TableCatalog(Paths.get(root)).exists("hooked_rows"),
+      "the webhook's same-named table manifest must exist after the trigger")
+  }
+
+  test("cascade's maxSteps caps total node runs exactly") {
+    val dir = Files.createTempDirectory("graph-steps-")
+    Files.write(dir.resolve("pass.sql"),
+      "SELECT * FROM {{ src }}".getBytes(StandardCharsets.UTF_8))
+    val yaml =
+      """functions:
+        |  - node_file: producer
+        |    id: aaaaaaaa
+        |    outputs: {out: s_raw}
+        |  - node_file: pass.sql
+        |    id: bbbbbbbb
+        |    inputs:  {src: s_raw}
+        |    outputs: {out: s_copy}
+        |""".stripMargin
+    val root = freshRoot()
+    val runner = new GraphRunner(spark, GraphLoader.parse(yaml), root, Some(dir))
+      .register("producer", eng =>
+        eng.table("out", "w").append(Seq((1L, "x")).toDF("id", "v")))
+    // maxSteps = 0: the triggered node runs, the cascade may run NOTHING —
+    // previously a sweep already in flight overshot the bound
+    runner.trigger("aaaaaaaa", maxSteps = 0)
+    // fresh probe engines: a long-lived probe would serve its cached
+    // (pre-write) manifest — the documented refresh() pattern
+    assert(!new GraftEngine(spark, root, "p1").table("s_copy").exists,
+      "maxSteps=0 must not run any cascaded node")
+    runner.trigger("aaaaaaaa", maxSteps = 10)
+    // the producer appended twice (once per trigger); the copy sees both
+    assert(new GraftEngine(spark, root, "p2").table("s_copy")
+      .read.count() == 2)
   }
 
   test("tailTable on a bucketed table hides the __bucket layout column") {
