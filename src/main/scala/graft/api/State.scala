@@ -44,8 +44,12 @@ class State(stateDir: Path, nodeId: String,
         if (Files.exists(tmp)) parse(tmp)
         else parse(path) // tmp consumed => the replace finished; re-read
       }
-    } else if (Files.exists(tmp)) parse(tmp) // crash before the move
-    else Map.empty
+    } else if (Files.exists(tmp)) {
+      // crash before the move — but a crash DURING the tmp write leaves a
+      // truncated tmp with no final file; that must start the node empty,
+      // not throw out of the constructor on every subsequent run
+      try parse(tmp) catch { case _: Throwable => Map.empty }
+    } else Map.empty
   }
 
   private def persist(): Unit = {
@@ -75,7 +79,16 @@ class State(stateDir: Path, nodeId: String,
     case s: String => JString(s)
     case i: Int => JLong(i.toLong)
     case l: Long => JLong(l)
+    case sh: Short => JLong(sh.toLong)
+    case by: Byte => JLong(by.toLong)
     case d: Double => JDouble(d)
+    // numeric types must stay NUMERIC across the persistence round-trip —
+    // the catch-all's stringification silently changed a Float value into
+    // a String on the next execution (reference is Python: one float type)
+    case f: Float => JDouble(f.toDouble)
+    case bd: BigDecimal => JDecimal(bd)
+    case bd: java.math.BigDecimal => JDecimal(BigDecimal(bd))
+    case bi: BigInt => JInt(bi)
     case b: Boolean => JBool(b)
     case t: Instant => JString(t.toString)
     case seq: Seq[_] => JArray(seq.map(toJ).toList)
@@ -88,6 +101,7 @@ class State(stateDir: Path, nodeId: String,
     case JLong(l) => l
     case JInt(i) => i.toLong
     case JDouble(d) => d
+    case JDecimal(d) => d
     case JBool(b) => b
     case JNull => null
     case JArray(xs) => xs.map(fromJ)

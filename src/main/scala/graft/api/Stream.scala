@@ -48,15 +48,22 @@ class Stream(table: Table, val orderByField: String, state: State,
     // stream (dummy-object semantics, node.py:232-238) instead of failing
     // analysis; a populated table missing the orderBy column still errors
     if (base.columns.isEmpty) {
-      val s = table.read.sparkSession
+      val s = base.sparkSession
       s.createDataFrame(s.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField(orderByField,
             org.apache.spark.sql.types.StringType))))
     } else {
+      // rows with a NULL ordering value are invisible to the stream BY
+      // CONTRACT: a null cannot define a position — consuming one would
+      // set cursor = null, whose strictly-greater filter is null for
+      // every row (the rest of the run silently skips) and whose persisted
+      // JNull is discarded on reload (the next run replays everything) —
+      // breaking exactly-once in both directions
+      val nonNull = base.filter(col(orderByField).isNotNull)
       val filtered = cursor match {
-        case Some(v) => base.filter(col(orderByField) > lit(v))
-        case None => base
+        case Some(v) => nonNull.filter(col(orderByField) > lit(v))
+        case None => nonNull
       }
       filtered.orderBy(col(orderByField).asc)
     }

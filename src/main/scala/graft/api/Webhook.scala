@@ -13,18 +13,27 @@ import org.apache.spark.sql.functions._
 object Webhook {
   val requestKeyCol = "patterns_request_key"
 
-  /** Ingest one payload into the webhook's same-named table. */
-  def ingest(engine: GraftEngine, name: String, requestKey: String,
-      payloadJson: String): Unit = {
+  /** One keyed+stamped single-row append — the shared shape of both
+    * directions; only the table handle and the payload/stamp column names
+    * differ (and those differences are the INTENT, not drift).
+    */
+  private def appendKeyedRow(engine: GraftEngine, t: Table, requestKey: String,
+      payloadCol: String, payloadJson: String, stampCol: String): Unit = {
     val spark = engine.spark
     import spark.implicits._
-    val row = Seq((requestKey, payloadJson))
-      .toDF(requestKeyCol, "payload")
-      .withColumn("received_at", current_timestamp())
-    val t = engine.table(name, "w")
-    t.append(row)
+    t.append(Seq((requestKey, payloadJson)).toDF(requestKeyCol, payloadCol)
+      .withColumn(stampCol, current_timestamp()))
     t.flush()
   }
+
+  /** Ingest one payload into the webhook's same-named table — opened
+    * through the engine's PORT bindings (the webhook table is an implicit
+    * port of its node, B5).
+    */
+  def ingest(engine: GraftEngine, name: String, requestKey: String,
+      payloadJson: String): Unit =
+    appendKeyedRow(engine, engine.table(name, "w"), requestKey,
+      "payload", payloadJson, "received_at")
 
   /** Reply to a pending request (A30, node.py:544-553): records the
     * response row keyed by request key in `<name>_responses`.
@@ -35,14 +44,7 @@ object Webhook {
     * (a graph-bound engine's bindings never list `<name>_responses`).
     */
   def respondToRequest(engine: GraftEngine, name: String, requestKey: String,
-      payloadJson: String): Unit = {
-    val spark = engine.spark
-    import spark.implicits._
-    val row = Seq((requestKey, payloadJson))
-      .toDF(requestKeyCol, "response")
-      .withColumn("responded_at", current_timestamp())
-    val t = new Table(engine, s"${name}_responses", "w")
-    t.append(row)
-    t.flush()
-  }
+      payloadJson: String): Unit =
+    appendKeyedRow(engine, new Table(engine, s"${name}_responses", "w"),
+      requestKey, "response", payloadJson, "responded_at")
 }

@@ -19,32 +19,65 @@ final case class Cron(expr: String) {
     parts
   }
 
-  private def matches(field: String, value: Int, min: Int, max: Int): Boolean =
-    field.split(",").exists { part =>
-      // each part is [range][/step]: *, n, a-b, optionally followed by /k
+  // Parse one field into its match set AT CONSTRUCTION: a malformed token
+  // ('a', a zero step, '99') is a named IllegalArgumentException when the
+  // Cron is built, not a NumberFormatException thrown mid-isDue from
+  // inside the scheduler's filter over every node (where one bad trigger
+  // aborted the whole graph's tick). Each part is [range][/step]: star, n,
+  // or a-b, optionally followed by /k.
+  private def parseField(field: String, min: Int, max: Int,
+      name: String): scala.collection.immutable.BitSet = {
+    def bad(part: String, why: String) = throw new IllegalArgumentException(
+      s"cron '$expr': $why in $name field '$part'")
+    val b = scala.collection.mutable.BitSet.empty
+    field.split(",").foreach { part =>
       val (rangePart, step) = part.split("/") match {
         case Array(r) => (r, 1)
-        case Array(r, k) => (r, k.toInt)
+        case Array(r, k) =>
+          (r, try k.toInt catch {
+            case _: NumberFormatException => bad(part, s"non-numeric step '$k'")
+          })
+        case _ => bad(part, "malformed step")
       }
-      val (lo, hi) = rangePart match {
-        case "*" => (min, max)
-        case s if s.contains("-") =>
-          val Array(a, b) = s.split("-").map(_.toInt); (a, b)
-        case s => val v = s.toInt; (v, v)
-      }
-      value >= lo && value <= hi && (value - lo) % step == 0
+      if (step < 1) bad(part, s"step must be >= 1, got $step")
+      val (lo, hi) =
+        try rangePart match {
+          case "*" => (min, max)
+          case s if s.contains("-") =>
+            s.split("-").map(_.toInt) match {
+              case Array(a, bb) => (a, bb)
+              case _ => bad(part, "malformed range")
+            }
+          case s => val v = s.toInt; (v, v)
+        } catch {
+          case _: NumberFormatException => bad(part, "non-numeric value")
+        }
+      if (lo < min || hi > max || lo > hi)
+        bad(part, s"out of range [$min, $max]")
+      var v = lo
+      while (v <= hi) { if ((v - lo) % step == 0) b += v; v += 1 }
     }
+    scala.collection.immutable.BitSet.fromSpecific(b)
+  }
+
+  // precomputed per-field match sets: isDue is O(1) lookups, so nextFire's
+  // worst-case ~2.1M-minute scan (never-firing expressions like Feb 31)
+  // does no per-minute string parsing
+  private val minSet = parseField(minF, 0, 59, "minute")
+  private val hourSet = parseField(hourF, 0, 23, "hour")
+  private val domSet = parseField(domF, 1, 31, "day-of-month")
+  private val monSet = parseField(monF, 1, 12, "month")
+  private val dowSet = parseField(dowF, 0, 7, "day-of-week")
 
   /** Does this expression fire at the given minute? */
   def isDue(t: LocalDateTime): Boolean = {
-    val minOk = matches(minF, t.getMinute, 0, 59)
-    val hourOk = matches(hourF, t.getHour, 0, 23)
-    val monOk = matches(monF, t.getMonthValue, 1, 12)
-    val domOk = matches(domF, t.getDayOfMonth, 1, 31)
+    val minOk = minSet(t.getMinute)
+    val hourOk = hourSet(t.getHour)
+    val monOk = monSet(t.getMonthValue)
+    val domOk = domSet(t.getDayOfMonth)
     // 0 = Sunday, and 7 is the standard alias: Sunday matches as either
     val dow = t.getDayOfWeek.getValue % 7
-    val dowOk = matches(dowF, dow, 0, 6) ||
-      (dow == 0 && matches(dowF, 7, 0, 7))
+    val dowOk = dowSet(dow) || (dow == 0 && dowSet(7))
     // vixie cron keys "restricted" on a leading `*`: "*/2" in dom is still
     // an unrestricted field for the dom/dow OR rule
     val domRestricted = !domF.startsWith("*")

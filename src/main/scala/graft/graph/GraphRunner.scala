@@ -36,7 +36,15 @@ class GraphRunner(
   private val fns = mutable.Map.empty[String, NodeFn]
   /** Per-node count of input events already processed. */
   private val seenEvents = mutable.Map.empty[String, Long].withDefaultValue(0L)
-  private val pendingRerun = mutable.Set.empty[String]
+  /** Nodes that asked for a follow-up execution (requestNewRun), with the
+    * request's options and its wall-clock arrival — honored by cascade():
+    * `waitAtleastSeconds` defers eligibility until the delay elapses (the
+    * rerun then happens on the next trigger/runDue/runAll sweep, matching
+    * the host-scheduler-tick model), and `triggerDownstream = false`
+    * absorbs the rerun's output events so consumers don't fire on it.
+    */
+  private val pendingRerun =
+    mutable.Map.empty[String, (graft.api.NewRunRequest, Long)]
 
   def register(nodeFile: String, fn: NodeFn): GraphRunner = {
     fns(nodeFile) = fn; this
@@ -125,7 +133,8 @@ class GraphRunner(
       eng.endExecution()
     }
     seenEvents(n.id) = inputEventCount(n)
-    if (eng.state.pendingNewRun.isDefined) pendingRerun += n.id
+    eng.state.pendingNewRun.foreach(r =>
+      pendingRerun(n.id) = (r, System.currentTimeMillis()))
     eng
   }
 
@@ -159,7 +168,16 @@ class GraphRunner(
     */
   def runDue(now: java.time.LocalDateTime, maxSteps: Int = 100): Seq[String] = {
     val due = graph.functions.filterNot(_.isWebhook)
-      .filter(_.trigger.exists(Cron(_).isDue(now)))
+      .filter(_.trigger.exists { expr =>
+        // one node's malformed trigger must not abort the whole graph's
+        // scheduler tick — skip it loudly, fire the rest
+        try Cron(expr).isDue(now)
+        catch { case e: IllegalArgumentException =>
+          System.err.println(
+            s"[graph] skipping node with invalid trigger '$expr': ${e.getMessage}")
+          false
+        }
+      })
     due.foreach(n => runNode(n.id))
     if (due.nonEmpty) cascade(maxSteps)
     due.map(_.id)
@@ -179,17 +197,31 @@ class GraphRunner(
     var progressed = true
     while (progressed && steps < maxSteps) {
       progressed = false
+      // a requested rerun is eligible only once its wait_atleast delay has
+      // elapsed; undelayed requests run in this sweep
+      def rerunDue(id: String): Boolean = pendingRerun.get(id).exists {
+        case (r, at) => r.waitAtleastSeconds.forall(w =>
+          System.currentTimeMillis() >= at + w * 1000L)
+      }
       val eligible = graph.functions.filterNot(_.isWebhook).filter { n =>
         (n.inputs.nonEmpty && inputEventCount(n) > seenEvents(n.id)) ||
-          pendingRerun.contains(n.id)
+          rerunDue(n.id)
       }
       // bound checked PER NODE, not per sweep: maxSteps caps total node
       // runs exactly, so a write-your-own-input cycle cannot overshoot by
       // the size of the eligible set
       eligible.foreach { n =>
         if (steps < maxSteps) {
-          pendingRerun -= n.id
+          val rerun = pendingRerun.remove(n.id)
           runNode(n.id)
+          // trigger_downstream = false (node.py:482-500): absorb the
+          // events this rerun just emitted on n's outputs so consumers do
+          // not become eligible from it (single-threaded runner — no other
+          // writer's events can be absorbed by mistake)
+          if (rerun.exists(!_._1.triggerDownstream))
+            graph.functions
+              .filter(m => m.inputStores.intersect(n.outputStores).nonEmpty)
+              .foreach(m => seenEvents(m.id) = inputEventCount(m))
           progressed = true
           steps += 1
         }

@@ -253,6 +253,20 @@ object StreamingPipelines {
           fs.mkdirs(commits)
           fs.create(marker, true).close()
         }
+        // prune old markers: only batches Spark can still REPLAY (the
+        // most recent ones after a restart) need dedup protection — a
+        // 10s-trigger stream otherwise accumulates ~8.6k small files/day
+        // forever. Swept every 100 batches (one listing amortized), keep
+        // the trailing 100.
+        if (batchId % 100L == 0L && batchId > 100L) {
+          val keepFrom = batchId - 100L
+          try Option(fs.listStatus(commits)).getOrElse(Array.empty)
+            .foreach { st =>
+              val bid = st.getPath.getName.toLongOption
+              if (bid.exists(_ < keepFrom)) fs.delete(st.getPath, false)
+            }
+          catch { case _: java.io.IOException => () } // best-effort sweep
+        }
         ()
       }
       .start()

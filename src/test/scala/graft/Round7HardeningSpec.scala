@@ -310,6 +310,121 @@ class Round7HardeningSpec extends SparkSpec {
       .read.count() == 2)
   }
 
+  test("stream cursor: NULL orderBy values are invisible, never poison the cursor") {
+    val root = freshRoot()
+    val e = new GraftEngine(spark, root, "nullstream")
+    val t = e.table("null_ord", "w")
+    t.append(Seq[(java.lang.Long, String)]((null, "ghost"), (1L, "a"), (2L, "b"))
+      .toDF("id", "v"))
+    t.flush()
+    val s = t.asStream(orderBy = "id")
+    val got = s.consumeRecords().map(_.getAs[String]("v")).toSeq
+    // nulls sort first under asc — consuming one would set cursor = null,
+    // silently skipping a and b this run AND replaying everything next run
+    assert(got == Seq("a", "b"), s"null-ordered row must be invisible: $got")
+    assert(s.position.contains(2L))
+    s.checkpoint()
+    // restart: persisted cursor is a real value; nothing replays
+    val e2 = new GraftEngine(spark, root, "nullstream")
+    assert(e2.table("null_ord").asStream(orderBy = "id")
+      .consumeRecords().isEmpty)
+  }
+
+  test("cron: malformed expressions fail at construction with named errors") {
+    import graft.graph.Cron
+    for (bad <- Seq("a * * * *", "*/0 * * * *", "99 * * * *",
+        "* * 5-40 * *", "1-2-3 * * * *")) {
+      val err = intercept[IllegalArgumentException] { Cron(bad) }
+      assert(err.getMessage.contains("cron"), s"'$bad': ${err.getMessage}")
+    }
+    // and the precomputed sets preserve the evaluator's semantics
+    val t = java.time.LocalDateTime.of(2026, 8, 14, 9, 30) // a Friday
+    assert(Cron("30 9 * * 5").isDue(t))
+    assert(Cron("*/15 * * * *").isDue(t))
+    assert(!Cron("29 9 * * *").isDue(t))
+    assert(Cron("* * 14 * 1").isDue(t), "dom/dow OR rule (dom matches)")
+    // never-firing expression: the scan is bounded AND fast (O(1) isDue)
+    val t0 = System.nanoTime()
+    assert(Cron("0 0 31 2 *").nextFire(t).isEmpty)
+    assert((System.nanoTime() - t0) < 5e9, "2.1M-minute scan must be fast")
+  }
+
+  test("runDue skips a node with an invalid trigger instead of aborting the tick") {
+    val yaml =
+      """functions:
+        |  - node_file: good
+        |    id: aaaaaaaa
+        |    trigger: "* * * * *"
+        |    outputs: {out: cron_ok}
+        |  - node_file: bad
+        |    id: bbbbbbbb
+        |    trigger: "not a cron * *"
+        |    outputs: {out: cron_bad}
+        |""".stripMargin
+    val runner = new GraphRunner(spark, GraphLoader.parse(yaml), freshRoot(), None)
+      .register("good", eng =>
+        eng.table("out", "w").append(Seq((1L, "x")).toDF("id", "v")))
+      .register("bad", _ => fail("the invalid-trigger node must not run"))
+    val ran = runner.runDue(java.time.LocalDateTime.of(2026, 8, 14, 9, 30))
+    assert(ran == Seq("aaaaaaaa"),
+      "one malformed trigger must not disable the whole graph's scheduling")
+  }
+
+  test("State: numeric types survive the persistence round-trip; truncated tmp starts empty") {
+    val root = Files.createTempDirectory("state-num-")
+    val s = new State(root, "n")
+    s.set("f", 0.5f)
+    s.set("bd", BigDecimal("3.14"))
+    val s2 = new State(root, "n")
+    // a Float must come back NUMERIC (as a double), not as the String "0.5"
+    assert(s2.get("f").contains(0.5), s2.get("f"))
+    assert(s2.get("bd").contains(BigDecimal("3.14")), s2.get("bd"))
+    // crash DURING the first-ever tmp write: truncated tmp, no final file —
+    // the node starts empty instead of throwing out of the constructor
+    Files.write(root.resolve("crashed.json.tmp"),
+      """{"k":""".getBytes(StandardCharsets.UTF_8))
+    assert(new State(root, "crashed").get("k").isEmpty)
+  }
+
+  test("requestNewRun honors triggerDownstream=false and waitAtleastSeconds") {
+    val dir = Files.createTempDirectory("graph-rerun-")
+    Files.write(dir.resolve("pass.sql"),
+      "SELECT * FROM {{ src }}".getBytes(StandardCharsets.UTF_8))
+    val yaml =
+      """functions:
+        |  - node_file: producer
+        |    id: aaaaaaaa
+        |    outputs: {out: r_raw}
+        |  - node_file: pass.sql
+        |    id: bbbbbbbb
+        |    inputs:  {src: r_raw}
+        |    outputs: {out: r_copy}
+        |""".stripMargin
+    val root = freshRoot()
+    var runs = 0
+    val runner = new GraphRunner(spark, GraphLoader.parse(yaml), root, Some(dir))
+      .register("producer", eng => {
+        runs += 1
+        if (runs == 1) {
+          // write NOTHING: downstream has no events to wake on yet; the
+          // requested rerun is the only thing that will write
+          eng.state.requestNewRun(triggerDownstream = false,
+            waitAtleastSeconds = None)
+        } else {
+          eng.table("out", "w").append(Seq((runs.toLong, "x")).toDF("id", "v"))
+          // the rerun asks for ANOTHER run, an hour out — must stay pending
+          if (runs == 2) eng.state.requestNewRun(waitAtleastSeconds = Some(3600L))
+        }
+      })
+    runner.trigger("aaaaaaaa")
+    assert(runs == 2,
+      "the undelayed rerun executes in the cascade; the 1h-deferred one does not")
+    // the rerun WROTE r_raw, but its request said triggerDownstream=false:
+    // the consumer must not have fired on those events
+    assert(!new GraftEngine(spark, root, "probe").table("r_copy").exists,
+      "triggerDownstream=false rerun events must not wake consumers")
+  }
+
   test("tailTable on a bucketed table hides the __bucket layout column") {
     val e = new GraftEngine(spark, freshRoot())
     val t = e.table("buck_tail", "w")
