@@ -302,13 +302,10 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
       s"table $name: version '$vid' has been garbage-collected")
     // a legitimately EMPTY version (reset / crashed-before-write) reads as
     // an empty frame — the same answer read() gives for the active one —
-    // rather than Spark's misleading "Unable to infer schema" error
-    if (filesIn(vid).isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], new StructType())
-    else
-      spark.read.option("mergeSchema", "true")
-        .parquet(dir.toString)
-        .drop("__bucket")
+    // rather than Spark's misleading "Unable to infer schema" error.
+    // Same canonical recipe as every other read path (versionScan).
+    catalog.versionScan(spark, name, vid).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], new StructType()))
   }
 
   /** Full scan of the active version (node.py:156-166). */

@@ -76,9 +76,12 @@ case class TableManifest(
   * platform's table store (SURVEY.md §1.1, §4.3).
   *
   * Layout: `<root>/<table>/manifest.json` + `<root>/<table>/<versionId>/`
-  * (parquet dir per version). All operations are metadata-only and O(1) in
+  * (parquet dir per version). Mutations are metadata-only and O(1) in
   * data size: at 100 TB the manifest stays a few KB — data never moves
   * through the driver; only Spark jobs touch the version directories.
+  * The one exception is [[versionScan]], the canonical (lazy, plan-only)
+  * read recipe shared by every batch/streaming/time-travel reader so the
+  * paths cannot drift on a layout change.
   *
   * Old versions stay on disk after reset/replace "until garbage collected
   * according to the table's retention policy" (reference node.py:403-404);
@@ -178,6 +181,22 @@ class TableCatalog(val root: Path) {
     top ++ nested
   }
 
+  /** Does the version dir hold at least one data file? Short-circuits at
+    * the first hit — the streaming source polls this shape per trigger,
+    * and a full [[dataFiles]] listing of a many-bucket dir on a remote
+    * mount would pay O(total files) just to test emptiness.
+    */
+  def hasDataFiles(name: String, vid: String): Boolean = {
+    val d = versionDir(name, vid).toFile
+    val top = Option(d.listFiles((f: java.io.File) =>
+      f.getName.endsWith(".parquet"))).getOrElse(Array.empty[java.io.File])
+    top.nonEmpty || Option(d.listFiles((f: java.io.File) =>
+      f.isDirectory && f.getName.startsWith("__bucket=")))
+      .getOrElse(Array.empty[java.io.File])
+      .exists(b => Option(b.listFiles((f: java.io.File) =>
+        f.getName.endsWith(".parquet"))).exists(_.nonEmpty))
+  }
+
   /** The canonical scan of one version: user-facing schema (mergeSchema
     * for schema-on-write evolution, the `__bucket` layout column dropped),
     * or None for a fileless version (reset(), crash-before-write) — which
@@ -185,10 +204,19 @@ class TableCatalog(val root: Path) {
     */
   def versionScan(spark: org.apache.spark.sql.SparkSession, name: String,
       vid: String): Option[org.apache.spark.sql.DataFrame] =
-    if (dataFiles(name, vid).isEmpty) None
-    else Some(spark.read.option("mergeSchema", "true")
+    if (!hasDataFiles(name, vid)) None
+    else try Some(spark.read.option("mergeSchema", "true")
       .parquet(versionDir(name, vid).toString)
       .drop("__bucket"))
+    catch {
+      // check-then-read window: a concurrent retention sweep can delete
+      // the dir between hasDataFiles and the (eager) parquet listing —
+      // that documented race must read as "no data", not crash. Swallowed
+      // ONLY when the dir is actually gone, so real analysis errors
+      // (permissions, corrupt footers) still surface.
+      case e: org.apache.spark.sql.AnalysisException
+          if !Files.exists(versionDir(name, vid)) => None
+    }
 
   def exists(name: String): Boolean = Files.exists(manifestPath(name))
 

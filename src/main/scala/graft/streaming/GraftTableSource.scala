@@ -64,13 +64,17 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
       table: String): StructType = {
     val m = cat.load(table).getOrElse(throw new IllegalArgumentException(
       s"graft-table source: no table '$table' in the catalog"))
-    val dir = m.activeVersion.map(v => cat.versionDir(table, v))
+    val vid = m.activeVersion.getOrElse(throw new IllegalArgumentException(
+      s"graft-table source: '$table' has no active version to infer a " +
+        "schema from; pass .schema(...) explicitly"))
+    // canonical recipe (versionScan) — and a FILELESS active version
+    // (reset, crash-before-write) gets the same clean error as
+    // no-active-version, not Spark's 'Unable to infer schema'
+    cat.versionScan(sqlContext.sparkSession, table, vid)
+      .map(df => StructType(df.schema.fields))
       .getOrElse(throw new IllegalArgumentException(
-        s"graft-table source: '$table' has no active version to infer a " +
+        s"graft-table source: '$table' has no data yet to infer a " +
           "schema from; pass .schema(...) explicitly"))
-    StructType(sqlContext.sparkSession.read
-      .option("mergeSchema", "true").parquet(dir.toString)
-      .drop("__bucket").schema.fields)
   }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
