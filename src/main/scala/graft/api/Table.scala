@@ -414,12 +414,28 @@ class Table(engine: GraftEngine, val name: String, val mode: String = "r",
     val preExisting = filesIn(vid).map(_.getAbsolutePath).toSet
     writeInto(clustered(decorate(conform(batch))),
       catalog.versionDir(name, vid).toString, SaveMode.Append, buckets, attest)
-    stampVersionStatsAfterAppend(vid, preExisting)
-    if (!isNew) catalog.recordEvent(name, "update")
-    // cleared only AFTER the write + stamp succeed: a failed flush keeps
-    // the buffered appends, so a caller that catches and retries gets the
-    // rows written instead of a silently successful no-op
+    // cleared at the DURABILITY point — after the parquet append commits,
+    // before stats stamping / event recording. A write failure keeps the
+    // buffer (the retry writes the rows instead of silently no-opping);
+    // a post-commit failure must NOT keep it, or the retry re-appends the
+    // whole batch and duplicates every row.
     buffer.clear()
+    try {
+      Table.postAppendHook()
+      stampVersionStatsAfterAppend(vid, preExisting)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // non-fatal, but never leave a STALE stamp: it understates
+        // rowCount/cursorMax and a streaming poll would skip the appended
+        // rows forever. Dropping the stamp costs consumers a scan
+        // fallback until the next flush recomputes a full fresh stamp.
+        try catalog.clearVersionStats(name, vid)
+        catch { case scala.util.control.NonFatal(_) => () }
+        System.err.println(
+          s"[graft] table $name: stats stamp failed after append " +
+            s"(stamp dropped, consumers fall back to scan): ${e.getMessage}")
+    }
+    if (!isNew) catalog.recordEvent(name, "update")
   }
 
   // --- hash-bucketed layout (the 100 TB upsert/point-lookup path) ---
@@ -860,6 +876,12 @@ object Table {
     * Underscore prefix keeps it invisible to Spark's parquet file index.
     */
   val BucketMarker = "_BUCKETS"
+
+  /** Test hook: runs after a flush's parquet append committed, before the
+    * stats stamp — lets specs inject a post-durability failure and pin
+    * that it neither duplicates rows on retry nor leaves a stale stamp.
+    */
+  private[graft] var postAppendHook: () => Unit = () => ()
 
   /** 13-char zero-padded base32: lexicographic order == numeric order
     * (node.py:291-294 "unique, strictly monotonically increasing base32

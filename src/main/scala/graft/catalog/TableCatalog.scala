@@ -352,6 +352,19 @@ class TableCatalog(val root: Path) {
           cursorMax = Some(cursorMax)) else v))
     }
 
+  /** Drop a version's stats stamp entirely. Used when an incremental
+    * restamp FAILED after its append committed: a stale stamp silently
+    * understates rowCount/cursorMax (a streaming source polling the stale
+    * max would skip the appended rows forever), while NO stamp makes every
+    * consumer fall back to a scan and the next successful flush recompute
+    * a full fresh stamp.
+    */
+  def clearVersionStats(name: String, vid: String): TableManifest =
+    mutate(name) { m =>
+      m.copy(versions = m.versions.map(v =>
+        if (v.id == vid) v.copy(rowCount = None, cursorMax = None) else v))
+    }
+
   def updateMeta(name: String)(f: TableMeta => TableMeta): TableManifest =
     mutate(name)(m => m.copy(meta = f(m.meta)))
 

@@ -90,6 +90,16 @@ class GraphRunner(
     */
   def runNode(id: String): GraftEngine = {
     val n = node(id)
+    val eng = execBody(n)
+    finishRun(n, eng)
+    eng
+  }
+
+  /** The node body alone — no seenEvents/pendingRerun bookkeeping, so a
+    * parallel cascade batch can run bodies concurrently and keep ALL
+    * shared-map mutation on the coordinator thread ([[finishRun]]).
+    */
+  private def execBody(n: NodeConfig): GraftEngine = {
     val eng = engineFor(n)
     if (n.isWebhook) {
       // webhook nodes only materialize their same-named append table (B5):
@@ -110,19 +120,23 @@ class GraphRunner(
           s"(${n.outputs.keys.mkString(", ")}); a SQL node writes exactly one")
       val outPort = n.outputs.keys.headOption.getOrElse(
         throw new IllegalArgumentException(s"sql node ${n.id} needs an output store"))
-      // register input ports as views under their PORT names, run, replace
-      // output. eng.table() takes PORT names (it resolves port -> store
-      // through the bindings itself); passing the resolved store name back
-      // in would re-resolve it as a port and, on a port/store name
-      // collision, read — or for the output, REPLACE — the wrong table.
+      // register input ports as views under NODE-SCOPED names, run,
+      // replace output. eng.table() takes PORT names (it resolves port ->
+      // store through the bindings itself); passing the resolved store
+      // name back in would re-resolve it as a port and, on a port/store
+      // name collision, read — or for the output, REPLACE — the wrong
+      // table. The node-id prefix (applied identically by [[render]])
+      // keeps two SQL nodes with the same port name from clobbering each
+      // other's views when a cascade batch runs them concurrently.
       val result = {
         n.inputs.keys.foreach { port =>
-          eng.table(port).read.createOrReplaceTempView(port)
+          eng.table(port).read.createOrReplaceTempView(viewName(n, port))
         }
         // drop after eager analysis: port names are node-local aliases and
         // must not leak into the NEXT node's SQL resolution scope
         try spark.sql(sql)
-        finally n.inputs.keys.foreach(spark.catalog.dropTempView(_))
+        finally n.inputs.keys.foreach(p =>
+          spark.catalog.dropTempView(viewName(n, p)))
       }
       eng.table(outPort, "w").replace(result)
     } else {
@@ -132,14 +146,26 @@ class GraphRunner(
       fn(eng)
       eng.endExecution()
     }
-    seenEvents(n.id) = inputEventCount(n)
-    eng.state.pendingNewRun.foreach(r =>
-      pendingRerun(n.id) = (r, System.currentTimeMillis()))
     eng
   }
 
-  /** `{{ port }}` resolves to the bound store's temp view; `{{ params.x }}`
-    * to the node's parameter value (B2 templating, create.py:239-244).
+  /** Coordinator-side bookkeeping after a node body completed: absorb the
+    * node's own input-event position and capture any follow-up-run
+    * request. Must never run concurrently with another mutation of the
+    * shared maps (cascade calls it sequentially after each batch).
+    */
+  private def finishRun(n: NodeConfig, eng: GraftEngine): Unit = {
+    seenEvents(n.id) = inputEventCount(n)
+    eng.state.pendingNewRun.foreach(r =>
+      pendingRerun(n.id) = (r, System.currentTimeMillis()))
+  }
+
+  /** Node-scoped temp-view name for a SQL node's input port. */
+  private def viewName(n: NodeConfig, port: String): String = s"v${n.id}_$port"
+
+  /** `{{ port }}` resolves to the bound store's NODE-SCOPED temp view;
+    * `{{ params.x }}` to the node's parameter value (B2 templating,
+    * create.py:239-244).
     */
   private def render(template: String, n: NodeConfig): String =
     "\\{\\{\\s*([A-Za-z0-9_.]+)\\s*\\}\\}".r.replaceAllIn(template, m => {
@@ -148,7 +174,7 @@ class GraphRunner(
         if (ref.startsWith("params."))
           n.parameters.get(ref.stripPrefix("params.")).map(_.toString).getOrElse(
             throw new IllegalArgumentException(s"unbound template parameter $ref"))
-        else ref // port name == its registered view name
+        else viewName(n, ref) // port ref == its registered (scoped) view
       // literal substitution: a '$' or '\' in a parameter value must not be
       // treated as a regex group reference
       scala.util.matching.Regex.quoteReplacement(value)
@@ -192,6 +218,27 @@ class GraphRunner(
     cascade(maxSteps)
   }
 
+  /** Max node bodies run concurrently per cascade sweep. Only PAIRWISE
+    * STORE-DISJOINT nodes share a batch (see [[conflicts]]), so the value
+    * trades latency for executor pressure, never correctness. The
+    * reference platform runs independent nodes concurrently (per-node
+    * triggers, services/trigger.py:10-22; per-node execution slices,
+    * node.py:465-500).
+    */
+  private val cascadeParallelism: Int =
+    sys.env.get("GRAFT_CASCADE_PARALLELISM")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(4)
+
+  /** Two nodes conflict when either writes a store the other touches:
+    * write-write (both append/replace the same table), or write-read (one
+    * produces what the other consumes — running them concurrently would
+    * make the consumer's input a race). Read-read sharing is safe.
+    */
+  private def conflicts(a: NodeConfig, b: NodeConfig): Boolean =
+    a.outputStores.intersect(b.inputStores ++ b.outputStores).nonEmpty ||
+      b.outputStores.intersect(a.inputStores ++ a.outputStores).nonEmpty
+
   private def cascade(maxSteps: Int): Unit = {
     var steps = 0
     var progressed = true
@@ -207,25 +254,81 @@ class GraphRunner(
         (n.inputs.nonEmpty && inputEventCount(n) > seenEvents(n.id)) ||
           rerunDue(n.id)
       }
-      // bound checked PER NODE, not per sweep: maxSteps caps total node
-      // runs exactly, so a write-your-own-input cycle cannot overshoot by
-      // the size of the eligible set
+      // greedy conflict-free batch, bounded PER NODE by maxSteps (total
+      // node runs capped exactly, so a write-your-own-input cycle cannot
+      // overshoot by the size of the eligible set). Nodes that conflict
+      // with an earlier batch member defer to the next sweep — their
+      // unconsumed events keep them eligible.
+      val batch = mutable.ArrayBuffer.empty[NodeConfig]
       eligible.foreach { n =>
-        if (steps < maxSteps) {
-          val rerun = pendingRerun.remove(n.id)
-          runNode(n.id)
-          // trigger_downstream = false (node.py:482-500): absorb the
-          // events this rerun just emitted on n's outputs so consumers do
-          // not become eligible from it (single-threaded runner — no other
-          // writer's events can be absorbed by mistake)
-          if (rerun.exists(!_._1.triggerDownstream))
-            graph.functions
-              .filter(m => m.inputStores.intersect(n.outputStores).nonEmpty)
-              .foreach(m => seenEvents(m.id) = inputEventCount(m))
+        if (steps + batch.size < maxSteps &&
+            batch.size < cascadeParallelism &&
+            batch.forall(!conflicts(_, n))) batch += n
+      }
+      // Consume a pending rerun only when it is actually DUE: an
+      // event-driven run must not swallow a deferred (wait_atleast)
+      // request — the request stays pending for a later sweep, and its
+      // triggerDownstream flag applies only to the run that satisfies it.
+      val consumed = batch.map { n =>
+        n -> (if (rerunDue(n.id)) pendingRerun.remove(n.id) else None)
+      }
+      // Snapshot each batch member's output-store event counters BEFORE
+      // running, so triggerDownstream=false absorption credits consumers
+      // with exactly the events THIS run emitted — never pre-existing
+      // unprocessed events from another producer on a shared store.
+      val preCounts: Map[String, Long] =
+        batch.flatMap(_.outputStores).distinct.map(s =>
+          s -> probeCatalog.refresh(s).map(_.eventCounter).getOrElse(0L)).toMap
+      // Bodies run concurrently when the batch has >1 member; ALL
+      // shared-map bookkeeping stays on this thread, after the bodies.
+      val outcomes: Seq[(NodeConfig, scala.util.Try[GraftEngine])] =
+        if (batch.size <= 1)
+          batch.toSeq.map(n => n -> scala.util.Try(execBody(n)))
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(batch.size)
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          try {
+            val futs = batch.toSeq.map(n =>
+              n -> scala.concurrent.Future(execBody(n)))
+            futs.map { case (n, f) =>
+              n -> scala.util.Try(scala.concurrent.Await.result(
+                f, scala.concurrent.duration.Duration.Inf))
+            }
+          } finally pool.shutdown()
+        }
+      // bookkeeping for EVERY completed body first (a mid-batch failure
+      // must not leave a succeeded sibling's events unconsumed — it would
+      // re-run on the next sweep and, for an append node, duplicate rows),
+      // then rethrow the first failure.
+      outcomes.foreach {
+        case (n, scala.util.Success(eng)) =>
+          finishRun(n, eng)
+          // trigger_downstream = false (node.py:482-500): absorb ONLY the
+          // events this rerun emitted on n's outputs (post-minus-pre
+          // delta per store), added to each consumer's seen position.
+          // Overwriting with the full current count would also absorb
+          // unrelated events another producer emitted earlier in the
+          // sweep, silently losing a legitimate trigger. The node itself
+          // is excluded: finishRun already re-based it on the full count.
+          consumed.collectFirst { case (`n`, Some((r, _))) if !r.triggerDownstream => () }
+            .foreach { _ =>
+              val delta: Map[String, Long] = n.outputStores.map(s =>
+                s -> (probeCatalog.refresh(s).map(_.eventCounter).getOrElse(0L)
+                  - preCounts.getOrElse(s, 0L))).toMap
+              graph.functions.filterNot(_.id == n.id)
+                .filter(m => m.inputStores.intersect(n.outputStores).nonEmpty)
+                .foreach { m =>
+                  val add = m.inputStores.toSeq.map(s => delta.getOrElse(s, 0L)).sum
+                  seenEvents(m.id) = seenEvents(m.id) + add
+                }
+            }
           progressed = true
           steps += 1
-        }
+        case _ => ()
       }
+      outcomes.collectFirst { case (_, scala.util.Failure(e)) => e }
+        .foreach(throw _)
     }
   }
 }

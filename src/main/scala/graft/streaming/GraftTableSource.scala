@@ -299,15 +299,19 @@ class GraftTableSource(sqlContext: SQLContext, cat: TableCatalog,
     // A read lease (taken BEFORE the scan plan is built) keeps a
     // concurrent retention sweep off the pinned version while the lazy
     // batch executes — same protection Table.readVersion takes.
+    // one LIVE lease per source: micro-batches execute sequentially, so by
+    // the time this batch's plan is built the previous batch has fully
+    // drained — EVERY batch starts by dropping the superseded lease (not
+    // only pinned-vid batches: a legacy offset with no vid, or a pinned
+    // version since gc'd, must not retain the previous batch's lease and
+    // keep retention off a version no longer needed), instead of leaking
+    // one file per trigger (a 1 s trigger would otherwise mint ~86k
+    // files/day, swept only when a retention gc happens to run)
+    currentLease.foreach(_.release())
+    currentLease = None
     val pinned = endOff.vid
       .filter(vid => cat.refresh(table).exists(_.versions.exists(_.id == vid)))
       .flatMap { vid =>
-        // one LIVE lease per source: micro-batches execute sequentially,
-        // so by the time this batch's plan is built the previous batch has
-        // fully drained — release its lease instead of leaking one file
-        // per trigger (a 1 s trigger would otherwise mint ~86k files/day,
-        // swept only when a retention gc happens to run)
-        currentLease.foreach(_.release())
         currentLease = Some(cat.acquireReadLease(table, vid))
         versionDf(vid)
       }

@@ -1,0 +1,221 @@
+package graft
+
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import org.apache.spark.sql.functions._
+
+import graft.api.{GraftEngine, Table}
+import graft.graph.{GraphLoader, GraphRunner}
+import graft.streaming.CursorOffset
+
+/** Round-8 hardening: the round-7 ADVICE items — rerun-event absorption
+  * scoped to the rerun's own contribution, deferred reruns surviving
+  * event-driven runs, flush buffer cleared at the durability point (no
+  * duplicate rows on retry after a post-commit failure), the streaming
+  * source dropping its superseded lease on EVERY batch — plus the
+  * bounded-parallel cascade (independent branches observed overlapping).
+  */
+class Round8HardeningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parse(yaml: String) = GraphLoader.parse(yaml)
+
+  test("triggerDownstream=false absorbs only the rerun's own events") {
+    // P1 and P2 run in the same sweep; P2's rerun (triggerDownstream =
+    // false) writes s2 while P1's s1 event is still unconsumed by C.
+    // Absorption must credit C for the s2 delta ONLY — overwriting with
+    // the full input count would swallow P1's event and C would never run.
+    val yaml =
+      """functions:
+        |  - node_file: src
+        |    id: s0000000
+        |    outputs: {oa: s0a, ob: s0b}
+        |  - node_file: p1
+        |    id: p1000000
+        |    inputs: {in: s0a}
+        |    outputs: {out: s1}
+        |  - node_file: p2
+        |    id: p2000000
+        |    inputs: {in: s0b}
+        |    outputs: {out: s2}
+        |  - node_file: cons
+        |    id: cc000000
+        |    inputs: {a: s1, b: s2}
+        |    outputs: {out: res}
+        |""".stripMargin
+    val root = freshRoot()
+    var p2runs = 0
+    val runner = new GraphRunner(spark, parse(yaml), root)
+      .register("src", eng => {
+        eng.table("oa", "w").append(Seq((0L, "seed")).toDF("id", "v"))
+        eng.table("ob", "w").append(Seq((0L, "seed")).toDF("id", "v"))
+      })
+      .register("p1", eng =>
+        eng.table("out", "w").append(Seq((1L, "from_p1")).toDF("id", "v")))
+      .register("p2", eng => {
+        p2runs += 1
+        if (p2runs == 1)
+          eng.state.requestNewRun(triggerDownstream = false,
+            waitAtleastSeconds = None)
+        else
+          eng.table("out", "w").append(Seq((2L, "from_p2")).toDF("id", "v"))
+      })
+      .register("cons", eng => {
+        val a = eng.table("a").read
+        val b = eng.table("b").read
+        eng.table("out", "w").append(a.unionByName(b))
+      })
+    runner.trigger("s0000000")
+    assert(p2runs == 2, "the undelayed rerun executes")
+    val res = new GraftEngine(spark, root, "probe").table("res")
+    assert(res.exists,
+      "P1's event must survive P2's triggerDownstream=false absorption")
+    assert(res.read.select("v").as[String].collect().sorted.toSeq ==
+      Seq("from_p1", "from_p2"),
+      "C fires on P1's event and sees both producers' rows")
+  }
+
+  test("a not-yet-due deferred rerun survives an event-driven run") {
+    val yaml =
+      """functions:
+        |  - node_file: prod
+        |    id: pp000000
+        |    outputs: {out: s1}
+        |  - node_file: cons
+        |    id: nn000000
+        |    inputs: {in: s1}
+        |    outputs: {out: s2}
+        |  - node_file: idle
+        |    id: ii000000
+        |    outputs: {}
+        |""".stripMargin
+    val root = freshRoot()
+    var prodRuns = 0
+    var consRuns = 0
+    val runner = new GraphRunner(spark, parse(yaml), root)
+      .register("prod", eng => {
+        prodRuns += 1
+        eng.table("out", "w").append(Seq((prodRuns.toLong, "x")).toDF("id", "v"))
+      })
+      .register("cons", eng => {
+        consRuns += 1
+        if (consRuns == 1)
+          eng.state.requestNewRun(waitAtleastSeconds = Some(1L))
+      })
+      .register("idle", _ => ())
+    runner.trigger("pp000000")
+    assert(consRuns == 1, "first event-driven run; rerun deferred 1s")
+    // new events while the rerun is NOT yet due: the event-driven run must
+    // not consume (drop) the deferred request
+    runner.trigger("pp000000")
+    assert(consRuns == 2, "second event-driven run")
+    runner.trigger("ii000000")
+    assert(consRuns == 2, "deferred rerun must not fire before its delay")
+    Thread.sleep(1200)
+    runner.trigger("ii000000")
+    assert(consRuns == 3,
+      "the deferred rerun fires once due — an earlier event-driven run " +
+        "must not have swallowed it")
+  }
+
+  test("independent cascade branches run concurrently") {
+    val yaml =
+      """functions:
+        |  - node_file: src
+        |    id: s0000000
+        |    outputs: {oa: s0a, ob: s0b}
+        |  - node_file: c1
+        |    id: c1000000
+        |    inputs: {in: s0a}
+        |    outputs: {out: o1}
+        |  - node_file: c2
+        |    id: c2000000
+        |    inputs: {in: s0b}
+        |    outputs: {out: o2}
+        |""".stripMargin
+    val root = freshRoot()
+    val l1 = new CountDownLatch(1)
+    val l2 = new CountDownLatch(1)
+    // each branch signals its own latch then waits for the sibling's: the
+    // handshake only completes when both bodies are in flight at once
+    def body(mine: CountDownLatch, other: CountDownLatch)(eng: GraftEngine): Unit = {
+      mine.countDown()
+      val overlapped = other.await(15, TimeUnit.SECONDS)
+      eng.table("out", "w").append(Seq((1L, overlapped)).toDF("id", "overlapped"))
+    }
+    val runner = new GraphRunner(spark, parse(yaml), root)
+      .register("src", eng => {
+        eng.table("oa", "w").append(Seq((0L, "seed")).toDF("id", "v"))
+        eng.table("ob", "w").append(Seq((0L, "seed")).toDF("id", "v"))
+      })
+      .register("c1", body(l1, l2))
+      .register("c2", body(l2, l1))
+    runner.trigger("s0000000")
+    val probe = new GraftEngine(spark, root, "probe")
+    for (tbl <- Seq("o1", "o2")) {
+      val rows = probe.table(tbl).read.select("overlapped").as[Boolean].collect()
+      assert(rows.toSeq == Seq(true),
+        s"$tbl: store-disjoint branches must execute concurrently " +
+          "(latch handshake timed out — cascade ran them sequentially)")
+    }
+  }
+
+  test("post-commit flush failure: no duplicates on retry, stamp dropped") {
+    val e = new GraftEngine(spark, freshRoot())
+    val t = e.table("stampfail", "w")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    Table.postAppendHook =
+      () => throw new RuntimeException("injected post-commit failure")
+    try t.flush()
+    finally Table.postAppendHook = () => ()
+    def activeInfo = t.manifest.versions
+      .find(v => t.manifest.activeVersion.contains(v.id)).get
+    // the append committed before the failure: rows are durable, the
+    // failure is non-fatal, and the buffer is drained — a retry must not
+    // re-append the batch
+    assert(t.read.count() == 2, "rows land exactly once")
+    t.flush()
+    assert(t.read.count() == 2, "retry after post-commit failure is a no-op")
+    // the stamp was DROPPED (scan fallback), never left stale at the
+    // pre-append count — a stale cursorMax would make a streaming poll
+    // skip the appended rows forever
+    assert(activeInfo.rowCount.isEmpty,
+      "failed stamp must clear the version stats, not leave them stale")
+    assert(t.recordCount.contains(2L), "recordCount falls back to a scan")
+    // the next successful flush recomputes a FULL fresh stamp
+    t.append(Seq((3L, "c")).toDF("id", "v")); t.flush()
+    assert(activeInfo.rowCount.contains(3L),
+      "next flush restamps from scratch")
+    assert(t.recordCount.contains(3L))
+  }
+
+  test("graft-table source: vid-less batch drops the superseded lease") {
+    val root = freshRoot()
+    val e = new GraftEngine(spark, root)
+    val t = e.table("lease_hoist", "w")
+    t.append(Seq((1L, "a")).toDF("id", "v")); t.flush()
+    val provider = new graft.streaming.GraftTableSourceProvider
+    val meta = Files.createTempDirectory("lease-hoist-meta-").toUri.toString
+      .stripSuffix("/")
+    val params = Map("root" -> root, "table" -> "lease_hoist", "orderBy" -> "id")
+    val src = provider.createSource(spark.sqlContext, meta, None,
+      "graft-table", params).asInstanceOf[graft.streaming.GraftTableSource]
+    val leaseDir = java.nio.file.Paths.get(root, "lease_hoist", "leases")
+    def leases: Long =
+      if (!Files.isDirectory(leaseDir)) 0L
+      else Files.list(leaseDir).filter(_.toString.endsWith(".lease")).count()
+    val end = src.getOffset.get
+    src.batchPlan(None, end).collect()
+    assert(leases == 1L, "pinned batch holds its replay lease")
+    // a legacy offset (no vid) must START by dropping the superseded
+    // lease — previously it was retained until the next pinned batch or
+    // stop(), keeping retention off a version no longer needed
+    val legacy = CursorOffset(CursorOffset.parse(end.json).value, None)
+    src.batchPlan(None, legacy).collect()
+    assert(leases == 0L,
+      "vid-less batch must release the previous batch's lease")
+    src.stop()
+  }
+}
