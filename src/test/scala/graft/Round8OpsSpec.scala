@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.queries.DedupQueries
+
+/** Round-8 scale paths: d12's pair-budget escape hatch (the d32 pattern
+  * applied to all-pairs near-dup). Within budget the budgeted scorer IS
+  * the exact tile kernel; over budget it must produce a subset of the
+  * exact pairs with bounded within-cell work and a riding recall audit.
+  */
+class Round8OpsSpec extends SparkSpec {
+
+  private def embeddings(dir: String) = {
+    graft.functions.FloatDotProduct.register(spark)
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", l2norm(col("embedding")))
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("label", "va", "vb", "cosine").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+  test("d12 budgeted scorer == exact tile kernel when within budget") {
+    val v = embeddings("/root/testdata/sf0.01")
+    val exact = pairSet(DedupQueries.embedNeardupBlocked(spark, v, 0.4))
+    val budgeted = DedupQueries.embedNeardupBudgeted(spark, v, 0.4).collect()
+    assert(exact.nonEmpty)
+    assert(budgeted.map(r => (r.getAs[Int]("label"), r.getAs[Long]("va"),
+      r.getAs[Long]("vb"), r.getAs[Double]("cosine"))).toSet == exact,
+      "default budget leaves every fixture label on the exact path")
+    assert(budgeted.forall(!_.getAs[Boolean]("approx_label")))
+    assert(budgeted.forall(_.isNullAt(budgeted.head.fieldIndex("audit_recall"))))
+    // exact path: realized work == the full candidate term
+    val counts = v.groupBy("label").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getAs[Any]("label").toString.toLong ->
+        r.getAs[Long]("c")).toMap
+    assert(budgeted.forall { r =>
+      val c = counts(r.getAs[Int]("label").toLong)
+      r.getAs[Long]("n_scored_pairs") == c * (c - 1) / 2
+    })
+  }
+
+  test("d12 escape hatch: forced tiny budget bounds work, audits recall") {
+    // thr=0.3 multiplies matching pairs ~20x (the Round6OpsSpec boundary
+    // test's trick) so hatched labels actually HAVE pairs to find, and
+    // auditMod=1 samples every vector — the riding audit then equals the
+    // label's true hatch recall, which the spec recomputes independently
+    val v = embeddings("/root/testdata/sf0.01")
+    val exactAll = pairSet(DedupQueries.embedNeardupBlocked(spark, v, 0.3))
+    val counts = v.groupBy("label").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getAs[Any]("label").toString.toLong ->
+        r.getAs[Long]("c")).toMap
+    val budget = 300L
+    val hatchedLabels = counts.filter { case (_, c) =>
+      c * (c - 1) / 2 > budget }.keySet
+    assert(hatchedLabels.nonEmpty, "tiny budget must hatch at least one label")
+    val out = DedupQueries.embedNeardupBudgeted(spark, v, 0.3,
+      budget = budget, auditMod = 1L).collect()
+    val (approx, exactRows) = out.partition(_.getAs[Boolean]("approx_label"))
+    // only over-budget labels take the hatch (a hatched label with no
+    // surviving pairs simply emits no rows), and no within-budget label
+    // is ever marked approximate
+    assert(approx.map(_.getAs[Int]("label").toLong).toSet
+      .subsetOf(hatchedLabels))
+    assert(exactRows.forall(r =>
+      !hatchedLabels.contains(r.getAs[Int]("label").toLong)),
+      "within-budget labels must stay on the exact path")
+    // va < vb invariant holds on the hatch path too
+    assert(out.forall(r => r.getAs[Long]("va") < r.getAs[Long]("vb")))
+    // hatch output is a SUBSET of the exact pair set, cosine bit-identical
+    val approxSet = approx.map(r => (r.getAs[Int]("label"),
+      r.getAs[Long]("va"), r.getAs[Long]("vb"), r.getAs[Double]("cosine"))).toSet
+    assert(approxSet.subsetOf(exactAll),
+      "every hatched pair must exist in the exact all-pairs set with an " +
+        "identical cosine")
+    assert(approxSet.nonEmpty, "the hatch must still find near-dup pairs")
+    // within-budget labels are untouched: bit-identical to the exact path
+    val exactSet = exactRows.map(r => (r.getAs[Int]("label"),
+      r.getAs[Long]("va"), r.getAs[Long]("vb"), r.getAs[Double]("cosine"))).toSet
+    assert(exactSet ==
+      exactAll.filterNot(p => hatchedLabels.contains(p._1.toLong)))
+    // the quadratic term is genuinely bounded: realized within-cell pairs
+    // strictly below the label's all-pairs term
+    approx.foreach { r =>
+      val c = counts(r.getAs[Int]("label").toLong)
+      assert(r.getAs[Long]("n_scored_pairs") < c * (c - 1) / 2,
+        s"label ${r.getAs[Int]("label")}: hatch did not prune")
+    }
+    // the riding audit equals the TRUE per-label hatch recall (auditMod=1
+    // samples everything, so the audit's exact reference is the full
+    // exact pair set of the label)
+    val trueRecall: Map[Long, Double] = hatchedLabels.map { l =>
+      val ex = exactAll.filter(_._1.toLong == l)
+      val got = approxSet.filter(_._1.toLong == l)
+      l -> (if (ex.isEmpty) -1.0 else got.size.toDouble / ex.size)
+    }.toMap
+    val audited = approx.filter(r => !r.isNullAt(r.fieldIndex("audit_recall")))
+    assert(audited.nonEmpty, "hatched labels must carry a recall audit")
+    audited.foreach { r =>
+      val l = r.getAs[Int]("label").toLong
+      val a = r.getAs[Double]("audit_recall")
+      assert(a >= 0.0 && a <= 1.0)
+      assert(math.abs(a - trueRecall(l)) < 1e-12,
+        s"label $l: audit_recall $a != independently computed ${trueRecall(l)}")
+    }
+  }
+
+  test("d12 query output carries constant audit columns at oracle SF") {
+    val df = DedupQueries.queries("d12_embed_neardup")(
+      spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_scored_pairs") == r.getAs[Long]("n_candidate_pairs")))
+    assert(rows.forall(!_.getAs[Boolean]("approx_label")))
+  }
+}
