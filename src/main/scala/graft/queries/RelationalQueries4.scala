@@ -392,6 +392,47 @@ object RelationalQueries4 {
         .orderBy("o_orderkey")
         .offset(100)
         .limit(50)
+    },
+    // C2/C3 — oracle-checked CSV ROUND TRIP: dump an orders slice to CSV
+    // (distributed multi-part write, quoted strings, shortest-repr
+    // doubles), read it back through the Sources.csv API with the
+    // original schema, aggregate. The oracle computes the same aggregate
+    // on the PARQUET directly, so a hash match proves the text round trip
+    // is lossless — doubles re-parse bit-identically (Ryu shortest
+    // representation), dates survive ISO formatting, quoting survives
+    // embedded spaces. DATE (not timestamp) rides through the file: CSV
+    // timestamp parsing is timezone-configurable and would couple the
+    // result to reader settings a round trip must not depend on.
+    "q57_csv_roundtrip" -> { (s, dir) =>
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), to_date(col("o_orderdate")).as("o_date"),
+          col("o_orderpriority"))
+      val out = java.nio.file.Files.createTempDirectory("graft-q57-").toString
+      base.write.mode("overwrite").option("header", "true").csv(out)
+      graft.sources.Sources.csv(s, out, Some(base.schema.toDDL))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"),
+          min("o_date").as("first_date"))
+        .orderBy("o_orderstatus")
+    },
+    // C2/C3 — oracle-checked JSON-lines ROUND TRIP over free text: the
+    // documents table's text column carries quotes/newlines/unicode that
+    // JSON must escape losslessly. Read back through Sources.json with
+    // the original schema; the oracle aggregates the parquet directly.
+    "q58_json_roundtrip" -> { (s, dir) =>
+      val base = t(s, dir, "documents").select("doc_id", "source", "text")
+      val out = java.nio.file.Files.createTempDirectory("graft-q58-").toString
+      base.write.mode("overwrite").json(out)
+      graft.sources.Sources.json(s, out, Some(base.schema.toDDL))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("total_chars"),
+          countDistinct("doc_id").as("n_ids"))
+        .orderBy("source")
     }
   )
 
@@ -597,6 +638,19 @@ object RelationalQueries4 {
     "q56_pagination" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_orderkey
-        |LIMIT 50 OFFSET 100""".stripMargin
+        |LIMIT 50 OFFSET 100""".stripMargin,
+    // the oracle reads the PARQUET: equality proves the Spark-side CSV
+    // round trip lost nothing
+    "q57_csv_roundtrip" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |       ${oSum("o_totalprice")} AS total,
+         |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+         |       MIN(CAST(o_orderdate AS DATE)) AS first_date
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q58_json_roundtrip" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+        |       COUNT(DISTINCT doc_id) AS n_ids
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }
