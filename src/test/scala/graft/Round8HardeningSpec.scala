@@ -191,6 +191,85 @@ class Round8HardeningSpec extends SparkSpec {
     assert(t.recordCount.contains(3L))
   }
 
+  test("retention churn soak: appends/time-travel/compact/gc interleave") {
+    // the round-7 swept-mid-read fix under sustained concurrency instead
+    // of a unit pin: a writer churns versions (upsert + append + compact)
+    // with a short retention, a reader time-travels into whatever version
+    // is currently listed, and a dedicated sweeper hammers gc — for the
+    // whole run every read either succeeds or fails LOUDLY with the
+    // unknown-version contract; nothing may crash with a filesystem-level
+    // error (the bug class the lease protocol exists to prevent), rows
+    // must never duplicate or vanish, and no lease files may leak.
+    val root = freshRoot()
+    val e = new GraftEngine(spark, root)
+    val t = e.table("churn", "w")
+    t.init(uniqueOn = Seq("id"), retentionMillis = 150L)
+    t.upsert(Seq((0L, 0L)).toDF("id", "v"))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val reads = new java.util.concurrent.atomic.AtomicLong()
+    val loudMisses = new java.util.concurrent.atomic.AtomicLong()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      val rt = new GraftEngine(spark, root, "reader").table("churn")
+      val rnd = new scala.util.Random(8)
+      while (!stop.get()) {
+        try {
+          val vids = rt.manifest.versions.map(_.id)
+          if (vids.nonEmpty) {
+            val vid = vids(rnd.nextInt(vids.length))
+            // TTL far above one tiny count(): once readVersion returns,
+            // the lease must hold the version for the whole read
+            rt.readVersion(vid, leaseTtlMillis = 3000L).count()
+            reads.incrementAndGet()
+          }
+        } catch {
+          case _: IllegalArgumentException => loudMisses.incrementAndGet()
+          case ex: Throwable => errors.add(ex); stop.set(true)
+        }
+      }
+    })
+    val sweeper = new Thread(() => {
+      val cat = new graft.catalog.TableCatalog(java.nio.file.Paths.get(root))
+      while (!stop.get()) {
+        try { cat.gc("churn", 150L); Thread.sleep(20) }
+        catch { case ex: Throwable => errors.add(ex); stop.set(true) }
+      }
+    })
+    reader.start(); sweeper.start()
+    try {
+      for (i <- 1 to 10) {
+        t.upsert(Seq(((i % 5).toLong, i.toLong)).toDF("id", "v"))
+        if (i % 3 == 0) { t.append(Seq((100L + i, i.toLong)).toDF("id", "v")); t.flush() }
+        if (i % 4 == 0) t.compact()
+        Thread.sleep(30)
+      }
+    } finally {
+      stop.set(true); reader.join(20000); sweeper.join(20000)
+    }
+    assert(errors.isEmpty,
+      s"churn surfaced non-contract failures: ${Option(errors.peek())}")
+    assert(reads.get() > 0, "the soak must complete real time-travel reads")
+    // final state: upserts keyed 0..4 hold the LAST write per key, appends
+    // are all present exactly once
+    val rows = t.read.select("id", "v").as[(Long, Long)].collect().toMap
+    assert(rows(1L) == 6L && rows(2L) == 7L && rows(3L) == 8L &&
+      rows(4L) == 9L && rows(0L) == 10L, s"keyed state wrong: $rows")
+    assert(rows.keys.count(_ >= 100L) == 3, s"appended rows wrong: $rows")
+    // after leases lapse, a final sweep leaves only the active version and
+    // zero lease files — nothing leaked
+    Thread.sleep(3200)
+    val cat = new graft.catalog.TableCatalog(java.nio.file.Paths.get(root))
+    cat.gc("churn", 150L)
+    val m = cat.load("churn").get
+    assert(m.versions.map(_.id) == m.activeVersion.toList,
+      s"superseded versions survived the final sweep: ${m.versions.map(_.id)}")
+    val leaseDir = java.nio.file.Paths.get(root, "churn", "leases")
+    val leaseCount =
+      if (!Files.isDirectory(leaseDir)) 0L
+      else Files.list(leaseDir).filter(_.toString.endsWith(".lease")).count()
+    assert(leaseCount == 0L, "lease files leaked past their TTL")
+  }
+
   test("graft-table source: vid-less batch drops the superseded lease") {
     val root = freshRoot()
     val e = new GraftEngine(spark, root)
