@@ -43,7 +43,7 @@ object RelationalQueries {
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24 &&
           col("l_returnflag").isin("A", "N"))
-        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        .agg(usum(col("l_extendedprice") * col("l_discount")).as("revenue"),
              count(lit(1)).as("n_rows"))
     },
     // C6/C14 — 3-way shuffle equi-join, revenue per market segment.
@@ -61,19 +61,24 @@ object RelationalQueries {
     // is associative, so bit-identical to the single-level dsum (oracle
     // hash unchanged).
     "q03_join_revenue" -> { (s, dir) =>
+      // partial sums ride as LONG micro-units (Q.usum's lattice recovery,
+      // applied per row BEFORE the two-level agg): integer addition is
+      // associative at both levels, so the nested sum equals the oracle's
+      // single-level sum bit-for-bit, with none of the decimal path's
+      // per-row BigDecimal traffic
       val perCust = t(s, dir, "lineitem")
         .select(col("l_orderkey"),
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(org.apache.spark.sql.types.DecimalType(20, 6)).as("disc_price"))
+          floor((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            * lit(1000000.0) + lit(0.5)).as("disc_micros"))
         .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(sum("disc_price").as("rev"), count(lit(1)).as("n"))
+        .agg(sum("disc_micros").as("rev"), count(lit(1)).as("n"))
       perCust
         .join(t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(sum("rev").cast("double").as("revenue"),
+        .agg((sum("rev").cast("double") / lit(1000000.0)).as("revenue"),
           sum("n").as("n_items"))
         .orderBy("c_mktsegment")
     },
@@ -85,7 +90,7 @@ object RelationalQueries {
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
         .groupBy("n_name")
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .agg(usum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
         .orderBy("n_name")
     },
     // C8 — left outer join keeps customers without orders. Orders are
@@ -97,14 +102,16 @@ object RelationalQueries {
       val perCust = t(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(count(col("o_orderkey")).as("n_o"),
-          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+          // micro-unit partials (see q03): exact, associative, codegen
+          sum(floor(col("o_totalprice") * lit(1000000.0) + lit(0.5)))
             .as("price_part"))
       t(s, dir, "customer")
         .join(perCust, col("c_custkey") === col("o_custkey"), "left")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_cust"),
           sum(coalesce(col("n_o"), lit(0L))).as("n_orders"),
-          sum(col("price_part")).cast("double").as("total_price"))
+          (sum(col("price_part")).cast("double") / lit(1000000.0))
+            .as("total_price"))
         .orderBy("c_mktsegment")
     },
     // C9 — left-semi: customers having an open order, per nation.
@@ -170,14 +177,14 @@ object RelationalQueries {
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_filter_revenue" ->
-      s"""SELECT ${oSum("l_extendedprice * l_discount")} AS revenue, COUNT(*) AS n_rows
+      s"""SELECT ${oUSum("l_extendedprice * l_discount")} AS revenue, COUNT(*) AS n_rows
          |FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '2000-01-01'
          |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
          |  AND l_returnflag IN ('A', 'N')""".stripMargin,
     "q03_join_revenue" ->
       s"""SELECT c_mktsegment,
-         |  ${oSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  ${oUSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
          |  COUNT(*) AS n_items
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
@@ -185,7 +192,7 @@ object RelationalQueries {
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q04_broadcast_star" ->
       s"""SELECT n_name,
-         |  ${oSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |  ${oUSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
          |FROM lineitem
          |JOIN supplier ON l_suppkey = s_suppkey
          |JOIN nation ON s_nationkey = n_nationkey
@@ -196,7 +203,7 @@ object RelationalQueries {
       s"""SELECT c_mktsegment,
          |  COUNT(DISTINCT c_custkey) AS n_cust,
          |  COUNT(o_orderkey) AS n_orders,
-         |  ${oSum("o_totalprice")} AS total_price
+         |  ${oUSum("o_totalprice")} AS total_price
          |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q06_semi_join" ->
