@@ -109,6 +109,43 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("usum/uavg == dsum/davg on lattice values (incl. negatives, nulls)") {
+    import spark.implicits._
+    import graft.queries.Q
+    val rnd = new scala.util.Random(88)
+    // 2-, 4- and 6-decimal lattice values, mixed signs, up to the money
+    // magnitude the fixtures carry; every 50th value null
+    val vals: Seq[java.lang.Double] = (1 to 20000).map { i =>
+      if (i % 50 == 0) null
+      else {
+        val scale = Seq(100.0, 10000.0, 1000000.0)(i % 3)
+        val sign = if (i % 7 == 0) -1 else 1
+        java.lang.Double.valueOf(
+          sign * math.floor(rnd.nextDouble() * 1e5 * scale) / scale)
+      }
+    }
+    val df = vals.toDF("x")
+    val r = df.agg(
+      Q.dsum(org.apache.spark.sql.functions.col("x")).as("d"),
+      Q.usum(org.apache.spark.sql.functions.col("x")).as("u"),
+      Q.davg(org.apache.spark.sql.functions.col("x")).as("da"),
+      Q.uavg(org.apache.spark.sql.functions.col("x")).as("ua")).head()
+    // both paths recover the same exact lattice sum; the final double may
+    // differ only in the last ulp (two correctly-rounded steps vs one) —
+    // the driver compare runs BOTH engines through the SAME path, so
+    // equality there is structural; here we pin the numeric agreement
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) <=
+      math.ulp(r.getDouble(0)), s"usum ${r.getDouble(1)} vs dsum ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(2) - r.getDouble(3)) <=
+      math.ulp(r.getDouble(2)))
+    // and on a small exactly-representable set, strict equality
+    val small = Seq(1.25, -2.50, 3.75, 0.01, 100.00).toDF("x")
+    val r2 = small.agg(Q.dsum(org.apache.spark.sql.functions.col("x")),
+      Q.usum(org.apache.spark.sql.functions.col("x"))).head()
+    assert(r2.getDouble(0) == r2.getDouble(1))
+    assert(r2.getDouble(0) == 102.51)
+  }
+
   test("d12 query output carries constant audit columns at oracle SF") {
     val df = DedupQueries.queries("d12_embed_neardup")(
       spark, "/root/testdata/sf0.001")
