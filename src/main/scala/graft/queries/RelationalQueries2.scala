@@ -55,7 +55,7 @@ object RelationalQueries2 {
       .filter(col("decile") === 1)
       .groupBy("y")
       .agg(count(lit(1)).as("n_top"),
-        dsum(col("o_totalprice")).as("top_decile_total"),
+        usum(col("o_totalprice")).as("top_decile_total"),
         max("pct_rank").as("max_pct_rank"),
         max("cume").as("max_cume"))
       .orderBy("y")
@@ -89,7 +89,7 @@ object RelationalQueries2 {
     }.toDF("y", "max_pct_rank", "max_cume")
     top.groupBy("y")
       .agg(count(lit(1)).as("n_top"),
-        dsum(col("o_totalprice")).as("top_decile_total"))
+        usum(col("o_totalprice")).as("top_decile_total"))
       .join(broadcast(scalars), "y")
       .select("y", "n_top", "top_decile_total", "max_pct_rank", "max_cume")
       .orderBy("y")
@@ -130,7 +130,7 @@ object RelationalQueries2 {
     "q13_rollup" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .agg(count(lit(1)).as("n_rows"), usum(col("l_quantity")).as("sum_qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("n_rows"), col("sum_qty"))
@@ -140,7 +140,7 @@ object RelationalQueries2 {
     "q14_cube" -> { (s, dir) =>
       t(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .agg(count(lit(1)).as("n_orders"), usum(col("o_totalprice")).as("total"))
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n_orders"), col("total"))
@@ -228,7 +228,7 @@ object RelationalQueries2 {
         .select("o_orderstatus", "o_totalprice")
       early.unionByName(big)
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"))
+        .agg(count(lit(1)).as("n_rows"), usum(col("o_totalprice")).as("total"))
         .orderBy("o_orderstatus")
     },
     // C24 — string function family over part.
@@ -252,7 +252,7 @@ object RelationalQueries2 {
       t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
         .agg(count(lit(1)).as("n_orders"),
-          dsum(col("o_totalprice")).as("total"),
+          usum(col("o_totalprice")).as("total"),
           min(to_date(col("o_orderdate"))).as("first_day"),
           max(date_add(to_date(col("o_orderdate")), 30)).as("due_max"),
           max(datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))).as("max_age_days"))
@@ -341,7 +341,7 @@ object RelationalQueries2 {
       t(s, dir, "lineitem")
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name")
-        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("total_qty"))
+        .agg(count(lit(1)).as("n_items"), usum(col("l_quantity")).as("total_qty"))
         .filter(col("n_items") > 580)
         .orderBy("s_name")
     },
@@ -364,7 +364,7 @@ object RelationalQueries2 {
         .select(col("p_partkey"), brandNum(col("p_brand")).as("brand_num"),
           col("p_retailprice"))
         .groupBy("brand_num")
-        .agg(count(lit(1)).as("n_parts"), dsum(col("p_retailprice")).as("total_price"))
+        .agg(count(lit(1)).as("n_parts"), usum(col("p_retailprice")).as("total_price"))
         .orderBy("brand_num")
     },
     // C32 — typed Aggregator (UDAF) surface: integer-exact accumulation.
@@ -427,7 +427,7 @@ object RelationalQueries2 {
       val fact = e.withColumn("salt", pmod(hash(col("event_id")), lit(S)))
       fact.join(dimSalted, Seq("user_id", "salt"))
         .groupBy(col("first_type"), (col("user_id") % 10).cast("long").as("user_mod"))
-        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total"))
+        .agg(count(lit(1)).as("n_events"), usum(col("value")).as("total"))
         .orderBy("first_type", "user_mod")
     },
     // Sessionization — assign events to sessions by inactivity gap
@@ -446,7 +446,7 @@ object RelationalQueries2 {
         .groupBy("user_id", "sess_id")
         .agg(count(lit(1)).as("n_events"),
           min("us").as("start_us"), max("us").as("end_us"),
-          dsum(col("value")).as("total_value"))
+          usum(col("value")).as("total_value"))
         .withColumn("duration_us", col("end_us") - col("start_us"))
         .orderBy("user_id", "sess_id")
     },
@@ -493,13 +493,13 @@ object RelationalQueries2 {
     "q13_rollup" ->
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
          |       COALESCE(l_linestatus, 'ALL') AS linestatus,
-         |       COUNT(*) AS n_rows, ${oSum("l_quantity")} AS sum_qty
+         |       COUNT(*) AS n_rows, ${oUSum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          |ORDER BY returnflag, linestatus""".stripMargin,
     "q14_cube" ->
       s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
          |       COALESCE(o_orderpriority, 'ALL') AS priority,
-         |       COUNT(*) AS n_orders, ${oSum("o_totalprice")} AS total
+         |       COUNT(*) AS n_orders, ${oUSum("o_totalprice")} AS total
          |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          |ORDER BY status, priority""".stripMargin,
     "q15_grouping_sets" ->
@@ -549,7 +549,7 @@ object RelationalQueries2 {
         |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
         |) sub ORDER BY o_custkey""".stripMargin,
     "q20_union_all" ->
-      s"""SELECT o_orderstatus, COUNT(*) AS n_rows, ${oSum("o_totalprice")} AS total
+      s"""SELECT o_orderstatus, COUNT(*) AS n_rows, ${oUSum("o_totalprice")} AS total
          |FROM (
          |  SELECT o_orderstatus, o_totalprice FROM orders WHERE year(o_orderdate) < 1999
          |  UNION ALL
@@ -570,7 +570,7 @@ object RelationalQueries2 {
     "q22_date_fns" ->
       s"""SELECT CAST(year(o_orderdate) AS INT) AS y,
          |  CAST(month(o_orderdate) AS INT) AS m,
-         |  COUNT(*) AS n_orders, ${oSum("o_totalprice")} AS total,
+         |  COUNT(*) AS n_orders, ${oUSum("o_totalprice")} AS total,
          |  MIN(CAST(o_orderdate AS DATE)) AS first_day,
          |  MAX(CAST(o_orderdate AS DATE) + 30) AS due_max,
          |  CAST(MAX(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS INT) AS max_age_days
@@ -624,7 +624,7 @@ object RelationalQueries2 {
         |  FROM orders)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q29_having" ->
-      s"""SELECT s_name, COUNT(*) AS n_items, ${oSum("l_quantity")} AS total_qty
+      s"""SELECT s_name, COUNT(*) AS n_items, ${oUSum("l_quantity")} AS total_qty
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY s_name HAVING COUNT(*) > 580 ORDER BY s_name""".stripMargin,
     "q30_sample_dedup" ->
@@ -636,7 +636,7 @@ object RelationalQueries2 {
         |) sub GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q31_udf_surface" ->
       s"""SELECT CAST(string_split(p_brand, '#')[2] AS INT) AS brand_num,
-         |  COUNT(*) AS n_parts, ${oSum("p_retailprice")} AS total_price
+         |  COUNT(*) AS n_parts, ${oUSum("p_retailprice")} AS total_price
          |FROM part GROUP BY brand_num ORDER BY brand_num""".stripMargin,
     "q33_correlated_exists" ->
       """SELECT c_mktsegment,
@@ -654,7 +654,7 @@ object RelationalQueries2 {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q34_ntile_dist" ->
       s"""SELECT y, COUNT(*) AS n_top,
-         |  ${oSum("o_totalprice")} AS top_decile_total,
+         |  ${oUSum("o_totalprice")} AS top_decile_total,
          |  MAX(pct_rank) AS max_pct_rank,
          |  MAX(cume) AS max_cume
          |FROM (
@@ -671,7 +671,7 @@ object RelationalQueries2 {
          |  SELECT user_id, MIN(event_type) AS first_type
          |  FROM events GROUP BY user_id)
          |SELECT first_type, CAST(user_id % 10 AS BIGINT) AS user_mod,
-         |       COUNT(*) AS n_events, ${oSum("value")} AS total
+         |       COUNT(*) AS n_events, ${oUSum("value")} AS total
          |FROM events JOIN dim USING (user_id)
          |GROUP BY first_type, user_mod ORDER BY first_type, user_mod""".stripMargin,
     "q36_sessionize" ->
@@ -693,7 +693,7 @@ object RelationalQueries2 {
          |  FROM g)
          |SELECT user_id, sess_id, COUNT(*) AS n_events,
          |       MIN(us) AS start_us, MAX(us) AS end_us,
-         |       ${oSum("value")} AS total_value,
+         |       ${oUSum("value")} AS total_value,
          |       MAX(us) - MIN(us) AS duration_us
          |FROM sess GROUP BY user_id, sess_id
          |ORDER BY user_id, sess_id""".stripMargin,

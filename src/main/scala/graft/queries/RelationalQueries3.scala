@@ -68,9 +68,9 @@ object RelationalQueries3 {
     "q40_unpivot" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_price"),
-          dsum(col("l_discount")).as("sum_disc"))
+        .agg(usum(col("l_quantity")).as("sum_qty"),
+          usum(col("l_extendedprice")).as("sum_price"),
+          usum(col("l_discount")).as("sum_disc"))
         .unpivot(Array(col("l_returnflag")),
           Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
           "metric", "value")
@@ -123,9 +123,9 @@ object RelationalQueries3 {
       s"""SELECT l_returnflag, metric, value FROM (
          |  UNPIVOT (
          |    SELECT l_returnflag,
-         |           ${oSum("l_quantity")} AS sum_qty,
-         |           ${oSum("l_extendedprice")} AS sum_price,
-         |           ${oSum("l_discount")} AS sum_disc
+         |           ${oUSum("l_quantity")} AS sum_qty,
+         |           ${oUSum("l_extendedprice")} AS sum_price,
+         |           ${oUSum("l_discount")} AS sum_disc
          |    FROM lineitem GROUP BY l_returnflag)
          |  ON sum_qty, sum_price, sum_disc
          |  INTO NAME metric VALUE value)

@@ -56,7 +56,7 @@ object RelationalQueries4 {
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .agg(usum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
@@ -346,7 +346,7 @@ object RelationalQueries4 {
       val monthly = t(s, dir, "orders")
         .groupBy(date_trunc("month", col("o_orderdate").cast("date"))
           .cast("date").as("month"))
-        .agg(dsum(col("o_totalprice")).as("total"))
+        .agg(usum(col("o_totalprice")).as("total"))
       val w = Window.orderBy("month")
       monthly
         .withColumn("prev_total", lag("total", 1).over(w))
@@ -363,7 +363,7 @@ object RelationalQueries4 {
         t(s, dir, "orders")
           .filter(year(col("o_orderdate").cast("date")) === y)
           .groupBy("o_custkey")
-          .agg(dsum(col("o_totalprice")).as(rev), count(lit(1)).as(n))
+          .agg(usum(col("o_totalprice")).as(rev), count(lit(1)).as(n))
       yearRev(1994, "rev94", "n94")
         .join(yearRev(1998, "rev98", "n98"), Seq("o_custkey"), "full")
         .filter(col("rev94").isNull || col("rev98").isNull)
@@ -413,7 +413,7 @@ object RelationalQueries4 {
       graft.sources.Sources.csv(s, out, Some(base.schema.toDDL))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
-          dsum(col("o_totalprice")).as("total"),
+          usum(col("o_totalprice")).as("total"),
           min("o_orderkey").as("min_key"),
           max("o_orderkey").as("max_key"),
           min("o_date").as("first_date"))
@@ -439,7 +439,7 @@ object RelationalQueries4 {
   val oracle: Map[String, String] = Map(
     "q41_local_supplier_revenue" ->
       s"""SELECT n_name,
-         |       ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |       ${oUSum("l_extendedprice * (1 - l_discount)")} AS revenue
          |FROM lineitem
          |JOIN orders   ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -607,7 +607,7 @@ object RelationalQueries4 {
       s"""WITH m AS (
          |  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE))
          |              AS DATE) AS month,
-         |         ${oSum("o_totalprice")} AS total
+         |         ${oUSum("o_totalprice")} AS total
          |  FROM orders GROUP BY month)
          |SELECT month, total,
          |       lag(total, 1) OVER (ORDER BY month) AS prev_total,
@@ -616,12 +616,12 @@ object RelationalQueries4 {
          |FROM m ORDER BY month""".stripMargin,
     "q54_full_outer" ->
       s"""WITH y94 AS (
-         |  SELECT o_custkey, ${oSum("o_totalprice")} AS rev94,
+         |  SELECT o_custkey, ${oUSum("o_totalprice")} AS rev94,
          |         COUNT(*) AS n94
          |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1994
          |  GROUP BY o_custkey),
          |y98 AS (
-         |  SELECT o_custkey, ${oSum("o_totalprice")} AS rev98,
+         |  SELECT o_custkey, ${oUSum("o_totalprice")} AS rev98,
          |         COUNT(*) AS n98
          |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1998
          |  GROUP BY o_custkey)
@@ -643,7 +643,7 @@ object RelationalQueries4 {
     // round trip lost nothing
     "q57_csv_roundtrip" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,
-         |       ${oSum("o_totalprice")} AS total,
+         |       ${oUSum("o_totalprice")} AS total,
          |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
          |       MIN(CAST(o_orderdate AS DATE)) AS first_date
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
