@@ -155,7 +155,7 @@ object RelationalQueries2 {
         """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
           |       COALESCE(l_linestatus, 'ALL') AS linestatus,
           |       COUNT(*) AS n_rows,
-          |       CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+          |       CAST(SUM(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_qty
           |FROM graft_lineitem
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
           |ORDER BY returnflag, linestatus""".stripMargin)
@@ -506,7 +506,7 @@ object RelationalQueries2 {
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |       COALESCE(l_linestatus, 'ALL') AS linestatus,
         |       COUNT(*) AS n_rows,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+        |       CAST(SUM(CAST(floor(l_quantity * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY returnflag, linestatus""".stripMargin,
