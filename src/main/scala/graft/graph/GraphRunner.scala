@@ -276,8 +276,10 @@ class GraphRunner(
       // running, so triggerDownstream=false absorption credits consumers
       // with exactly the events THIS run emitted — never pre-existing
       // unprocessed events from another producer on a shared store.
+      // Only paid when an absorbing rerun is actually in the batch.
       val preCounts: Map[String, Long] =
-        batch.flatMap(_.outputStores).distinct.map(s =>
+        if (!consumed.exists(_._2.exists(!_._1.triggerDownstream))) Map.empty
+        else batch.flatMap(_.outputStores).distinct.map(s =>
           s -> probeCatalog.refresh(s).map(_.eventCounter).getOrElse(0L)).toMap
       // Bodies run concurrently when the batch has >1 member; ALL
       // shared-map bookkeeping stays on this thread, after the bodies.
