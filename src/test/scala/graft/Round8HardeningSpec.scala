@@ -162,6 +162,65 @@ class Round8HardeningSpec extends SparkSpec {
     }
   }
 
+  test("cascade: store-conflicting nodes never overlap (write-write race)") {
+    // two eligible consumers APPEND to the same output store: the
+    // conflict rule must serialize them (each sweep runs one), and both
+    // rows must land exactly once — overlap would race the table lock
+    // path and deferral loss would drop a row
+    val yaml =
+      """functions:
+        |  - node_file: src
+        |    id: s0000000
+        |    outputs: {oa: s0a, ob: s0b}
+        |  - node_file: w1
+        |    id: w1000000
+        |    inputs: {in: s0a}
+        |    outputs: {out: shared}
+        |  - node_file: w2
+        |    id: w2000000
+        |    inputs: {in: s0b}
+        |    outputs: {out: shared}
+        |""".stripMargin
+    val root = freshRoot()
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    def writer(tag: String)(eng: GraftEngine): Unit = {
+      val now = inFlight.incrementAndGet()
+      maxInFlight.updateAndGet(m => math.max(m, now))
+      Thread.sleep(150) // widen the overlap window
+      eng.table("out", "w").append(Seq((tag, 1L)).toDF("who", "v"))
+      inFlight.decrementAndGet()
+      ()
+    }
+    val runner = new GraphRunner(spark, parse(yaml), root)
+      .register("src", eng => {
+        eng.table("oa", "w").append(Seq((0L, "seed")).toDF("id", "v"))
+        eng.table("ob", "w").append(Seq((0L, "seed")).toDF("id", "v"))
+      })
+      .register("w1", writer("w1"))
+      .register("w2", writer("w2"))
+    runner.trigger("s0000000")
+    assert(maxInFlight.get() == 1,
+      "same-output-store nodes must never run concurrently")
+    val rows = new GraftEngine(spark, root, "probe").table("shared")
+      .read.select("who").as[String].collect().sorted.toSeq
+    assert(rows == Seq("w1", "w2"), s"deferred conflicting node lost: $rows")
+  }
+
+  test("usum overflow is loud under ANSI, never a silent wrap") {
+    import graft.queries.Q
+    // three rows of 9.3e12 money-units = 9.3e18 micro-units each; the
+    // long sum passes 2^63 ~ 9.22e18 on the second add
+    val big = Seq(9.3e12, 9.3e12, 9.3e12).toDF("x")
+    val e = intercept[Exception] {
+      big.agg(Q.usum(col("x"))).head()
+    }
+    val msg = e.toString + Option(e.getCause).map(_.toString).getOrElse("")
+    assert(msg.toLowerCase.contains("overflow") ||
+      msg.contains("ARITHMETIC_OVERFLOW"),
+      s"expected a loud overflow error, got: $msg")
+  }
+
   test("post-commit flush failure: no duplicates on retry, stamp dropped") {
     val e = new GraftEngine(spark, freshRoot())
     val t = e.table("stampfail", "w")
