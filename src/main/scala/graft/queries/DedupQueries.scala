@@ -922,7 +922,7 @@ object DedupQueries {
     val ap = tilePairs(s,
         assigned.select((col("lidx") * gstride + col("cell")).as("gkey"),
           col("vec_id"), col("nrm"), col("embedding")), thr, tile)
-      .withColumn("lidx", (col("gkey") / gstride).cast("long"))
+      .withColumn("lidx", expr(s"gkey div ${gstride}L")) // exact integer division
       .join(broadcast(meta.select("lab", "lidx")), "lidx")
       .select(col("lab"), col("va"), col("vb"), col("cosine"))
       .distinct() // multi-probe: same pair found via two shared cells
