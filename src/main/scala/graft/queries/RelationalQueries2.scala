@@ -178,14 +178,19 @@ object RelationalQueries2 {
       val mov = byDate.rowsBetween(-2, Window.currentRow)
       val rng = Window.partitionBy("o_custkey").orderBy(col("epoch_day"))
         .rangeBetween(-30, Window.currentRow)
+      // window sums ride as long micro-units (the Q.usum lattice trick):
+      // exact prefix/frame sums in primitive arithmetic instead of a
+      // BigDecimal-backed buffer per frame evaluation
       t(s, dir, "orders")
         .withColumn("epoch_day", unix_date(to_date(col("o_orderdate"))))
-        .withColumn("running_total", sum(col("o_totalprice").cast("decimal(20,6)")).over(run).cast("double"))
+        .withColumn("micros", floor(col("o_totalprice") * lit(1000000.0) + lit(0.5)))
+        .withColumn("running_total",
+          (sum(col("micros")).over(run).cast("double") / lit(1000000.0)))
         .withColumn("moving_avg3",
-          sum(col("o_totalprice").cast("decimal(20,6)")).over(mov).cast("double") /
+          (sum(col("micros")).over(mov).cast("double") / lit(1000000.0)) /
             count(lit(1)).over(mov))
         .withColumn("trailing_30d",
-          sum(col("o_totalprice").cast("decimal(20,6)")).over(rng).cast("double"))
+          (sum(col("micros")).over(rng).cast("double") / lit(1000000.0)))
         .select("o_custkey", "o_orderkey", "running_total", "moving_avg3", "trailing_30d")
         .orderBy("o_custkey", "o_orderkey")
     },
@@ -520,11 +525,12 @@ object RelationalQueries2 {
         |ORDER BY event_id""".stripMargin,
     "q17_window_frames" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) OVER run AS DOUBLE) AS running_total,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) OVER mov AS DOUBLE)
+        |  CAST(SUM(micros) OVER run AS DOUBLE) / 1000000 AS running_total,
+        |  CAST(SUM(micros) OVER mov AS DOUBLE) / 1000000
         |    / COUNT(*) OVER mov AS moving_avg3,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) OVER rng AS DOUBLE) AS trailing_30d
-        |FROM (SELECT *, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS epoch_day FROM orders) o
+        |  CAST(SUM(micros) OVER rng AS DOUBLE) / 1000000 AS trailing_30d
+        |FROM (SELECT *, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS epoch_day,
+        |             CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT) AS micros FROM orders) o
         |WINDOW
         |  run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
