@@ -863,9 +863,18 @@ object DedupQueries {
     * corpus/√(2·budget) rows (a label over budget B has ≥ √(2B) members),
     * i.e. ~one row per 46k corpus rows at the default budget.
     */
+  /** CROSSOVER, measured at sf10 (218 k vectors, 2.4e8 pairs/label):
+    * exact tile kernel 9.4 s vs hatch-forced (budget 1e7) 14.9 s — the
+    * hatch's LINEAR overheads (cell-assignment window ~20 M rows, sample
+    * audit dots) exceed its quadratic-term savings until the pair count
+    * clears ~10⁹/label, which is exactly where [[EmbedPairBudget]] sits.
+    * Past it (a 10× larger corpus: 2.4e10 pairs/label) the exact kernel
+    * grows 100× while the hatch grows ~10× — the budget is the empirical
+    * crossover, not a guess.
+    */
   private[graft] def embedNeardupBudgeted(s: SparkSession, v: DataFrame,
       thr: Double, budget: Long = EmbedPairBudget, tile: Int = 1024,
-      probe: Int = 2, auditMod: Long = 64L): DataFrame = {
+      probe: Int = 2, auditMod: Long = 0L): DataFrame = {
     import s.implicits._
     val vl = v.select(col("label").cast("long").as("lab"),
       col("vec_id"), col("nrm"), col("embedding"))
@@ -896,6 +905,12 @@ object DedupQueries {
     }.toSeq
     val gstride = metaRows.map(_._3).max + 1L
     val meta = metaRows.toDF("lab", "lidx", "cells", "step")
+    // auditMod <= 0 → adaptive: ~128 sampled vectors per hatched label,
+    // so the audit's exact re-answer stays O(n) with a small constant at
+    // any scale (a fixed modulus would make it O(n²/mod) as labels grow)
+    val auditModEff =
+      if (auditMod > 0L) auditMod
+      else math.max(64L, over.map(_._2).max / 128L)
     val hatched = vl.join(broadcast(meta), "lab")
     val wl = Window.partitionBy("lab").orderBy("vec_id")
     val withRn = hatched.withColumn("rn", row_number().over(wl))
@@ -927,7 +942,7 @@ object DedupQueries {
       .select(col("lab"), col("va"), col("vb"), col("cosine"))
       .distinct() // multi-probe: same pair found via two shared cells
     // exact recall audit over a deterministic sample of each hatched label
-    val sample = withRn.filter(pmod(col("vec_id"), lit(auditMod)) === 0)
+    val sample = withRn.filter(pmod(col("vec_id"), lit(auditModEff)) === 0)
       .select(col("lab"), col("vec_id").as("sa"),
         col("embedding").as("se"), col("nrm").as("sn"))
     val exactSample = withRn.join(broadcast(sample), "lab")
@@ -1227,7 +1242,14 @@ object DedupQueries {
       // with a forced tiny budget (Round8OpsSpec).
       val cand = v.groupBy("label").agg(count(lit(1)).as("c"))
         .select(col("label"), expr("c * (c - 1) div 2").as("n_candidate_pairs"))
-      embedNeardupBudgeted(s, v, 0.4)
+      // GRAFT_D12_BUDGET overrides the per-label pair budget — the
+      // scale-experiment knob (force the hatch at bench SFs and read the
+      // wall-clock + audit_recall tradeoff); the default keeps every
+      // oracle/bench SF exact
+      val budget = sys.env.get("GRAFT_D12_BUDGET")
+        .flatMap(v0 => scala.util.Try(v0.trim.toLong).toOption)
+        .getOrElse(EmbedPairBudget)
+      embedNeardupBudgeted(s, v, 0.4, budget = budget)
         .join(broadcast(cand), "label")
         .select(col("label"), col("va"), col("vb"), col("cosine"),
           col("n_candidate_pairs"), col("n_scored_pairs"),
