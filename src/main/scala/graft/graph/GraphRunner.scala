@@ -204,17 +204,18 @@ class GraphRunner(
           false
         }
       })
-    due.foreach(n => runNode(n.id))
+    runConflictFree(due)
     if (due.nonEmpty) cascade(maxSteps)
     due.map(_.id)
   }
 
-  /** Run all eligible nodes until quiescent: sources (no inputs) run once,
-    * consumers run as their inputs change.
+  /** Run all eligible nodes until quiescent: sources (no inputs) run once
+    * (store-disjoint sources concurrently), consumers run as their inputs
+    * change.
     */
   def runAll(maxSteps: Int = 100): Unit = {
-    graph.functions.filterNot(_.isWebhook).filter(_.inputs.isEmpty)
-      .foreach(n => runNode(n.id))
+    runConflictFree(
+      graph.functions.filterNot(_.isWebhook).filter(_.inputs.isEmpty))
     cascade(maxSteps)
   }
 
@@ -238,6 +239,51 @@ class GraphRunner(
   private def conflicts(a: NodeConfig, b: NodeConfig): Boolean =
     a.outputStores.intersect(b.inputStores ++ b.outputStores).nonEmpty ||
       b.outputStores.intersect(a.inputStores ++ a.outputStores).nonEmpty
+
+  /** Run node BODIES, concurrently when the batch has >1 member. The
+    * caller guarantees the batch is pairwise store-disjoint and does ALL
+    * shared-map bookkeeping afterwards on its own thread.
+    */
+  private def execBatch(
+      batch: Seq[NodeConfig]): Seq[(NodeConfig, scala.util.Try[GraftEngine])] =
+    if (batch.size <= 1)
+      batch.map(n => n -> scala.util.Try(execBody(n)))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(batch.size)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val futs = batch.map(n => n -> scala.concurrent.Future(execBody(n)))
+        futs.map { case (n, f) =>
+          n -> scala.util.Try(scala.concurrent.Await.result(
+            f, scala.concurrent.duration.Duration.Inf))
+        }
+      } finally pool.shutdown()
+    }
+
+  /** Run a set of independently-triggered nodes (cron-due sweep) with the
+    * cascade's conflict rule: store-disjoint subsets execute concurrently,
+    * conflicting nodes wait for the earlier batch. Bookkeeping for every
+    * completed body happens before the first failure is rethrown (same
+    * contract as cascade — no duplicate re-runs of succeeded siblings).
+    */
+  private def runConflictFree(nodes: Seq[NodeConfig]): Unit = {
+    var rest = nodes
+    while (rest.nonEmpty) {
+      val batch = rest.foldLeft(Vector.empty[NodeConfig]) { (b, n) =>
+        if (b.size < cascadeParallelism && b.forall(!conflicts(_, n))) b :+ n
+        else b
+      }
+      rest = rest.filterNot(n => batch.exists(_.id == n.id))
+      val outcomes = execBatch(batch)
+      outcomes.foreach {
+        case (n, scala.util.Success(eng)) => finishRun(n, eng)
+        case _ => ()
+      }
+      outcomes.collectFirst { case (_, scala.util.Failure(e)) => e }
+        .foreach(throw _)
+    }
+  }
 
   private def cascade(maxSteps: Int): Unit = {
     var steps = 0
@@ -283,22 +329,7 @@ class GraphRunner(
           s -> probeCatalog.refresh(s).map(_.eventCounter).getOrElse(0L)).toMap
       // Bodies run concurrently when the batch has >1 member; ALL
       // shared-map bookkeeping stays on this thread, after the bodies.
-      val outcomes: Seq[(NodeConfig, scala.util.Try[GraftEngine])] =
-        if (batch.size <= 1)
-          batch.toSeq.map(n => n -> scala.util.Try(execBody(n)))
-        else {
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(batch.size)
-          implicit val ec: scala.concurrent.ExecutionContext =
-            scala.concurrent.ExecutionContext.fromExecutorService(pool)
-          try {
-            val futs = batch.toSeq.map(n =>
-              n -> scala.concurrent.Future(execBody(n)))
-            futs.map { case (n, f) =>
-              n -> scala.util.Try(scala.concurrent.Await.result(
-                f, scala.concurrent.duration.Duration.Inf))
-            }
-          } finally pool.shutdown()
-        }
+      val outcomes = execBatch(batch.toSeq)
       // bookkeeping for EVERY completed body first (a mid-batch failure
       // must not leave a succeeded sibling's events unconsumed — it would
       // re-run on the next sweep and, for an append node, duplicate rows),

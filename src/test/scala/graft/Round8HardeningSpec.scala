@@ -162,6 +162,38 @@ class Round8HardeningSpec extends SparkSpec {
     }
   }
 
+  test("runDue: store-disjoint cron-due nodes run concurrently") {
+    val yaml =
+      """functions:
+        |  - node_file: c1
+        |    id: c1000000
+        |    trigger: "5 * * * *"
+        |    outputs: {out: o1}
+        |  - node_file: c2
+        |    id: c2000000
+        |    trigger: "5 * * * *"
+        |    outputs: {out: o2}
+        |""".stripMargin
+    val root = freshRoot()
+    val l1 = new CountDownLatch(1)
+    val l2 = new CountDownLatch(1)
+    def body(mine: CountDownLatch, other: CountDownLatch)(eng: GraftEngine): Unit = {
+      mine.countDown()
+      val overlapped = other.await(15, TimeUnit.SECONDS)
+      eng.table("out", "w").append(Seq((1L, overlapped)).toDF("id", "overlapped"))
+    }
+    val runner = new GraphRunner(spark, parse(yaml), root)
+      .register("c1", body(l1, l2))
+      .register("c2", body(l2, l1))
+    val fired = runner.runDue(java.time.LocalDateTime.of(2026, 8, 14, 9, 5))
+    assert(fired.toSet == Set("c1000000", "c2000000"))
+    val probe = new GraftEngine(spark, root, "probe")
+    for (tbl <- Seq("o1", "o2"))
+      assert(probe.table(tbl).read.select("overlapped").as[Boolean]
+        .collect().toSeq == Seq(true),
+        s"$tbl: due nodes with disjoint stores must run concurrently")
+  }
+
   test("cascade: store-conflicting nodes never overlap (write-write race)") {
     // two eligible consumers APPEND to the same output store: the
     // conflict rule must serialize them (each sweep runs one), and both
