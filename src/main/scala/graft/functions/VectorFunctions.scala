@@ -32,8 +32,23 @@ object VectorFunctions {
   /** Cosine similarity given precomputed norms (avoids recomputing the
     * per-row norm inside an O(n²) pair join).
     */
-  def cosineWithNorms(dotAB: Column, normA: Column, normB: Column): Column =
-    dotAB / (normA * normB)
+  def cosineWithNorms(dotAB: Column, normA: Column, normB: Column): Column = {
+    // Spark 4's default ANSI mode throws DIVIDE_BY_ZERO even for DOUBLE
+    // division, so a zero-norm (degenerate) vector would abort the whole
+    // query. The JVM tile kernels compute the same expression in raw
+    // double arithmetic and get NaN (0/0) — mirror that here so every
+    // formulation agrees: zero-norm cosines surface as NaN (ranked
+    // greatest, the documented tie contract), never a runtime error.
+    // (DuckDB returns NULL for double/0 — fixtures carry no zero-norm
+    // vectors, so the oracle never sees the case; the cross-engine edge
+    // is documented rather than silently divergent.)
+    // dotAB * NaN keeps NULL propagation intact: a NULL dot (mismatched
+    // vector lengths — float_dot's ragged contract) must stay NULL, not
+    // become a NaN pair the tile kernel's ragged path would never emit.
+    val denom = normA * normB
+    when(denom === lit(0.0), dotAB * lit(Double.NaN))
+      .otherwise(dotAB / denom)
+  }
 
   /** DuckDB fragments computing the same values. */
   def oDot(a: String, b: String): String =

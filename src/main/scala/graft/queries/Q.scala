@@ -221,8 +221,15 @@ object Q {
     */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(20, 6))).cast("double")
 
-  /** Deterministic average: exact decimal sum, one double division. */
-  def davg(c: Column): Column = dsum(c) / count(c)
+  /** Deterministic average: exact decimal sum, one double division. The
+    * empty-group guard matters under Spark 4's default ANSI mode, which
+    * throws DIVIDE_BY_ZERO even for doubles: a group whose expression is
+    * all-NULL (count 0) must yield NULL like DuckDB's NULL/0, not abort.
+    */
+  def davg(c: Column): Column = {
+    val n = count(c)
+    when(n === 0, lit(null).cast("double")).otherwise(dsum(c) / n)
+  }
 
   /** Oracle-side equivalents (DuckDB ANSI SQL). */
   def oSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(20,6))) AS DOUBLE)"
@@ -256,8 +263,12 @@ object Q {
 
   /** Deterministic average on the fixed-point path: [[usum]] then one
     * double division, mirrored operation-for-operation by [[oUAvg]].
+    * Same ANSI empty-group guard as [[davg]].
     */
-  def uavg(c: Column): Column = usum(c) / count(c)
+  def uavg(c: Column): Column = {
+    val n = count(c)
+    when(n === 0, lit(null).cast("double")).otherwise(usum(c) / n)
+  }
 
   def oUSum(e: String): String =
     s"CAST(SUM(CAST(floor(($e) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000"

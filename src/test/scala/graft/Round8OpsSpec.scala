@@ -109,6 +109,44 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("tile kernel == plain join on randomized corpora (ragged, zero-norm)") {
+    // fixtures are uniform 64-d unit-ish vectors; this drives the paths
+    // they never exercise: ragged dims within a tile (mismatched-length
+    // dot => no pair, float_dot NULL semantics), zero-norm vectors (NaN
+    // cosine, ranked greatest), labels smaller than a tile, and tiny
+    // tiles that split every label
+    import spark.implicits._
+    graft.functions.FloatDotProduct.register(spark)
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 3) {
+      val dims = Seq(3, 5) // ragged mix
+      val rows = (0 until 120).map { i =>
+        val d = dims(rnd.nextInt(dims.length))
+        val vec =
+          if (i % 17 == 0) Array.fill(d)(0.0f) // zero-norm
+          else Array.fill(d)((rnd.nextDouble() * 2 - 1).toFloat)
+        (i.toLong, i % (trial + 2), vec)
+      }
+      val v = rows.toDF("vec_id", "label", "embedding")
+        .withColumn("nrm", graft.functions.VectorFunctions.l2norm(col("embedding")))
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select("label", "va", "vb", "cosine").collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+            java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+      val j = key(DedupQueries.embedNeardupJoin(spark, v, 0.2)
+        .select(col("label").cast("int").as("label"), col("va"), col("vb"), col("cosine")))
+      val b = key(DedupQueries.embedNeardupBlocked(spark, v, 0.2, tile = 7))
+      assert(b == j, s"trial $trial: tile kernel diverged from the join")
+      // budgeted with a huge budget is the same exact set
+      val bud = key(DedupQueries.embedNeardupBudgeted(spark, v, 0.2, tile = 7))
+      assert(bud == j, s"trial $trial: budgeted(exact) diverged")
+      // budgeted with a tiny budget stays a subset with identical bits
+      val hatch = key(DedupQueries.embedNeardupBudgeted(spark, v, 0.2,
+        budget = 20L, tile = 7, auditMod = 1L))
+      assert(hatch.subsetOf(j), s"trial $trial: hatch emitted a non-pair")
+    }
+  }
+
   test("usum/uavg == dsum/davg on lattice values (incl. negatives, nulls)") {
     import spark.implicits._
     import graft.queries.Q
