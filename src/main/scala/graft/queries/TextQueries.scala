@@ -77,8 +77,13 @@ object TextQueries {
           size(tokens(col("text"))).as("ws_tokens"),
           expr(s"regexp_count(text, '$bpeishRegex')").as("bpeish_tokens"),
           length(col("text")).as("n_chars"))
+        // a doc whose text matches zero BPE-ish tokens (empty, whitespace,
+        // punctuation-only) must yield NULL like DuckDB's n/0, not abort
+        // under Spark 4's ANSI DIVIDE_BY_ZERO (fixtures always match ≥1,
+        // so the oracle is unaffected; the guard is for real corpora)
         .withColumn("chars_per_token",
-          col("n_chars").cast("double") / col("bpeish_tokens"))
+          when(col("bpeish_tokens") === 0, lit(null).cast("double"))
+            .otherwise(col("n_chars").cast("double") / col("bpeish_tokens")))
         .orderBy("doc_id")
     },
     // Pipeline hygiene — PII-style redaction: normalize away digit runs and
