@@ -178,12 +178,25 @@ object DedupQueries {
     * skew to exploit — candidate pairs barely shrink while every surviving
     * pair pays an O(|set|) intersect that the count join never does. On a
     * Zipfian real-text corpus the trade flips (rare shingles up front make
-    * prefixes selective), so at 100 TB prefix filtering with a global
-    * frequency order is the right default; keeping the count join here is
-    * a corpus-shape decision, not a simplification.
+    * prefixes selective) — and since round 8 that trade is DECIDED BY THE
+    * ENGINE: the memo body routes through [[routeDfOrderedPrefix]] over
+    * the measured [[gramDfStats]], picking the count-join on uniform-df
+    * corpora (these fixtures) and [[nearDupPairsPrefixDfOrdered]] on
+    * Zipf-tailed ones. Both arms are equality-pinned (Round8RouterSpec).
     */
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
     Q.memo(s, dir, "nearDupPairs") {
+      // routed like [[containmentPairs]]: count-join on uniform-df
+      // corpora (these fixtures — both plans equality-pinned in
+      // Round8RouterSpec), rarest-first df-ordered prefix on Zipf-tailed
+      // text where the hot-gram quadratic dominates
+      (if (routeDfOrderedPrefix(gramDfStats(s, dir)))
+        nearDupPairsPrefixDfOrdered(s, dir)
+      else nearDupPairsJoin(s, dir)).persist()
+    }
+
+  private[graft] def nearDupPairsJoin(
+      s: SparkSession, dir: String): DataFrame = {
       val docsSh = docShingles(s, dir)
       val sh = docsSh.select(col("doc_id"), size(col("h_arr")).as("n_sh"),
         explode(col("h_arr")).as("sh_h"))
@@ -195,12 +208,13 @@ object DedupQueries {
         // are within 2× of each other — a codegen'd comparison that drops
         // pairs BEFORE the (da, db) aggregation shuffle ever sees them.
         .filter(col("na_r") <= col("nb_r") * 2 && col("nb_r") <= col("na_r") * 2)
+        // long na/nb so both route arms share one schema (size() is int)
         .groupBy("da", "db").agg(count(lit(1)).as("shared"),
-          first("na_r").as("na"), first("nb_r").as("nb"))
+          first(col("na_r").cast("long")).as("na"),
+          first(col("nb_r").cast("long")).as("nb"))
         .withColumn("jaccard",
           col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
         .filter(col("jaccard") >= 0.5)
-        .persist()
     }
 
   /** d51's containment pairs (shared / min(|A|,|B|) ≥ 0.9), plain
@@ -257,11 +271,26 @@ object DedupQueries {
     * routes to it.
     */
   private[graft] def containmentPairsPrefix(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val sh = docShingles(s, dir).select(col("doc_id"), col("h_arr"))
     val pre = sh.select(col("doc_id"),
         explode(slice(col("h_arr"), lit(1),
           (floor(size(col("h_arr")) * lit(0.1)) + 1).cast("int"))).as("h"))
+    verifyPrefixCandidates(s, dir, pre)
+  }
+
+  /** Shared tail of the prefix-filtered containment family: candidate
+    * (da, db) pairs are the prefix row-set joined against the FULL gram
+    * index (exact for ANY fixed prefix-selection rule, by the pigeonhole
+    * argument above — the smaller doc of a ≥0.9-containment pair shares
+    * at least one gram of any ⌊0.1·n⌋+1-subset of its grams), survivors
+    * verified with the two-pointer merge over the docs' sorted hash
+    * arrays — exact |A∩B|, one JVM pass, no second aggregation shuffle.
+    */
+  private def verifyPrefixCandidates(
+      s: SparkSession, dir: String, pre: DataFrame,
+      jaccard: Boolean = false): DataFrame = {
+    import s.implicits._
+    val sh = docShingles(s, dir).select(col("doc_id"), col("h_arr"))
     val g = gramTable(s, dir)
     val cand = pre.select(col("doc_id").as("dx"), col("h"))
       .join(g.select(col("doc_id").as("dy"), col("h")), "h")
@@ -284,12 +313,143 @@ object DedupQueries {
           }
           val na = ha.length.toLong
           val nb = hb.length.toLong
-          val c = shd.toDouble / math.min(na, nb)
-          if (c >= 0.9) Some((da, db, shd, na, nb, c)) else None
+          // same double arithmetic as the count-join formulations, so a
+          // routed plan is BIT-identical, not just set-identical
+          val m = if (jaccard) shd.toDouble / (na + nb - shd)
+                  else shd.toDouble / math.min(na, nb)
+          if (m >= (if (jaccard) 0.5 else 0.9)) Some((da, db, shd, na, nb, m))
+          else None
         }
       }
-      .toDF("da", "db", "shared", "na", "nb", "containment")
+      .toDF("da", "db", "shared", "na", "nb",
+        if (jaccard) "jaccard" else "containment")
   }
+
+  /** Per-doc rarest-first prefix rows (doc_id, h): the `frac·n + 1`
+    * LOWEST-df grams of each doc (global df, ties by hash). One h-shuffle
+    * to attach df, one doc_id-shuffle to regroup; the per-doc sort is over
+    * ONE doc's gram list (bounded by doc length — never a corpus window).
+    */
+  private def dfOrderedPrefixRows(
+      s: SparkSession, dir: String, fracDenom: Int): DataFrame = {
+    import s.implicits._
+    gramTable(s, dir).join(gramDf(s, dir), "h")
+      .select(col("doc_id"), col("h"), col("df"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val arr = it.map { case (_, h, df) => (df, h) }.toArray.sorted
+        (id, arr.take(arr.length / fracDenom + 1).map(_._2))
+      }
+      .toDF("doc_id", "pre_arr")
+      .select(col("doc_id"), explode(col("pre_arr")).as("h"))
+  }
+
+  /** Per-gram document frequency (h, df) — the inverted index aggregated
+    * to vocabulary level. One shuffle on the 60-bit hash with map-side
+    * partial counts; |vocab| rows, linear in corpus grams. Memoized +
+    * persisted: shared by d34 (coverage profile), [[gramDfStats]] (the
+    * plan router's corpus-shape statistic) and
+    * [[containmentPairsPrefixDfOrdered]] (rarest-first prefixes).
+    */
+  private[queries] def gramDf(s: SparkSession, dir: String): DataFrame =
+    Q.memo(s, dir, "gramDf") {
+      gramTable(s, dir).groupBy("h").agg(count(lit(1)).as("df")).persist()
+    }
+
+  /** Corpus-shape statistics of the gram document-frequency distribution,
+    * the input to [[routeDfOrderedPrefix]]:
+    *   - `coPairs` = Σ_g df·(df−1)/2 — the EXACT candidate-pair count the
+    *     count-join formulation pushes through its (da, db) aggregation
+    *     (its dominant cost, quadratic in hot-gram df);
+    *   - `gramRows` = Σ_g df — the corpus's inverted-index size, the unit
+    *     of the linear work every formulation pays;
+    *   - `rareVocabFrac` — the fraction of vocabulary with df ≤ 2, the
+    *     presence test for a Zipf rare tail (what makes rarest-first
+    *     prefixes selective).
+    * Doubles for the sums: at 100 TB a hot gram's df² exceeds 2⁶³ and this
+    * is a routing statistic, not an answer — magnitude matters, ulps don't.
+    */
+  final case class GramDfStats(
+      vocab: Long, gramRows: Double, coPairs: Double, rareVocabFrac: Double)
+
+  private[graft] def gramDfStats(s: SparkSession, dir: String): GramDfStats = {
+    val r = gramDf(s, dir).agg(
+      count(lit(1)).as("vocab"),
+      coalesce(sum(col("df").cast("double")), lit(0.0)).as("gram_rows"),
+      coalesce(sum(col("df").cast("double") * (col("df") - 1).cast("double")
+        / 2.0), lit(0.0)).as("co_pairs"),
+      coalesce(avg(when(col("df") <= 2, 1.0).otherwise(0.0)), lit(0.0))
+        .as("rare_frac")).head()
+    GramDfStats(r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+  }
+
+  /** Plan-routing decision for the containment-pair family, made from
+    * MEASURED corpus shape instead of a hard-coded assumption (the
+    * round-7/8 analyses showed the right plan is corpus-dependent):
+    *
+    * The df-ordered prefix filter beats the count-join only when BOTH
+    *   1. a genuine rare tail exists (`rareVocabFrac ≥ 0.3`): under
+    *     Zipf-like text ≥half the vocabulary is df ≤ 2, so a rarest-first
+    *     10% prefix is df≈1-selective and candidates collapse to ~linear;
+    *     on this fixture's binomial df (rareVocabFrac ≈ 0.008, min df ≈ 4)
+    *     NO prefix ordering is selective — measured 148 s vs 86 s at sf10;
+    *   2. the quadratic term actually dominates (`coPairs > 8·gramRows`):
+    *     below that the count-join's aggregation is within a constant of
+    *     the linear index/verify work the prefix path pays anyway (the
+    *     fixture sits at coPairs/gramRows ≈ 4.9 at every SF — ScaleUp
+    *     holds the df histogram invariant, BENCH_SF1 round-8 table).
+    *
+    * The statistic costs one aggregate over the already-persisted
+    * [[gramDf]] — work the count-join's own build subsumes — and is
+    * O(vocab), never O(pairs).
+    */
+  private[graft] def routeDfOrderedPrefix(st: GramDfStats): Boolean =
+    st.rareVocabFrac >= 0.3 && st.coPairs > 8.0 * st.gramRows
+
+  /** Containment pairs via RAREST-FIRST (df-ordered) prefix filtering —
+    * the Zipf-corpus arm of [[containmentPairs]]. Identical output to
+    * [[containmentPairsJoin]] (pigeonhole-exact, see
+    * [[verifyPrefixCandidates]]); only candidate generation differs: each
+    * doc indexes the ⌊0.1·n⌋+1 grams with LOWEST document frequency
+    * (global df, ties by hash), so on a corpus with a rare tail the
+    * prefix⋈index join fans out at df≈1 instead of at the hot-gram df the
+    * hash-ordered prefix keeps hitting. Costs: one h-shuffle to attach df,
+    * one doc_id-shuffle to pick per-doc minima (JVM sort of one doc's
+    * gram list — bounded by doc length, no window over the corpus), then
+    * the shared candidate/verify tail. All linear in corpus grams except
+    * the candidate join itself, which the df-ordering is what bounds.
+    */
+  private[graft] def containmentPairsPrefixDfOrdered(
+      s: SparkSession, dir: String): DataFrame =
+    verifyPrefixCandidates(s, dir, dfOrderedPrefixRows(s, dir, 10))
+
+  /** Jaccard (J ≥ 0.5) near-dup pairs via the rarest-first prefix — the
+    * Zipf-corpus arm of the routed [[nearDupPairs]]. Pigeonhole bound for
+    * the Jaccard threshold: J ≥ 0.5 ⟹ shared ≥ (na+nb)/3 ≥ 2·na/3 (na
+    * the smaller set), so the smaller doc misses at most ⌊na/3⌋ of its
+    * own grams and ANY fixed ⌊na/3⌋+1-subset — here the df-ordered prefix
+    * — contains a shared gram. A 33% prefix is weaker than containment's
+    * 10% one, but on a Zipf-tailed corpus it is still df≈1-selective
+    * where the count-join's candidate term is hot-gram-quadratic.
+    */
+  private[graft] def nearDupPairsPrefixDfOrdered(
+      s: SparkSession, dir: String): DataFrame =
+    verifyPrefixCandidates(s, dir, dfOrderedPrefixRows(s, dir, 3),
+      jaccard = true)
+
+  /** d51's public containment-pair operator: routes between the count-join
+    * and the df-ordered prefix plan by [[routeDfOrderedPrefix]] over the
+    * measured [[gramDfStats]]. On the fixtures this always picks the
+    * count-join (both route conditions fail, by a margin), so oracle
+    * results and bench plans are unchanged; on a Zipf-tailed real-text
+    * corpus it switches to the prefix plan the round-7 analysis prescribed
+    * in prose — the decision is now engine logic, not a code comment.
+    */
+  private[graft] def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    if (routeDfOrderedPrefix(gramDfStats(s, dir)))
+      containmentPairsPrefixDfOrdered(s, dir)
+    else containmentPairsJoin(s, dir)
 
   /** MinHash signatures (k=16), computed MAP-SIDE from the cached per-doc
     * shingle hash sets — zero shuffles. Memoized: shared by d03 (LSH
@@ -1267,9 +1427,9 @@ object DedupQueries {
     // documents, mirrored in the oracle.
     "d34_ngram_coverage" -> { (s, dir) =>
       val grams = gramTable(s, dir)
-      // h_arr is per-doc distinct, so count(*) per hash = document frequency
-      val dfreq = grams.groupBy("h").agg(count(lit(1)).as("df"))
-      val perDoc = grams.join(dfreq, "h")
+      // h_arr is per-doc distinct, so count(*) per hash = document
+      // frequency — the shared memoized [[gramDf]] table
+      val perDoc = grams.join(gramDf(s, dir), "h")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
@@ -1473,10 +1633,13 @@ object DedupQueries {
     // near-uniform vocabulary (same corpus-shape verdict as d02's PPJoin
     // note above), so candidates barely shrink while survivors pay an
     // array-payload verify join. Both forms are equality-pinned
-    // (Round6OpsSpec); on a Zipfian real-text corpus route through a
-    // doc-frequency-ordered prefix instead.
+    // (Round6OpsSpec). Since round 8 the choice is ADAPTIVE:
+    // [[containmentPairs]] measures the gram-df shape (gramDfStats) and
+    // routes Zipf-tailed corpora through the rarest-first df-ordered
+    // prefix plan, uniform-df corpora (these fixtures) through the
+    // count-join — both routes equality-pinned in Round8RouterSpec.
     "d51_containment" -> { (s, dir) =>
-      containmentPairsJoin(s, dir).orderBy("da", "db")
+      containmentPairs(s, dir).orderBy("da", "db")
     },
     // D2i — lexical-vs-SEMANTIC dup agreement: every verified lexical
     // near-dup pair (d02's J ≥ 0.5 set) rescored by embedding cosine —
