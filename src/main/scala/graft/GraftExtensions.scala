@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FloatDotProduct
+import graft.functions.{BpeTokenCount, FloatDotProduct}
 
 /** Spark-native packaging of the engine's custom expressions: register the
   * library through the extensions hook instead of imperative per-session
@@ -30,6 +30,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           s"float_dot requires exactly 2 arguments, got ${exprs.length}")
         FloatDotProduct(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"bpe_token_count requires exactly 1 argument, got ${exprs.length}")
+        BpeTokenCount(exprs.head)
       }))
   }
 }

@@ -72,10 +72,11 @@ object TextQueries {
     },
     // D4c — token counting: whitespace + BPE-ish regex segmentation.
     "d09_token_count" -> { (s, dir) =>
+      graft.functions.BpeTokenCount.register(s)
       t(s, dir, "documents")
         .select(col("doc_id"),
           size(tokens(col("text"))).as("ws_tokens"),
-          expr(s"regexp_count(text, '$bpeishRegex')").as("bpeish_tokens"),
+          bpeTokens(col("text")).as("bpeish_tokens"),
           length(col("text")).as("n_chars"))
         // a doc whose text matches zero BPE-ish tokens (empty, whitespace,
         // punctuation-only) must yield NULL like DuckDB's n/0, not abort
@@ -158,10 +159,10 @@ object TextQueries {
     // would funnel the corpus through one partition at scale).
     "d19_sequence_pack" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      graft.functions.BpeTokenCount.register(s)
       val w = Window.partitionBy("source").orderBy("doc_id")
       t(s, dir, "documents")
-        .withColumn("n_tok",
-          expr(s"regexp_count(text, '$bpeishRegex')"))
+        .withColumn("n_tok", bpeTokens(col("text")))
         .withColumn("cum", sum("n_tok").over(w))
         .withColumn("seq_id", expr("(cum - n_tok) div 256"))
         .groupBy("source", "seq_id")

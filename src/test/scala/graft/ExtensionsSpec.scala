@@ -33,4 +33,40 @@ class ExtensionsSpec extends SparkSpec {
         |""".stripMargin).select("d").collect().head
     assert(r.isNullAt(0))
   }
+
+  test("bpe_token_count matches regexp_count on every corpus shape") {
+    import graft.functions.TextFunctions.bpeishRegex
+    // hand-picked edges: empty, spaces-only, case boundaries, digit/letter
+    // runs, punctuation runs, multi-byte code points (each non-ASCII code
+    // point is ONE [^a-z0-9 ] match, not one per byte), and a mixed blob
+    val edges = Seq(
+      "", " ", "   ", "abc", "ABC", "abc123", "a1b2c3", "!!!", "a b  c",
+      "héllo wörld", "日本語 text", "café au lait 42!", "a" * 500,
+      "Mixed CASE with 123 numbers, punct!! and  double  spaces.",
+      "emoji 😀 pair", "tab\tand\nnewline")
+    // seeded random blobs over a mixed alphabet — no fixed fixture shape
+    val rnd = new scala.util.Random(8)
+    val alphabet = "abcxyz 0189ABZ.,!?-_éü日\t\n"
+    val blobs = Seq.fill(200)(
+      (0 until rnd.nextInt(80)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = (edges ++ blobs).toDF("t")
+      .selectExpr("bpe_token_count(t) AS fast",
+        s"regexp_count(t, '$bpeishRegex') AS slow", "t")
+    val bad = df.where("fast <> slow").collect()
+    assert(bad.isEmpty, s"mismatches: ${bad.take(5).mkString("; ")}")
+    // NULL propagates
+    assert(spark.sql("SELECT bpe_token_count(CAST(NULL AS STRING))")
+      .collect().head.isNullAt(0))
+    // interpreted eval agrees with codegen (the randomized blobs above run
+    // through whole-stage codegen; this pins the nullSafeEval fallback)
+    val sample = "héllo 42!! wörld" // h|é|llo|42|!|!|w|ö|rld = 9 matches
+    val expr = graft.functions.BpeTokenCount(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(sample),
+        org.apache.spark.sql.types.StringType))
+    val viaRegex = java.util.regex.Pattern.compile(bpeishRegex)
+      .matcher(sample).results().count().toInt
+    assert(viaRegex == 9)
+    assert(expr.eval(null) == viaRegex)
+  }
 }
