@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeTokenCount, FloatDotProduct}
+import graft.functions.{BpeTokenCount, DistinctNgramCount, FloatDotProduct}
 
 /** Spark-native packaging of the engine's custom expressions: register the
   * library through the extensions hook instead of imperative per-session
@@ -38,6 +38,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1,
           s"bpe_token_count requires exactly 1 argument, got ${exprs.length}")
         BpeTokenCount(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("distinct_ngram_count"),
+      new ExpressionInfo(classOf[DistinctNgramCount].getName, "distinct_ngram_count"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"distinct_ngram_count requires exactly 2 arguments, got ${exprs.length}")
+        DistinctNgramCount(exprs(0), exprs(1))
       }))
   }
 }

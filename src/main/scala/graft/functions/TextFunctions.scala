@@ -106,6 +106,14 @@ object TextFunctions {
     */
   def bpeTokens(text: Column): Column = call_function("bpe_token_count", text)
 
+  /** Distinct n-token-window count: the codegen'd [[DistinctNgramCount]]
+    * kernel, answer-identical to `size(array_distinct(shingles(tk, n)))`
+    * for split-token arrays (see the expression's identity note). Oracles
+    * keep their independent `list_distinct`-over-joined-strings form.
+    */
+  def distinctNgrams(tk: Column, n: Int): Column =
+    call_function("distinct_ngram_count", tk, lit(n))
+
   /** Quality-gate thresholds shared by d08 scoring and the d15 composite. */
   val qualityMinTokens = 20
   val qualityMaxTokens = 400

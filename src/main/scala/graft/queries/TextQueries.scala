@@ -176,11 +176,12 @@ object TextQueries {
     // large-scale corpus prep pipeline runs. Ratios are single divisions of
     // exact integer counts, so both engines agree bit-for-bit.
     "d24_repetition" -> { (s, dir) =>
+      graft.functions.DistinctNgramCount.register(s)
       t(s, dir, "documents")
         .withColumn("tk", tokens(col("text")))
         .withColumn("n_tokens", size(col("tk")))
-        .withColumn("uniq2", size(array_distinct(shingles(col("tk"), 2))))
-        .withColumn("uniq3", size(array_distinct(shingles(col("tk"), 3))))
+        .withColumn("uniq2", distinctNgrams(col("tk"), 2))
+        .withColumn("uniq3", distinctNgrams(col("tk"), 3))
         .withColumn("dup2_ratio",
           when(col("n_tokens") > 1,
             lit(1.0) - col("uniq2").cast("double") / (col("n_tokens") - 1)))

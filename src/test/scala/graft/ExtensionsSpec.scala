@@ -69,4 +69,43 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaRegex == 9)
     assert(expr.eval(null) == viaRegex)
   }
+
+  test("distinct_ngram_count matches the composed shingle formulation") {
+    import graft.functions.TextFunctions.{shingles, tokens}
+    import org.apache.spark.sql.functions.{array_distinct, col, size}
+    // seeded random texts over a tiny vocabulary so windows ACTUALLY
+    // repeat (a rich vocabulary would never exercise the distinct logic)
+    val rnd = new scala.util.Random(24)
+    val vocab = Vector("a", "b", "ab", "ba", "x")
+    val texts = Seq("", "a", "a b", "a a a a a", "a b a b a b") ++
+      Seq.fill(200)((0 until rnd.nextInt(30))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    val df = texts.toDF("text").withColumn("tk", tokens(col("text")))
+    for (n <- Seq(1, 2, 3)) {
+      val bad = df
+        .withColumn("fast", org.apache.spark.sql.functions
+          .call_function("distinct_ngram_count", col("tk"),
+            org.apache.spark.sql.functions.lit(n)))
+        .withColumn("slow", size(array_distinct(shingles(col("tk"), n))))
+        .where("fast <> slow").collect()
+      assert(bad.isEmpty, s"n=$n mismatches: ${bad.take(5).mkString("; ")}")
+    }
+    // NULL array propagates; size < n yields 0 like shingles' empty array
+    assert(spark.sql(
+      "SELECT distinct_ngram_count(CAST(NULL AS ARRAY<STRING>), 2)")
+      .collect().head.isNullAt(0))
+    // interpreted eval agrees with the codegen'd path above
+    val lit2 = org.apache.spark.sql.catalyst.expressions.Literal(2,
+      org.apache.spark.sql.types.IntegerType)
+    val arr = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq("a", "b", "a", "b", "a"),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+    // windows: ab, ba, ab, ba -> 2 distinct
+    assert(graft.functions.DistinctNgramCount(arr, lit2).eval(null) == 2)
+    // a non-literal n fails analysis loudly instead of miscounting
+    intercept[Exception](
+      texts.toDF("text").selectExpr(
+        "distinct_ngram_count(split(text, ' '), length(text))").collect())
+  }
 }
