@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeTokenCount, DistinctNgramCount, FloatDotProduct}
+import graft.functions.{BpeTokenCount, DistinctNgramCount, FloatDotProduct, RepetitionProfile}
 
 /** Spark-native packaging of the engine's custom expressions: register the
   * library through the extensions hook instead of imperative per-session
@@ -46,6 +46,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2,
           s"distinct_ngram_count requires exactly 2 arguments, got ${exprs.length}")
         DistinctNgramCount(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("repetition_profile"),
+      new ExpressionInfo(classOf[RepetitionProfile].getName, "repetition_profile"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"repetition_profile requires exactly 1 argument, got ${exprs.length}")
+        RepetitionProfile(exprs.head)
       }))
   }
 }

@@ -176,12 +176,14 @@ object TextQueries {
     // large-scale corpus prep pipeline runs. Ratios are single divisions of
     // exact integer counts, so both engines agree bit-for-bit.
     "d24_repetition" -> { (s, dir) =>
-      graft.functions.DistinctNgramCount.register(s)
+      graft.functions.RepetitionProfile.register(s)
       t(s, dir, "documents")
-        .withColumn("tk", tokens(col("text")))
-        .withColumn("n_tokens", size(col("tk")))
-        .withColumn("uniq2", distinctNgrams(col("tk"), 2))
-        .withColumn("uniq3", distinctNgrams(col("tk"), 3))
+        // single-pass byte-scan kernel: [n_tokens, uniq2, uniq3] without
+        // materializing the token array (see RepetitionProfile)
+        .withColumn("rp", call_function("repetition_profile", col("text")))
+        .withColumn("n_tokens", col("rp").getItem(0))
+        .withColumn("uniq2", col("rp").getItem(1))
+        .withColumn("uniq3", col("rp").getItem(2))
         .withColumn("dup2_ratio",
           when(col("n_tokens") > 1,
             lit(1.0) - col("uniq2").cast("double") / (col("n_tokens") - 1)))

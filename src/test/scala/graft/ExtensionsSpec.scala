@@ -108,4 +108,39 @@ class ExtensionsSpec extends SparkSpec {
       texts.toDF("text").selectExpr(
         "distinct_ngram_count(split(text, ' '), length(text))").collect())
   }
+
+  test("repetition_profile matches the composed split/shingle formulation") {
+    import graft.functions.TextFunctions.{shingles, tokens}
+    import org.apache.spark.sql.functions.{array_distinct, call_function, col, size}
+    val rnd = new scala.util.Random(25)
+    val vocab = Vector("a", "b", "ab", "ba", "x")
+    // edges the byte-span identity must survive: empty text (one empty
+    // token), repeated separators (empty tokens mid-array), leading/
+    // trailing spaces, single token, multi-byte code points inside tokens
+    val texts = Seq("", " ", "a", "a  b", " a b ", "a a a a a",
+      "héllo wörld héllo wörld", "日 本 日 本") ++
+      Seq.fill(200)((0 until rnd.nextInt(30))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    val df = texts.toDF("text")
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("rp", call_function("repetition_profile", col("text")))
+      .withColumn("slow_n", size(col("tk")))
+      .withColumn("slow2", size(array_distinct(shingles(col("tk"), 2))))
+      .withColumn("slow3", size(array_distinct(shingles(col("tk"), 3))))
+    val bad = df.where(
+      "rp[0] <> slow_n OR rp[1] <> slow2 OR rp[2] <> slow3").collect()
+    assert(bad.isEmpty, s"mismatches: ${bad.take(5).mkString("; ")}")
+    assert(spark.sql("SELECT repetition_profile(CAST(NULL AS STRING))")
+      .collect().head.isNullAt(0))
+    // interpreted eval agrees with the codegen'd path above
+    val expr = graft.functions.RepetitionProfile(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("a b a b a"),
+        org.apache.spark.sql.types.StringType))
+    val r = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    // tokens 5; bigrams: "a b","b a","a b","b a" -> 2; trigrams:
+    // "a b a","b a b","a b a" -> 2
+    assert(r.toIntArray().toSeq == Seq(5, 2, 2))
+  }
 }
