@@ -358,7 +358,14 @@ class GraphRunner(
             }
           progressed = true
           steps += 1
-        case _ => ()
+        case (n, scala.util.Failure(_)) =>
+          // a FAILED body did not satisfy its rerun request — restore it
+          // (original timestamp, so waitAtleast stays measured from the
+          // request) instead of silently dropping the trigger: the caller
+          // that catches the rethrow and re-enters the cascade gets the
+          // requested run, at-least-once
+          consumed.collectFirst { case (`n`, Some(r)) => r }
+            .foreach(r => pendingRerun(n.id) = r)
       }
       outcomes.collectFirst { case (_, scala.util.Failure(e)) => e }
         .foreach(throw _)

@@ -120,6 +120,39 @@ class Round8HardeningSpec extends SparkSpec {
         "must not have swallowed it")
   }
 
+  test("a rerun request survives a failed attempt (restored, at-least-once)") {
+    val yaml =
+      """functions:
+        |  - node_file: req
+        |    id: rr000000
+        |    outputs: {out: s1}
+        |  - node_file: idle
+        |    id: ii000000
+        |    outputs: {}
+        |""".stripMargin
+    val root = freshRoot()
+    var runs = 0
+    val runner = new GraphRunner(spark, parse(yaml), root)
+      .register("req", eng => {
+        runs += 1
+        // run 1 requests an immediate rerun; run 2 (the rerun attempt)
+        // fails — the request must be RESTORED, not dropped with the
+        // exception, so the caller's retry gets the requested run 3
+        if (runs == 1) eng.state.requestNewRun()
+        if (runs == 2) sys.error("transient failure during the rerun")
+      })
+      .register("idle", _ => ())
+    intercept[RuntimeException](runner.trigger("rr000000"))
+    assert(runs == 2, "first run + the failed rerun attempt")
+    // an unrelated trigger's cascade sweep must see the RESTORED request
+    runner.trigger("ii000000")
+    assert(runs == 3,
+      "the restored rerun request must fire on the next cascade — a " +
+        "failed attempt must not silently satisfy it")
+    runner.trigger("ii000000")
+    assert(runs == 3, "satisfied requests do not re-fire")
+  }
+
   test("independent cascade branches run concurrently") {
     val yaml =
       """functions:
