@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeTokenCount, DistinctNgramCount, FloatDotProduct, RepetitionProfile}
+import graft.functions.{BpeTokenCount, DistinctNgramCount, FloatDotProduct, RepetitionProfile, TokenNgrams}
 
 /** Spark-native packaging of the engine's custom expressions: register the
   * library through the extensions hook instead of imperative per-session
@@ -54,6 +54,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1,
           s"repetition_profile requires exactly 1 argument, got ${exprs.length}")
         RepetitionProfile(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("token_ngrams"),
+      new ExpressionInfo(classOf[TokenNgrams].getName, "token_ngrams"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"token_ngrams requires exactly 3 arguments, got ${exprs.length}")
+        TokenNgrams(exprs(0), exprs(1), exprs(2))
       }))
   }
 }

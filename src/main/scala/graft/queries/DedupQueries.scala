@@ -1268,18 +1268,22 @@ object DedupQueries {
     // count. Shape: inverted index on the chunk hash (groupBy + join by
     // h) — corpus-scalable, no pairwise stage at all.
     "d29_chunk_dedup" -> { (s, dir) =>
-      // chunk string + token count derived in ONE pass (struct per chunk),
-      // persisted: the frame feeds both the doc-frequency aggregation and
-      // the join probe side, and Spark does not dedup common subplans —
-      // unpersisted, the per-chunk md5 pipeline would run twice.
+      // chunk strings from the codegen'd token_ngrams byte-span kernel
+      // (tiling mode: stride = n = 10, ragged tail emitted), n_tok
+      // recovered per chunk as separators + 1 — no token-array split, no
+      // interpreted transform/concat_ws. Persisted: the frame feeds both
+      // the doc-frequency aggregation and the join probe side, and Spark
+      // does not dedup common subplans — unpersisted, the per-chunk md5
+      // pipeline would run twice.
+      graft.functions.TokenNgrams.register(s)
       val chunks = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, cast(ceil(size(tk) / 10.0) as int) - 1), " +
-            "i -> struct(concat_ws(' ', slice(tk, i * 10 + 1, 10)) AS chunk, " +
-            "size(slice(tk, i * 10 + 1, 10)) AS n_tok))")).as("c"))
-        .select(col("doc_id"), col("c.n_tok").as("n_tok"),
-          tokenHash60(col("c.chunk")).as("h"))
+        .select(col("doc_id"),
+          explode(call_function("token_ngrams",
+            col("text"), lit(10), lit(10))).as("chunk"))
+        .select(col("doc_id"),
+          (length(col("chunk")) -
+            length(translate(col("chunk"), " ", "")) + 1).as("n_tok"),
+          tokenHash60(col("chunk")).as("h"))
         .persist()
       val docFreq = chunks.groupBy("h")
         .agg(countDistinct("doc_id").as("ndocs"))

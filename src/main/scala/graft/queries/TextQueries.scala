@@ -448,21 +448,27 @@ object TextQueries {
     // candidates — the pair a byte-pair-encoding trainer would merge first,
     // plus document spread (a pair frequent in ONE doc is repetition, d24's
     // signal; frequent across MANY docs is a unit worth a vocab slot).
-    // Shape: pairs are built map-side inside the scan (zip_with over two
-    // slices — no self-join, no positional explode), then one hash agg on
-    // the pair string with partial aggregation, then TakeOrdered(20). At
-    // 100 TB the agg key space is vocab², bounded and skew-free.
+    // Shape: pairs are built map-side inside the scan (the codegen'd
+    // token_ngrams byte-span kernel — no self-join, no positional explode,
+    // no interpreted zip_with/concat), then one hash agg on the pair
+    // string with partial aggregation, then TakeOrdered(20). At 100 TB
+    // the agg key space is vocab², bounded and skew-free.
     "d44_bpe_pairs" -> { (s, dir) =>
-      val toks = tokens(col("text"))
-      val len = greatest(size(toks) - 1, lit(0))
-      val pairs = zip_with(
-        slice(toks, lit(1), len), slice(toks, lit(2), len),
-        (a, b) => concat(a, lit(" "), b))
+      graft.functions.TokenNgrams.register(s)
       t(s, dir, "documents")
-        .select(col("doc_id"), explode(pairs).as("pair"))
+        .select(col("doc_id"),
+          explode(call_function("token_ngrams",
+            col("text"), lit(2), lit(1))).as("pair"))
+        // DECOMPOSED count + count-distinct (the q18 pattern): the fused
+        // agg Expands every exploded pair row 2x through the exchange for
+        // the distinct leg. Two-level instead: per-(pair, doc) partial
+        // counts collapse map-side (duplicate pairs within a doc are
+        // common in repetitive text), then one tiny pair-level agg gets
+        // n_occurrences = sum and n_docs = count for free.
+        .groupBy("pair", "doc_id").agg(count(lit(1)).as("in_doc"))
         .groupBy("pair").agg(
-          count(lit(1)).as("n_occurrences"),
-          countDistinct("doc_id").as("n_docs"))
+          sum("in_doc").as("n_occurrences"),
+          count(lit(1)).as("n_docs"))
         .orderBy(col("n_occurrences").desc, col("pair"))
         .limit(20)
     },

@@ -143,4 +143,50 @@ class ExtensionsSpec extends SparkSpec {
     // "a b a","b a b","a b a" -> 2
     assert(r.toIntArray().toSeq == Seq(5, 2, 2))
   }
+
+  test("token_ngrams matches the composed zip_with / chunk formulations") {
+    import org.apache.spark.sql.functions.{call_function, col, concat, expr,
+      greatest, lit, size, slice, split, zip_with}
+    val rnd = new scala.util.Random(26)
+    val vocab = Vector("a", "b", "ab", "é日", "x")
+    val texts = Seq("", " ", "a", "a  b", " a b ", "a b c d e f g h i j",
+      "a b c d e f g h i j k") ++
+      Seq.fill(200)((0 until rnd.nextInt(30))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    val base = texts.toDF("text")
+    // shingle mode (stride 1): d44's zip_with-over-slices bigram build
+    val toks = split(col("text"), " ")
+    val len = greatest(size(toks) - 1, lit(0))
+    val badPairs = base
+      .withColumn("fast", call_function("token_ngrams", col("text"), lit(2), lit(1)))
+      .withColumn("slow", zip_with(
+        slice(toks, lit(1), len), slice(toks, lit(2), len),
+        (a, b) => concat(a, lit(" "), b)))
+      .where("fast <> slow").collect()
+    assert(badPairs.isEmpty, s"bigram mismatches: ${badPairs.take(5).mkString("; ")}")
+    // tiling mode (stride = n): d29's transform-over-sequence chunk build,
+    // ragged tail included
+    val badChunks = base
+      .withColumn("tk", toks)
+      .withColumn("fast", call_function("token_ngrams", col("text"), lit(3), lit(3)))
+      .withColumn("slow", expr(
+        "transform(sequence(0, cast(ceil(size(tk) / 3.0) as int) - 1), " +
+          "i -> concat_ws(' ', slice(tk, i * 3 + 1, 3)))"))
+      .where("fast <> slow").collect()
+    assert(badChunks.isEmpty, s"chunk mismatches: ${badChunks.take(5).mkString("; ")}")
+    assert(spark.sql("SELECT token_ngrams(CAST(NULL AS STRING), 2, 1)")
+      .collect().head.isNullAt(0))
+    // interpreted eval agrees with the codegen'd paths above
+    val mk = (s: String) => org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType)
+    val i2 = org.apache.spark.sql.catalyst.expressions.Literal(2,
+      org.apache.spark.sql.types.IntegerType)
+    val i1 = org.apache.spark.sql.catalyst.expressions.Literal(1,
+      org.apache.spark.sql.types.IntegerType)
+    val out = graft.functions.TokenNgrams(mk("a b c"), i2, i1).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(out.toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq == Seq("a b", "b c"))
+  }
 }
