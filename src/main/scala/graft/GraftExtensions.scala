@@ -65,3 +65,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
   }
 }
+
+object GraftExtensions {
+  // weak keys: a registered session must stay collectable
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  /** Idempotently register every library expression in `spark`'s function
+    * registry — the imperative twin of the extensions hook, for sessions
+    * built without `spark.sql.extensions`. Guarded per session so repeat
+    * calls (the query layer invokes this on every table read) are free and
+    * don't log replace warnings.
+    */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      graft.functions.FloatDotProduct.register(spark)
+      graft.functions.BpeTokenCount.register(spark)
+      graft.functions.DistinctNgramCount.register(spark)
+      graft.functions.RepetitionProfile.register(spark)
+      graft.functions.TokenNgrams.register(spark)
+    }
+}

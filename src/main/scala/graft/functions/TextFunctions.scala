@@ -9,10 +9,33 @@ import org.apache.spark.sql.functions._
   * Everything here is a pure Catalyst expression tree (codegen'd, no UDFs),
   * and every hash is derived from md5 so a SQL oracle can reproduce it
   * bit-for-bit on any engine with an md5 function.
+  *
+  * The custom kernels below resolve through the session function registry
+  * at ANALYSIS time (`call_function`) — the Column-from-Expression
+  * constructor is private[sql], so the registry is the supported path.
+  * Registration is guaranteed everywhere queries run: injected by
+  * [[graft.GraftExtensions]] (spark.sql.extensions) AND idempotently
+  * ensured once per session by the query layer (`Q.t`).
   */
 object TextFunctions {
-  /** Whitespace tokenizer matching the fixture corpus (single-space text). */
+  /** Whitespace tokenizer matching the fixture corpus (single-space text).
+    * `token_ngrams(text, 1, 1)` is answer-identical (spec-pinned) and was
+    * MEASURED NEUTRAL as a replacement: an A/B of the eight text queries
+    * that tokenize-and-explode (d07/d08/d15/d16/d31/d40/d46/d47, sf10
+    * min-of-2) read 21.08 s vs 21.32 s — their cost is the explode +
+    * aggregation shuffle, not the split — so the vanilla Spark idiom
+    * stays. Use [[tokenNgrams]] where the WINDOWS are the product
+    * (d44 bigrams, d29 chunks): there it replaces an interpreted
+    * higher-order build and wins 1.5-2×.
+    */
   def tokens(text: Column): Column = split(text, " ")
+
+  /** Space-joined n-token windows straight off the text bytes
+    * ([[TokenNgrams]]): stride < n overlapping shingles (full windows
+    * only), stride >= n tiling with the ragged tail.
+    */
+  def tokenNgrams(text: Column, n: Int, stride: Int): Column =
+    call_function("token_ngrams", text, lit(n), lit(stride))
 
   /** n-token shingles: ["a b c", "b c d", ...]; empty array below n tokens. */
   def shingles(tk: Column, n: Int = 3): Column =
@@ -113,6 +136,12 @@ object TextFunctions {
     */
   def distinctNgrams(tk: Column, n: Int): Column =
     call_function("distinct_ngram_count", tk, lit(n))
+
+  /** [n_tokens, distinct bigram windows, distinct trigram windows] in one
+    * byte scan ([[RepetitionProfile]]).
+    */
+  def repetitionProfile(text: Column): Column =
+    call_function("repetition_profile", text)
 
   /** Quality-gate thresholds shared by d08 scoring and the d15 composite. */
   val qualityMinTokens = 20

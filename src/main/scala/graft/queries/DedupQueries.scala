@@ -1275,11 +1275,9 @@ object DedupQueries {
       // the doc-frequency aggregation and the join probe side, and Spark
       // does not dedup common subplans — unpersisted, the per-chunk md5
       // pipeline would run twice.
-      graft.functions.TokenNgrams.register(s)
       val chunks = t(s, dir, "documents")
         .select(col("doc_id"),
-          explode(call_function("token_ngrams",
-            col("text"), lit(10), lit(10))).as("chunk"))
+          explode(tokenNgrams(col("text"), 10, 10)).as("chunk"))
         .select(col("doc_id"),
           (length(col("chunk")) -
             length(translate(col("chunk"), " ", "")) + 1).as("n_tok"),

@@ -139,6 +139,10 @@ object Q {
     }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // the query layer leans on the custom kernels (tokens() resolves
+    // token_ngrams through the registry); make them available in ANY
+    // session, extensions-built or not (once per session, then free)
+    graft.GraftExtensions.ensureRegistered(spark)
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Memoize the DataFrame handle (the analyzed plan, NOT the data):

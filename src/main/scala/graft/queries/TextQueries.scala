@@ -72,7 +72,6 @@ object TextQueries {
     },
     // D4c — token counting: whitespace + BPE-ish regex segmentation.
     "d09_token_count" -> { (s, dir) =>
-      graft.functions.BpeTokenCount.register(s)
       t(s, dir, "documents")
         .select(col("doc_id"),
           size(tokens(col("text"))).as("ws_tokens"),
@@ -159,7 +158,6 @@ object TextQueries {
     // would funnel the corpus through one partition at scale).
     "d19_sequence_pack" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      graft.functions.BpeTokenCount.register(s)
       val w = Window.partitionBy("source").orderBy("doc_id")
       t(s, dir, "documents")
         .withColumn("n_tok", bpeTokens(col("text")))
@@ -176,11 +174,10 @@ object TextQueries {
     // large-scale corpus prep pipeline runs. Ratios are single divisions of
     // exact integer counts, so both engines agree bit-for-bit.
     "d24_repetition" -> { (s, dir) =>
-      graft.functions.RepetitionProfile.register(s)
       t(s, dir, "documents")
         // single-pass byte-scan kernel: [n_tokens, uniq2, uniq3] without
         // materializing the token array (see RepetitionProfile)
-        .withColumn("rp", call_function("repetition_profile", col("text")))
+        .withColumn("rp", repetitionProfile(col("text")))
         .withColumn("n_tokens", col("rp").getItem(0))
         .withColumn("uniq2", col("rp").getItem(1))
         .withColumn("uniq3", col("rp").getItem(2))
@@ -454,11 +451,9 @@ object TextQueries {
     // string with partial aggregation, then TakeOrdered(20). At 100 TB
     // the agg key space is vocab², bounded and skew-free.
     "d44_bpe_pairs" -> { (s, dir) =>
-      graft.functions.TokenNgrams.register(s)
       t(s, dir, "documents")
         .select(col("doc_id"),
-          explode(call_function("token_ngrams",
-            col("text"), lit(2), lit(1))).as("pair"))
+          explode(tokenNgrams(col("text"), 2, 1)).as("pair"))
         // DECOMPOSED count + count-distinct (the q18 pattern): the fused
         // agg Expands every exploded pair row 2x through the exchange for
         // the distinct leg. Two-level instead: per-(pair, doc) partial

@@ -164,6 +164,14 @@ class ExtensionsSpec extends SparkSpec {
         (a, b) => concat(a, lit(" "), b)))
       .where("fast <> slow").collect()
     assert(badPairs.isEmpty, s"bigram mismatches: ${badPairs.take(5).mkString("; ")}")
+    // tokenizer mode (n = stride = 1): TextFunctions.tokens' contract —
+    // the kernel IS the library tokenizer, so pin it against split's
+    // full semantics (empty tokens, trailing empties, empty text)
+    val badToks = base
+      .withColumn("fast", call_function("token_ngrams", col("text"), lit(1), lit(1)))
+      .withColumn("slow", split(col("text"), " "))
+      .where("fast <> slow").collect()
+    assert(badToks.isEmpty, s"tokenizer mismatches: ${badToks.take(5).mkString("; ")}")
     // tiling mode (stride = n): d29's transform-over-sequence chunk build,
     // ragged tail included
     val badChunks = base
