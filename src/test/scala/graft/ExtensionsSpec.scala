@@ -197,4 +197,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.toObjectArray(org.apache.spark.sql.types.StringType)
       .map(_.toString).toSeq == Seq("a b", "b c"))
   }
+
+  test("kernels resolve in a session without the injected functions") {
+    // newSession() re-applies the extensions to its fresh SessionState, so
+    // simulate a truly bare session by dropping the kernels from the new
+    // registry — the query layer's ensureRegistered hook must bring them
+    // back before analysis
+    val bare = spark.newSession()
+    Seq("bpe_token_count", "token_ngrams", "repetition_profile",
+      "distinct_ngram_count", "float_dot").foreach(f =>
+      bare.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(f)))
+    intercept[Exception](
+      bare.sql("SELECT bpe_token_count('a b')").collect()) // really bare
+    val out = graft.SparkEntry.queries("d24_repetition")(
+      bare, "/root/testdata/sf0.001")
+    assert(out.limit(1).collect().nonEmpty)
+    // and after one query ran, the SQL surface works in that session too
+    assert(bare.sql("SELECT bpe_token_count('a b!')").as[Int](
+      org.apache.spark.sql.Encoders.scalaInt).head() == 3)
+  }
 }
