@@ -226,7 +226,7 @@ class GraphRunner(
     * triggers, services/trigger.py:10-22; per-node execution slices,
     * node.py:465-500).
     */
-  private val cascadeParallelism: Int =
+  private[graft] var cascadeParallelism: Int =
     sys.env.get("GRAFT_CASCADE_PARALLELISM")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .filter(_ >= 1).getOrElse(4)

@@ -153,6 +153,59 @@ class Round8HardeningSpec extends SparkSpec {
     assert(runs == 3, "satisfied requests do not re-fire")
   }
 
+  test("cascade confluence: parallel and sequential runs converge (random DAGs)") {
+    // For REPLACE-style nodes (output = deterministic function of the full
+    // current input state) the cascade is confluent: at quiescence every
+    // node has re-run after its inputs' last change, so the final tables
+    // are schedule-independent — batch composition, sweep interleaving,
+    // and parallelism must not show through. (Append-style nodes are
+    // deliberately out of scope: firing on partial upstream progress is
+    // legitimate event-driven behavior and changes intermediate — not
+    // final — replace-state.)
+    for (trial <- 1 to 3) {
+      val rnd = new scala.util.Random(8000 + trial)
+      val n = 7
+      val inEdges: Seq[Seq[Int]] =
+        (0 until n).map(i => (0 until i).filter(_ => rnd.nextBoolean()))
+      val yaml = "functions:\n" + (0 until n).map { i =>
+        val ins =
+          if (inEdges(i).isEmpty) ""
+          else s"    inputs: {${inEdges(i).map(j => s"in$j: t$j").mkString(", ")}}\n"
+        s"  - node_file: f$i\n    id: aa0000$i$trial\n$ins    outputs: {out: t$i}\n"
+      }.mkString
+      def build(root: String, par: Int): GraphRunner = {
+        val r = new GraphRunner(spark, GraphLoader.parse(yaml), root)
+        r.cascadeParallelism = par
+        (0 until n).foreach { i =>
+          r.register(s"f$i", eng => {
+            val inSum = inEdges(i).map { j =>
+              scala.util.Try(
+                eng.table(s"in$j").read.agg(
+                  org.apache.spark.sql.functions.coalesce(
+                    org.apache.spark.sql.functions.sum("v"),
+                    org.apache.spark.sql.functions.lit(0L)))
+                  .head().getLong(0)).getOrElse(0L)
+            }.sum
+            eng.table("out", "w").replace(
+              Seq((i.toLong, i * 1000L + inSum)).toDF("id", "v"))
+          })
+        }
+        r
+      }
+      val rootSeq = freshRoot(); val rootPar = freshRoot()
+      build(rootSeq, 1).runAll()
+      build(rootPar, 4).runAll()
+      (0 until n).foreach { i =>
+        val a = new GraftEngine(spark, rootSeq, "probe").table(s"t$i")
+          .read.orderBy("id").collect().toSeq
+        val b = new GraftEngine(spark, rootPar, "probe").table(s"t$i")
+          .read.orderBy("id").collect().toSeq
+        assert(a == b,
+          s"trial $trial node $i diverged: seq=$a par=$b (dag=$inEdges)")
+      }
+    }
+  }
+
   test("independent cascade branches run concurrently") {
     val yaml =
       """functions:
