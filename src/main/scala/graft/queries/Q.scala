@@ -255,15 +255,26 @@ object Q {
     * sf0.1/local[32]: q01 2.41s -> 0.46s (5.2x), q23 1.76s -> 0.45s
     * (3.9x), oracle hashes matching.
     *
-    * Range contract (ANSI mode makes violations LOUD, not silent): the
-    * long sum overflows past 2⁶³ micro-units ≈ 9.2e12 in money units —
-    * ~60 M rows of 1e5-scale values sit at 7e18 (sf10 headroom 24%).
-    * Past that, shard the sum or use [[dsum]]; overflow throws under
-    * Spark 4's default ANSI mode rather than wrapping.
+    * Range: a SINGLE long sum of micro-units overflows past 2⁶³ ≈ 9.2e12
+    * money units — q14's cube grand-total cell over 540 M sf30 rows HIT
+    * that cliff (loudly, under ANSI). So the accumulator is WIDE: each
+    * micro-value splits into `hi = u >> 20` (arithmetic shift) and
+    * `lo = u & 0xFFFFF`, two plain long sums run in codegen (|hi| ≤ 2⁴³
+    * per row and lo < 2²⁰, so Σhi stays in-range until ~1e19 money units
+    * and Σlo until ~2⁴³ rows — no realistic corpus reaches either), and
+    * ONE per-group DECIMAL(38,0) recombination `Σhi·2²⁰ + Σlo` recovers
+    * Σu exactly. The identity `hi·2²⁰ + lo = u` holds for every long in
+    * two's complement, and the recombined value depends only on Σu — so
+    * the oracle may split with different div/mod conventions and still
+    * produce the identical double ([[oUSum]] uses `u & mask` + exact
+    * floor division; DuckDB's BIGINT sums widen to HUGEINT).
     */
-  def usum(c: Column): Column =
-    (sum(floor(c * lit(1000000.0) + lit(0.5))).cast("double") /
-      lit(1000000.0))
+  def usum(c: Column): Column = {
+    val u = floor(c * lit(1000000.0) + lit(0.5))
+    val rec = (sum(shiftright(u, 20)).cast(DecimalType(38, 0)) * lit(1048576L)
+      + sum(u.bitwiseAND(lit(1048575L))).cast(DecimalType(38, 0)))
+    rec.cast("double") / lit(1000000.0)
+  }
 
   /** Deterministic average on the fixed-point path: [[usum]] then one
     * double division, mirrored operation-for-operation by [[oUAvg]].
@@ -274,7 +285,15 @@ object Q {
     when(n === 0, lit(null).cast("double")).otherwise(usum(c) / n)
   }
 
-  def oUSum(e: String): String =
-    s"CAST(SUM(CAST(floor(($e) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000"
-  def oUAvg(e: String): String = s"${oUSum(e)} / COUNT($e)"
+  def oUSum(e: String): String = {
+    // lo = u & mask in [0, 2^20); u - lo is an exact multiple of 2^20, so
+    // the // floor division is exact under any convention and
+    // SUM(hi)*2^20 + SUM(lo) = SUM(u) — DuckDB BIGINT SUM widens to
+    // HUGEINT, then one correctly-rounded cast to DOUBLE, identical to
+    // Spark's DECIMAL(38,0) recombination cast
+    val u = s"CAST(floor(($e) * 1000000 + 0.5) AS BIGINT)"
+    s"CAST(SUM(($u - ($u & 1048575)) // 1048576) * 1048576" +
+      s" + SUM($u & 1048575) AS DOUBLE) / 1000000"
+  }
+  def oUAvg(e: String): String = s"(${oUSum(e)}) / COUNT($e)"
 }

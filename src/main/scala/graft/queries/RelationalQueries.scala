@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** SURVEY.md §2.C rows C1–C21 (scan/filter/project/joins/agg/window/sort).
   *
@@ -78,7 +79,16 @@ object RelationalQueries {
         .join(t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg((sum("rev").cast("double") / lit(1000000.0)).as("revenue"),
+        // top level re-sums per-customer micro totals across the whole
+        // segment — the one leg that grows with corpus size, so it takes
+        // Q.usum's wide hi/lo accumulator (per-customer totals ≤ ~2⁵⁰:
+        // shifted legs stay in long range past any realistic SF); the
+        // recombined value is Σu, bit-identical to the oracle's
+        // single-level sum
+        .agg(((sum(shiftright(col("rev"), 20)).cast(DecimalType(38, 0))
+            * lit(1048576L)
+          + sum(col("rev").bitwiseAND(lit(1048575L))).cast(DecimalType(38, 0)))
+          .cast("double") / lit(1000000.0)).as("revenue"),
           sum("n").as("n_items"))
         .orderBy("c_mktsegment")
     },
