@@ -4,10 +4,14 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-/** Scratch profiler for bench hot spots (not part of the library surface). */
+/** Scratch profiler for bench hot spots (not part of the library surface).
+  * `runMain graft.Prof q01|d32` picks the decomposition; SPARK_GRAFT_SF_DIR
+  * picks the fixture.
+  */
 object Prof {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mode = args.headOption.getOrElse("q01")
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("prof")
@@ -27,34 +31,63 @@ object Prof {
       val n = f
       println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
     }
+    val timeF: (String, () => Long) => Unit = (n, f) => time(n)(f())
 
+    mode match {
+      case "d32" => profD32(spark, dir, force, timeF)
+      case _     => profQ01(spark, dir, force, timeF)
+    }
+    spark.stop()
+  }
+
+  /** Stage decomposition of d32's IVF escape-hatch path. */
+  private def profD32(spark: SparkSession, dir: String,
+      force: org.apache.spark.sql.DataFrame => Long,
+      time: (String, () => Long) => Unit): Unit = {
+    import graft.queries.VectorQueries
+    for (round <- 1 to 2) {
+      val (tr, ev) = VectorQueries.d32Inputs(spark, dir)
+      val trainN = tr.count()
+      println(s"PROF trainN=$trainN evalN=${ev.count()}")
+      time(s"r$round full_ivf", () => force(
+        VectorQueries.nearestTrainIvf(tr, ev, knownTrainN = Some(trainN))))
+      time(s"r$round audit_exact_sample", () => force(
+        VectorQueries.nearestTrainReplicated(
+          tr, ev.filter(pmod(col("eval_id"), lit(128L)) === 0))))
+      time(s"r$round full_query", () => force(
+        graft.SparkEntry.queries("d32_semantic_decontamination")(spark, dir)))
+    }
+  }
+
+  private def profQ01(spark: SparkSession, dir: String,
+      force: org.apache.spark.sql.DataFrame => Long,
+      time: (String, () => Long) => Unit): Unit = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02")))
     val gb = () => li.groupBy("l_returnflag", "l_linestatus")
 
     // Decompose q01's cost: scan+group vs double sums vs decimal sums.
     for (round <- 1 to 3) {
-      time(s"r$round scan_count")(force(gb().agg(count(lit(1)).as("n"))))
-      time(s"r$round double_sums")(force(gb().agg(
+      time(s"r$round scan_count", () => force(gb().agg(count(lit(1)).as("n"))))
+      time(s"r$round double_sums", () => force(gb().agg(
         sum(col("l_quantity")).as("a"),
         sum(col("l_extendedprice")).as("b"),
         sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("c"),
         sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("d"),
         sum(col("l_discount")).as("e"))))
-      time(s"r$round decimal20_sums")(force(gb().agg(
+      time(s"r$round decimal20_sums", () => force(gb().agg(
         sum(col("l_quantity").cast(DecimalType(20, 6))).as("a"),
         sum(col("l_extendedprice").cast(DecimalType(20, 6))).as("b"),
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(20, 6))).as("c"),
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).cast(DecimalType(20, 6))).as("d"),
         sum(col("l_discount").cast(DecimalType(20, 6))).as("e"))))
-      time(s"r$round longmicros_sums")(force(gb().agg(
+      time(s"r$round longmicros_sums", () => force(gb().agg(
         sum(unscaled(col("l_quantity"))).as("a"),
         sum(unscaled(col("l_extendedprice"))).as("b"),
         sum(unscaled(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("c"),
         sum(unscaled(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("d"),
         sum(unscaled(col("l_discount"))).as("e"))))
     }
-    spark.stop()
   }
 
   /** exact micro-units long: double -> Decimal(20,6) -> unscaled long */

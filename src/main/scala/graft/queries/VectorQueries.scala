@@ -101,6 +101,25 @@ object VectorQueries {
     */
   private[graft] val ExactPairBudget = 1L << 30
 
+  /** Exact nearest-train search through the [[VectorKernels]] broadcast
+    * argmax kernel: eval vectors collect into a broadcast probe set, the
+    * training corpus streams once, per-pair cost is pure register-blocked
+    * arithmetic. Bit-identical to [[nearestTrainBroadcast]] /
+    * [[nearestTrainReplicated]] (kernel-equality spec); callers guard the
+    * eval set against [[VectorKernels.MaxProbeBytes]] and fall back to
+    * the replicated join past it.
+    */
+  private[graft] def nearestTrainKernel(tr: DataFrame, ev: DataFrame): DataFrame = {
+    val s = tr.sparkSession
+    val ps = VectorKernels.collectProbes(
+      VectorKernels.probeFrame(ev, col("eval_id"), col("qn"), col("qe")))
+    VectorKernels.bestRowPerProbe(s,
+        tr.select(lit(0L).as("gkey"), col("train_id").as("id"),
+          col("tn").as("nrm"), col("te").as("vec")), ps)
+      .select(col("probe_id").as("eval_id"),
+        col("corpus_id").as("train_id"), col("cosine"))
+  }
+
   /** Nearest training vector per eval vector through the d06-style IVF
     * index — the APPROXIMATE escape hatch for eval sets that outgrow
     * [[ExactPairBudget]] (workload-quadratic exact NN). Deterministic
@@ -109,13 +128,19 @@ object VectorQueries {
     * each eval probes its `nprobe` nearest cells — O(eval · n/cells ·
     * nprobe) scored pairs instead of O(eval · n).
     *
+    * This is the JOIN formulation — the readable statement of the IVF
+    * semantics and the fallback when the probe structures outgrow
+    * [[VectorKernels.MaxProbeBytes]]. [[nearestTrainIvf]] computes the
+    * identical result through the broadcast argmax kernel (equality
+    * spec-pinned) at a fraction of the per-pair cost.
+    *
     * `nprobe >= cell count` degenerates to an EXACT search (every cell
     * probed ⇒ every train row scored ⇒ same max(struct) argmax and
     * tie-break as [[nearestTrainBroadcast]]) — which is what the
     * branch-equality spec pins; recall at the default `nprobe` is the
     * audit column's job (d32).
     */
-  private[graft] def nearestTrainIvf(tr: DataFrame, ev: DataFrame,
+  private[graft] def nearestTrainIvfJoin(tr: DataFrame, ev: DataFrame,
       nprobe: Int = 3, knownTrainN: Option[Long] = None): DataFrame = {
     // the d32 caller just counted the train side for its budget switch —
     // don't pay a second corpus scan for the same number
@@ -166,6 +191,77 @@ object VectorQueries {
         .as("best"))
       .select(col("eval_id"), (-col("best.neg_id")).as("train_id"),
         col("best.cosine").as("cosine"))
+  }
+
+  /** IVF nearest-train search, kernel execution: the same index semantics
+    * as [[nearestTrainIvfJoin]] (same deterministic centroids, same
+    * liveness rule, same probe ranking, same within-cell argmax and
+    * tie-breaks — equality spec-pinned), with every row-at-a-time
+    * join+agg replaced by a [[VectorKernels]] broadcast pass:
+    *
+    *   - cell assignment: top-1 kernel over the train scan (the join
+    *     formulation's crossJoin + max(struct) + first() regroup shuffled
+    *     the full corpus and scored pairs at row-materialization cost);
+    *   - liveness: one light assignment pass over (te, tn) only — ~2
+    *     corpus scans total, still cheaper than one join-path pass;
+    *   - probe ranking: top-nprobe kernel over the eval side (replaces
+    *     crossJoin + window row_number);
+    *   - within-cell scoring: grouped argmax kernel (replaces the
+    *     cell equi-join + groupBy), merged per eval across its probed
+    *     cells by the same max(struct(cosine, -train_id)).
+    *
+    * Probe structures that outgrow [[VectorKernels.MaxProbeBytes]]
+    * (centroids ~√n; eval×nprobe vectors) fall back to the join
+    * formulation — at that scale broadcasting loses to shuffling.
+    */
+  private[graft] def nearestTrainIvf(tr: DataFrame, ev: DataFrame,
+      nprobe: Int = 3, knownTrainN: Option[Long] = None,
+      knownEvalN: Option[Long] = None): DataFrame = {
+    val s = tr.sparkSession
+    import s.implicits._
+    val nTrain = knownTrainN.getOrElse(tr.count())
+    val mod = 200L * math.max(1L,
+      math.ceil(math.sqrt(nTrain / 2000.0)).toLong)
+    val cent0 = tr.filter(pmod(col("train_id"), lit(mod)) === 0)
+      .select(col("train_id").as("c_id"), col("te").as("ce"),
+        col("tn").as("cn"))
+    val cent =
+      if (cent0.isEmpty)
+        tr.orderBy("train_id").limit(1)
+          .select(col("train_id").as("c_id"), col("te").as("ce"),
+            col("tn").as("cn"))
+      else cent0
+    val centPs = VectorKernels.collectProbes(
+      VectorKernels.probeFrame(cent, col("c_id"), col("cn"), col("ce")))
+    val dims = if (centPs.nSlots > 0) centPs.slotVecs(0).length else 0
+    val evalN = knownEvalN.getOrElse(ev.count())
+    val evProbeBytes = evalN * nprobe * (dims.toLong * 8 + 64)
+    if (centPs.estBytes + evProbeBytes > VectorKernels.MaxProbeBytes)
+      return nearestTrainIvfJoin(tr, ev, nprobe, Some(nTrain))
+    // liveness: cells that received at least one member (a centroid can
+    // lose its own vector to a duplicate centroid with a smaller id, and
+    // evals must never probe only empty cells)
+    val liveSet = VectorKernels.assignProbes(
+        tr.select(col("te"), col("tn")), centPs, "te", "tn", None, "cell")
+      .select(col("cell")).distinct().as[Long].collect().toSet
+    val livePs = VectorKernels.filterSlots(centPs, cid => liveSet.contains(cid))
+    val assigned = VectorKernels.assignProbes(tr, centPs, "te", "tn",
+      None, "cell")
+    // nprobe beyond the live cell count means "probe everything" — clamp
+    // so the rank buffer stays probe-count sized
+    val pEff = math.min(nprobe.toLong,
+      math.max(1L, livePs.nSlots.toLong)).toInt
+    val probed = VectorKernels.assignProbes(ev, livePs, "qe", "qn",
+        None, "cells", pEff, arrayOut = true)
+      .select(col("eval_id"), col("qe"), col("qn"),
+        explode(col("cells")).as("cell"))
+    val evPs = VectorKernels.collectProbes(VectorKernels.probeFrame(
+      probed, col("eval_id"), col("qn"), col("qe"), col("cell")))
+    VectorKernels.bestRowPerProbe(s,
+        assigned.select(col("cell").as("gkey"), col("train_id").as("id"),
+          col("tn").as("nrm"), col("te").as("vec")), evPs)
+      .select(col("probe_id").as("eval_id"),
+        col("corpus_id").as("train_id"), col("cosine"))
   }
 
   /** Query set: the first 10 vectors. */
@@ -309,15 +405,15 @@ object VectorQueries {
       val cent = v.filter(col("vec_id") % mod === 0)
         .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
           col("nrm").as("cn"))
-      val assigned = v.crossJoin(broadcast(cent))
-        .withColumn("c_cos",
-          cosineWithNorms(dot(col("embedding"), col("ce")), col("nrm"), col("cn")))
-        .groupBy("vec_id")
-        .agg(max(struct(col("c_cos"), (-col("c_id")).as("nc"))).as("best"),
-          first("label").as("label"), first("embedding").as("embedding"),
-          first("nrm").as("nrm"))
-        .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
-          (-col("best.nc")).as("cell"))
+      // top-1 broadcast argmax kernel (pure map over the scan — the
+      // crossJoin + max(struct) + first() regroup it replaces shuffled
+      // the whole corpus and paid row-materialization per scored pair;
+      // equality spec-pinned incl. tie and zero-norm rows)
+      val centPs = VectorKernels.collectProbes(
+        VectorKernels.probeFrame(cent, col("c_id"), col("cn"), col("ce")))
+      val assigned = VectorKernels.assignProbes(
+        v.select("vec_id", "label", "embedding", "nrm"),
+        centPs, "embedding", "nrm", None, "cell")
       val q = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("nrm").as("qn"), col("cell"))
@@ -464,9 +560,12 @@ object VectorQueries {
       val withinBudget =
         trainN == 0 || evalN <= ExactPairBudget / math.max(trainN, 1L)
       if (withinBudget) {
+        // kernel while the eval probe set fits a broadcast (the common
+        // case by construction: within-budget eval sets are benchmark-
+        // sized); the replicated join is the shuffle-based fallback
         val pick =
-          if (estBytes <= s.sessionState.conf.autoBroadcastJoinThreshold)
-            nearestTrainBroadcast(tr, ev)
+          if (estBytes <= VectorKernels.MaxProbeBytes)
+            nearestTrainKernel(tr, ev)
           else nearestTrainReplicated(tr, ev)
         pick
           .withColumn("is_semantic_dup", col("cosine") >= 0.6)
@@ -480,9 +579,15 @@ object VectorQueries {
         // eval sample is re-answered EXACTLY (tiny fragment-replicate)
         // and compared — audit_ok=false rows quantify recall loss in the
         // output itself instead of leaving the approximation silent
-        val ann = nearestTrainIvf(tr, ev, knownTrainN = Some(trainN))
+        val ann = nearestTrainIvf(tr, ev, knownTrainN = Some(trainN),
+          knownEvalN = Some(evalN))
         val sampleEv = ev.filter(pmod(col("eval_id"), lit(128L)) === 0)
-        val exact = nearestTrainReplicated(tr, sampleEv)
+        // ~evalN/128 probe vectors: always inside the kernel guard when
+        // the full eval set was (estBytes is the FULL-set estimate)
+        val exact =
+          (if (estBytes / 128 <= VectorKernels.MaxProbeBytes)
+            nearestTrainKernel(tr, sampleEv)
+          else nearestTrainReplicated(tr, sampleEv))
           .select(col("eval_id"), col("train_id").as("x_id"),
             col("cosine").as("x_cos"))
         ann.join(exact, Seq("eval_id"), "left")
