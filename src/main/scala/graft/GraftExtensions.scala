@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeTokenCount, DistinctNgramCount, FloatDotProduct, RepetitionProfile, TokenNgrams}
+import graft.functions.{BpeTokenCount, DistinctNgramCount, FloatDotProduct, Int8Quantize, RepetitionProfile, TokenNgrams}
 
 /** Spark-native packaging of the engine's custom expressions: register the
   * library through the extensions hook instead of imperative per-session
@@ -63,6 +63,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"token_ngrams requires exactly 3 arguments, got ${exprs.length}")
         TokenNgrams(exprs(0), exprs(1), exprs(2))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("int8_quantize"),
+      new ExpressionInfo(classOf[Int8Quantize].getName, "int8_quantize"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"int8_quantize requires exactly 1 argument, got ${exprs.length}")
+        Int8Quantize(exprs.head)
+      }))
   }
 }
 
@@ -85,5 +93,6 @@ object GraftExtensions {
       graft.functions.DistinctNgramCount.register(spark)
       graft.functions.RepetitionProfile.register(spark)
       graft.functions.TokenNgrams.register(spark)
+      graft.functions.Int8Quantize.register(spark)
     }
 }

@@ -35,6 +35,8 @@ object Prof {
 
     mode match {
       case "d32" => profD32(spark, dir, force, timeF)
+      case "d43" => profD43(spark, dir, force, timeF)
+      case "d58" => profD58(spark, dir, timeF)
       case _     => profQ01(spark, dir, force, timeF)
     }
     spark.stop()
@@ -57,6 +59,59 @@ object Prof {
       time(s"r$round full_query", () => force(
         graft.SparkEntry.queries("d32_semantic_decontamination")(spark, dir)))
     }
+  }
+
+  /** Stage decomposition of d43 (quantized knn). */
+  private def profD43(spark: SparkSession, dir: String,
+      force: org.apache.spark.sql.DataFrame => Long,
+      time: (String, () => Long) => Unit): Unit = {
+    import graft.functions.VectorFunctions._
+    graft.functions.FloatDotProduct.register(spark)
+    for (round <- 1 to 2) {
+      val v = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("label"), col("embedding"))
+        .withColumn("nrm", l2norm(col("embedding")))
+      time(s"r$round vecs_norms", () => force(v))
+      val maxabs = array_max(transform(col("embedding"),
+        x => abs(x.cast("double"))))
+      val qv = v
+        .withColumn("scl",
+          when(maxabs > 0.0, lit(127.0) / maxabs).otherwise(lit(0.0)))
+        .withColumn("qe", transform(col("embedding"),
+          x => floor(x.cast("double") * col("scl") + 0.5).cast("float")))
+        .select("vec_id", "qe")
+      time(s"r$round quantize", () => force(qv))
+      val q10 = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val exScored = v.crossJoin(broadcast(q10))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine",
+          cosineWithNorms(dot(col("embedding"), col("qe")), col("nrm"), col("qn")))
+        .select("q_id", "vec_id", "cosine")
+      time(s"r$round exact_score_topk", () => force(
+        graft.queries.VectorQueries.topKPerQuery(
+          exScored, 3, "q_id", "cosine", "vec_id")))
+      time(s"r$round full_query", () => force(
+        graft.SparkEntry.queries("d43_quantized_knn")(spark, dir)))
+    }
+  }
+
+  /** d58 volume decomposition: bucket-size distribution and pair counts. */
+  private def profD58(spark: SparkSession, dir: String,
+      time: (String, () => Long) => Unit): Unit = {
+    import graft.queries.DedupQueries
+    val banded = DedupQueries.bandedSimhash(
+      DedupQueries.docSimhash(spark, dir))
+    val sizes = banded.groupBy("band", "bv").count()
+    val agg = sizes.agg(count(lit(1)).as("n_buckets"),
+      max("count").as("max_bucket"),
+      sum(col("count") * (col("count") - 1) / 2).as("cand_pairs")).head()
+    println(s"PROF buckets=${agg.getLong(0)} max=${agg.getLong(1)} candPairs=${agg.get(2)}")
+    time("bucketed_pairs", () => {
+      val n = DedupQueries.simhashBandPairsBucketed(spark, banded).count()
+      println(s"PROF out_pairs=$n"); n
+    })
   }
 
   private def profQ01(spark: SparkSession, dir: String,

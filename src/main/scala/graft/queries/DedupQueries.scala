@@ -1692,33 +1692,113 @@ object DedupQueries {
     // generator at that radius — the classic web-dedup recipe. Candidate
     // fanout is bounded by band-bucket sizes (an equi-join, never all
     // pairs); exact bit_count verification touches candidates only.
+    // Executed through the BUCKET KERNEL ([[simhashBandPairsBucketed]]):
+    // the band self-join materialized ~2e8 candidate rows through the
+    // join machinery at sf30 while the verification itself is one
+    // popcount per candidate — the same row-materialization-vs-arithmetic
+    // gap the VectorKernels argmax paths close. Join formulation kept
+    // below as the spec reference.
     "d58_simhash_hamming" -> { (s, dir) =>
-      val banded = docSimhash(s, dir)
-        .select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(b =>
-            struct(lit(b).as("band"),
-              shiftright(col("simhash"), b * 15)
-                .bitwiseAND(lit(32767L)).as("bv"))): _*)).as("bb"))
-        .select(col("doc_id"), col("simhash"),
-          col("bb.band").as("band"), col("bb.bv").as("bv"))
-      val a = banded.select(col("band"), col("bv"),
-        col("doc_id").as("da"), col("simhash").as("sa"))
-      val b2 = banded.select(col("band"), col("bv"),
-        col("doc_id").as("db"), col("simhash").as("sb"))
-      a.join(b2, Seq("band", "bv"))
-        .filter(col("da") < col("db"))
-        // hamming BEFORE distinct: bit_count is a codegen'd map-side
-        // comparison, so band collisions that aren't near-dups die in the
-        // join stage and the dedup shuffle only carries true pairs (≤4
-        // copies each) — the pre-filter distinct was shuffling EVERY
-        // candidate, the dominant cost once hot bands appear at scale
-        .withColumn("hamming",
-          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
-        .filter(col("hamming") <= 3)
-        .select("da", "db", "hamming").distinct()
+      simhashBandPairsBucketed(s, bandedSimhash(docSimhash(s, dir)))
         .orderBy("da", "db")
     }
   )
+
+  /** (doc_id, simhash) → one row per 15-bit band value: (doc_id, simhash,
+    * band, bv). Shared by both d58 executions.
+    */
+  private[graft] def bandedSimhash(sim: DataFrame): DataFrame =
+    sim.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 15)
+              .bitwiseAND(lit(32767L)).as("bv"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+
+  /** Join formulation of the banded Hamming search — the readable
+    * statement of the candidate rule and the equality-spec reference for
+    * [[simhashBandPairsBucketed]].
+    */
+  private[graft] def simhashBandPairsJoin(banded: DataFrame): DataFrame = {
+    val a = banded.select(col("band"), col("bv"),
+      col("doc_id").as("da"), col("simhash").as("sa"))
+    val b2 = banded.select(col("band"), col("bv"),
+      col("doc_id").as("db"), col("simhash").as("sb"))
+    a.join(b2, Seq("band", "bv"))
+      .filter(col("da") < col("db"))
+      // hamming BEFORE distinct: bit_count is a codegen'd map-side
+      // comparison, so band collisions that aren't near-dups die in the
+      // join stage and the dedup shuffle only carries true pairs (≤4
+      // copies each) — the pre-filter distinct was shuffling EVERY
+      // candidate, the dominant cost once hot bands appear at scale
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select("da", "db", "hamming").distinct()
+  }
+
+  /** Bucket-kernel execution of the banded Hamming search: one shuffle of
+    * (doc_id, simhash) keyed by (band, bv) — 16 narrow bytes per banded
+    * row — then every bucket's candidate pairs are verified in a tight
+    * i<j popcount loop and only true pairs (Hamming ≤ 3) leave the task.
+    * The verified set is identical to [[simhashBandPairsJoin]] (spec),
+    * with the ~|bucket|² candidate ROWS never materialized.
+    *
+    * Multi-band dedup is LOCAL, not a distinct: both signatures are in
+    * hand, so the set of agreeing bands is computable per pair
+    * ((xor >> 15·b) masks), and the pair is emitted ONLY from its lowest
+    * agreeing band. On a self-similar corpus this matters more than the
+    * candidate loop — at sf30 the true-pair set is ~10⁸ rows, and the
+    * join formulation's `.distinct()` shuffled every copy of every one of
+    * them (measured: the distinct, not the candidate scoring, dominated).
+    *
+    * Skew note for 100 TB: a degenerate hot bucket (e.g. millions of
+    * identical signatures) concentrates in one task here exactly as it
+    * concentrates in one join key in the join formulation — and its
+    * QUADRATIC OUTPUT (all its pairs are Hamming-0 dups) is inherent to
+    * the query's semantics, not the execution; a production corpus caps
+    * that with a bucket-size limit upstream (the d48 adaptive-route
+    * pattern), which this operator deliberately leaves exact.
+    */
+  private[graft] def simhashBandPairsBucketed(s: SparkSession,
+      banded: DataFrame): DataFrame = {
+    import s.implicits._
+    banded.groupBy("band", "bv")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("m"))
+      .select(col("band"), col("m")).as[(Int, Seq[(Long, Long)])]
+      .flatMap { case (band, members) =>
+        val n = members.length
+        val ids = new Array[Long](n)
+        val sigs = new Array[Long](n)
+        var i = 0
+        members.foreach { case (id, sg) => ids(i) = id; sigs(i) = sg; i += 1 }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        i = 0
+        while (i < n) {
+          val si = sigs(i); val di = ids(i)
+          var j = i + 1
+          while (j < n) {
+            val x = si ^ sigs(j)
+            val h = java.lang.Long.bitCount(x)
+            if (h <= 3) {
+              // lowest agreeing band owns the pair (current band's value
+              // matches by construction, so minBand ≤ band always holds)
+              var minBand = 0
+              while (((x >>> (minBand * 15)) & 0x7FFFL) != 0L) minBand += 1
+              if (minBand == band) {
+                val dj = ids(j)
+                out += (if (di < dj) (di, dj, h) else (dj, di, h))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("da", "db", "hamming")
+  }
 
   /** DuckDB mirror of [[docSimhash]] — yields the `sim(doc_id, simhash)`
     * CTE; shared by the d04 and d58 oracles.

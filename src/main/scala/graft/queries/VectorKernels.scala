@@ -130,7 +130,8 @@ object VectorKernels {
     * rebalance is a no-op cost-wise.
     */
   private[graft] def bestRowPerProbe(s: SparkSession, corpus: DataFrame,
-      probes: ProbeSet, block: Int = 256): DataFrame = {
+      probes: ProbeSet, block: Int = 256,
+      excludeSelf: Boolean = false): DataFrame = {
     import s.implicits._
     val bc = s.sparkContext.broadcast(probes)
     val nPart = s.sessionState.conf.numShufflePartitions
@@ -170,10 +171,13 @@ object VectorKernels {
             val qn = ps.slotNrms(slot)
             var bc0 = bestCos(slot); var bi0 = bestId(slot)
             var nb0 = nullBest(slot)
-            @inline def consider(cos: Double, id: Long): Unit = {
-              val c = if (bi0 == Long.MinValue) 1 else nanSafeCmp(cos, bc0)
-              if (c > 0 || (c == 0 && id < bi0)) { bc0 = cos; bi0 = id }
-            }
+            // leave-one-out searches drop the probe's own corpus row
+            val selfId = if (excludeSelf) ps.slotIds(slot) else Long.MinValue
+            @inline def consider(cos: Double, id: Long): Unit =
+              if (id != selfId) {
+                val c = if (bi0 == Long.MinValue) 1 else nanSafeCmp(cos, bc0)
+                if (c > 0 || (c == 0 && id < bi0)) { bc0 = cos; bi0 = id }
+              }
             if (uniform && qd == d0) {
               // 4 independent accumulator chains hide the FP-add latency
               // (the tilePairs register-blocking); each chain is still a
@@ -207,7 +211,7 @@ object VectorKernels {
                 val rv = b.rows(r)
                 if (rv.length == qd)
                   consider(cosOf(fold(rv, qv), b.nrms(r), qn), b.ids(r))
-                else if (b.ids(r) < nb0) nb0 = b.ids(r)
+                else if (b.ids(r) < nb0 && b.ids(r) != selfId) nb0 = b.ids(r)
                 r += 1
               }
             }

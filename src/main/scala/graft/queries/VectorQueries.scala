@@ -619,14 +619,14 @@ object VectorQueries {
       // the codegen'd float_dot (double accumulation of integer products
       // ≤ 127² × dims ≈ 2^20 ≪ 2^53 — exact) replaces the interpreted
       // zip_with/aggregate HOF and the BIGINT cast recovers the oracle's
-      // integer dot bit-for-bit.
-      val maxabs = array_max(transform(col("embedding"),
-        x => abs(x.cast("double"))))
+      // integer dot bit-for-bit. Quantization itself runs through the
+      // codegen'd int8_quantize expression — the composed
+      // array_max(transform)/transform(floor) HOFs are interpreted and
+      // were 27 s of d43's 28 s at sf30 (equality spec-pinned incl.
+      // NaN/null/empty edges).
+      graft.functions.Int8Quantize.register(s)
       val qv = v
-        .withColumn("scl",
-          when(maxabs > 0.0, lit(127.0) / maxabs).otherwise(lit(0.0)))
-        .withColumn("qe", transform(col("embedding"),
-          x => floor(x.cast("double") * col("scl") + 0.5).cast("float")))
+        .withColumn("qe", call_function("int8_quantize", col("embedding")))
         .select("vec_id", "qe")
       val q = qv.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("qe").as("qq"))
@@ -774,16 +774,22 @@ object VectorQueries {
     // d20 LSH index replaces the brute-force scan, same probe protocol.
     "d57_knn_accuracy" -> { (s, dir) =>
       val v = vecs(s, dir)
-      val probes = v.filter(col("vec_id") < 200)
-        .select(col("vec_id").as("p_id"), col("label").as("p_label"),
-          col("embedding").as("pe"), col("nrm").as("pn"))
-      val scored = v.crossJoin(broadcast(probes))
-        .filter(col("vec_id") =!= col("p_id"))
-        .withColumn("cosine",
-          cosineWithNorms(dot(col("embedding"), col("pe")),
-            col("nrm"), col("pn")))
-        .select("p_id", "p_label", "vec_id", "label", "cosine")
-      topKPerQuery(scored, 1, "p_id", "cosine", "vec_id")
+      // broadcast argmax kernel with leave-one-out self-exclusion (the
+      // crossJoin + topKPerQuery pass it replaces paid
+      // row-materialization per scored pair); the winner's label attaches
+      // with one narrow broadcast lookup against the ~|probes|-row result
+      val ps = VectorKernels.collectProbes(VectorKernels.probeFrame(
+        v.filter(col("vec_id") < 200), col("vec_id"), col("nrm"),
+        col("embedding")))
+      val best = VectorKernels.bestRowPerProbe(s,
+        v.select(lit(0L).as("gkey"), col("vec_id").as("id"),
+          col("nrm").as("nrm"), col("embedding").as("vec")),
+        ps, excludeSelf = true)
+      val plbl = v.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("probe_id"), col("label").as("p_label"))
+      v.select(col("vec_id").as("corpus_id"), col("label"))
+        .join(broadcast(best), "corpus_id")
+        .join(broadcast(plbl), "probe_id")
         .groupBy("p_label")
         .agg(count(lit(1)).as("n_probes"),
           sum(when(col("label") === col("p_label"), 1L).otherwise(0L))

@@ -197,6 +197,117 @@ class Round8KernelSpec extends SparkSpec {
     assert(kern.length == n && kern.sameElements(join))
   }
 
+  test("d58 bucket kernel == band self-join (fixture + hot-bucket corpus)") {
+    import graft.queries.DedupQueries
+    def pairs(df: DataFrame): Seq[(Long, Long, Int)] =
+      df.orderBy("da", "db").as[(Long, Long, Int)].collect().toSeq
+    // seeded corpus with a HOT bucket: 30 identical signatures (every
+    // pair Hamming 0, all four bands agree → 4 copies per pair collapse
+    // in the distinct), plus near-misses at distance 1-4 and randoms
+    val sigs = (0L until 30L).map(i => (i, 0x0FAB12345678CDEFL)) ++
+      (30L until 40L).map(i =>
+        (i, 0x0FAB12345678CDEFL ^ (1L << ((i * 7) % 60)))) ++ // dist 1
+      (40L until 50L).map { i =>
+        val flips = (0 until 4).map(k => 1L << ((i * 11 + k * 13) % 60))
+        (i, flips.foldLeft(0x0FAB12345678CDEFL)(_ ^ _)) // dist ≤ 4
+      } ++
+      (50L until 120L).map(i => (i, i * 0x9E3779B97F4A7C15L & 0x0FFFFFFFFFFFFFFFL))
+    val sim = sigs.toDF("doc_id", "simhash")
+    val banded = DedupQueries.bandedSimhash(sim)
+    val k = pairs(DedupQueries.simhashBandPairsBucketed(spark, banded))
+    val j = pairs(DedupQueries.simhashBandPairsJoin(banded))
+    assert(k.nonEmpty && k == j)
+    // the hot bucket's full clique survived
+    assert(k.count { case (a, b, h) => a < 30 && b < 30 && h == 0 } ==
+      30 * 29 / 2)
+  }
+
+  test("int8_quantize == composed HOF quantizer (edges: NaN, zero, null, empty)") {
+    graft.functions.Int8Quantize.register(spark)
+    val f = java.lang.Float.valueOf(_: Float)
+    val rows: Seq[(Long, Seq[java.lang.Float])] = Seq(
+      1L -> Seq(f(0.5f), f(-1.25f), f(0.75f)),
+      2L -> Seq(f(0f), f(0f), f(0f)), // zero norm → scl 0 → all 0
+      3L -> Seq(f(Float.NaN), f(1f), f(-2f)), // NaN poisons scl
+      4L -> Seq(f(-127.5f), f(63.25f)),
+      5L -> Seq(null, f(2f), null), // null elements skipped/preserved
+      6L -> Seq.empty[java.lang.Float],
+      7L -> Seq[java.lang.Float](null, null), // all-null → maxabs NULL → scl 0
+      8L -> (0 until 64).map(k => f((k - 32) / 7.0f)))
+    val df = rows.toDF("id", "embedding")
+      .select(col("id"), col("embedding").cast(ArrayType(FloatType, true)).as("embedding"))
+    val maxabs = array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))
+    val hof = df
+      .withColumn("scl",
+        when(maxabs > 0.0, lit(127.0) / maxabs).otherwise(lit(0.0)))
+      .withColumn("q", transform(col("embedding"),
+        x => floor(x.cast("double") * col("scl") + 0.5).cast("float")))
+      .select("id", "q").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[java.lang.Float](1)))
+    val kern = df
+      .withColumn("q", call_function("int8_quantize", col("embedding")))
+      .select("id", "q").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[java.lang.Float](1)))
+    assert(kern.length == hof.length)
+    kern.zip(hof).foreach { case ((ik, qk), (ih, qh)) =>
+      assert(ik == ih)
+      assert(qk.length == qh.length, s"id=$ik")
+      qk.zip(qh).foreach { case (a, b) =>
+        val same = (a == null && b == null) || (a != null && b != null &&
+          java.lang.Float.floatToIntBits(a) == java.lang.Float.floatToIntBits(b))
+        assert(same, s"id=$ik: $a vs $b")
+      }
+    }
+    // interpreted eval agrees with codegen (the DataFrame path above)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val lit4 = Literal.create(Array(-127.5f, 63.25f), ArrayType(FloatType, false))
+    val ev = graft.functions.Int8Quantize(lit4).eval(null)
+      .asInstanceOf[ArrayData].toFloatArray()
+    assert(ev.toSeq == Seq(-127.0f, 63.0f))
+    // codegen COMPILES (fallback=false makes a Janino error fatal instead
+    // of a silent interpreted fallback), over the parquet scan shape
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    graft.functions.Int8Quantize.register(s2)
+    val p = s2.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "int8_quantize(embedding) AS q")
+    assert(p.collect().nonEmpty)
+    // the `*(1)` star is the WholeStageCodegen marker in this string form
+    assert(p.queryExecution.executedPlan.toString.contains("*(1) Project"))
+  }
+
+  test("d57 kernel (excludeSelf) == crossJoin+topK formulation (sf0.01)") {
+    graft.functions.FloatDotProduct.register(spark)
+    val v = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", l2norm(col("embedding")))
+    val probes = v.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("p_id"), col("label").as("p_label"),
+        col("embedding").as("pe"), col("nrm").as("pn"))
+    val scored = v.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("p_id"))
+      .withColumn("cosine",
+        cosineWithNorms(dot(col("embedding"), col("pe")), col("nrm"), col("pn")))
+      .select("p_id", "vec_id", "cosine")
+    val join = VectorQueries.topKPerQuery(scored, 1, "p_id", "cosine", "vec_id")
+      .select(col("p_id").as("probe_id"), col("vec_id").as("corpus_id"),
+        col("cosine"))
+      .orderBy("probe_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    val ps = VectorKernels.collectProbes(VectorKernels.probeFrame(
+      v.filter(col("vec_id") < 200), col("vec_id"), col("nrm"),
+      col("embedding")))
+    val kern = VectorKernels.bestRowPerProbe(spark,
+        v.select(lit(0L).as("gkey"), col("vec_id").as("id"),
+          col("nrm").as("nrm"), col("embedding").as("vec")),
+        ps, excludeSelf = true)
+      .orderBy("probe_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(kern.nonEmpty && kern == join)
+  }
+
   test("d32 full query unchanged by the kernel rewiring (sf0.001 smoke)") {
     val df = SparkEntry.queries("d32_semantic_decontamination")(
       spark, "/root/testdata/sf0.001")
