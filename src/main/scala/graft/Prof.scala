@@ -36,6 +36,7 @@ object Prof {
     mode match {
       case "d32" => profD32(spark, dir, force, timeF)
       case "d43" => profD43(spark, dir, force, timeF)
+      case "d51" => profD51(spark, dir, force, timeF)
       case "d58" => profD58(spark, dir, timeF)
       case _     => profQ01(spark, dir, force, timeF)
     }
@@ -94,6 +95,25 @@ object Prof {
           exScored, 3, "q_id", "cosine", "vec_id")))
       time(s"r$round full_query", () => force(
         graft.SparkEntry.queries("d43_quantized_knn")(spark, dir)))
+    }
+  }
+
+  /** A/B of the containment/Jaccard count-join vs its bucket-kernel
+    * execution (both arms equality-pinned in Round8KernelSpec).
+    */
+  private def profD51(spark: SparkSession, dir: String,
+      force: org.apache.spark.sql.DataFrame => Long,
+      time: (String, () => Long) => Unit): Unit = {
+    import graft.queries.DedupQueries
+    for (round <- 1 to 2) {
+      time(s"r$round d51_join", () => force(
+        DedupQueries.containmentPairsJoin(spark, dir)))
+      time(s"r$round d51_bucketed", () => force(
+        DedupQueries.containmentPairsBucketed(spark, dir)))
+      time(s"r$round d02_join", () => force(
+        DedupQueries.nearDupPairsJoin(spark, dir)))
+      time(s"r$round d02_bucketed", () => force(
+        DedupQueries.nearDupPairsBucketed(spark, dir)))
     }
   }
 

@@ -222,6 +222,18 @@ class Round8KernelSpec extends SparkSpec {
       30 * 29 / 2)
   }
 
+  test("d51/d02 bucket-kernel count-join == self-join formulation (sf0.01)") {
+    import graft.queries.DedupQueries
+    val dir = "/root/testdata/sf0.01"
+    def norm(df: DataFrame): Seq[Row] = df.orderBy("da", "db").collect().toSeq
+    val c1 = norm(DedupQueries.containmentPairsBucketed(spark, dir))
+    val c2 = norm(DedupQueries.containmentPairsJoin(spark, dir))
+    assert(c1.nonEmpty && c1 == c2)
+    val j1 = norm(DedupQueries.nearDupPairsBucketed(spark, dir))
+    val j2 = norm(DedupQueries.nearDupPairsJoin(spark, dir))
+    assert(j1.nonEmpty && j1 == j2)
+  }
+
   test("int8_quantize == composed HOF quantizer (edges: NaN, zero, null, empty)") {
     graft.functions.Int8Quantize.register(spark)
     val f = java.lang.Float.valueOf(_: Float)
