@@ -39,6 +39,39 @@ object Plans {
       }
       pw.println("```")
     }
+    // d12's escape hatch never engages at oracle SF (every label is
+    // within budget), so its plan is audited here with a forced tiny
+    // budget on both cell layouts. Audit target: NO Window operator —
+    // the round-9 hatch assigns cells via hash-mod centroid selection +
+    // a broadcast argmax kernel, never a per-label row_number.
+    for ((tag, bound) <- Seq(("flat", 200000L), ("two-level", 4L))) {
+      pw.println(s"\n## d12_embed_neardup (forced hatch, budget=300, $tag cells)\n")
+      pw.println("```")
+      try {
+        import org.apache.spark.sql.functions._
+        graft.functions.FloatDotProduct.register(spark)
+        val v = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("label"), col("embedding"))
+          .withColumn("nrm",
+            graft.functions.VectorFunctions.l2norm(col("embedding")))
+        val members = v.select(col("label").cast("long").as("lab"),
+          col("vec_id"), col("nrm"), col("embedding"))
+        val over = members.groupBy("lab")
+          .agg(count(lit(1)).as("c"), min("vec_id").as("minv"))
+          .filter(col("c") * (col("c") - 1) / 2 > 300)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSeq
+        val plans = graft.queries.DedupQueries.hatchPlansOf(over, 2, 300L,
+          bound)
+        val (pairs, _) = graft.queries.DedupQueries.hatchRound(spark,
+          members, plans, 0.3, 1024, 2, bound)
+        pw.println(pairs.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      } catch {
+        case e: Throwable => pw.println(s"ERROR: ${e.getMessage}")
+      }
+      pw.println("```")
+    }
     pw.close()
     println(s"wrote $out")
     spark.stop()

@@ -34,6 +34,8 @@ class Round8OpsSpec extends SparkSpec {
       "default budget leaves every fixture label on the exact path")
     assert(budgeted.forall(!_.getAs[Boolean]("approx_label")))
     assert(budgeted.forall(_.isNullAt(budgeted.head.fieldIndex("audit_recall"))))
+    assert(budgeted.forall(_.getAs[Boolean]("recall_floor_met")),
+      "exact-path rows trivially meet the recall floor")
     // exact path: realized work == the full candidate term
     val counts = v.groupBy("label").agg(count(lit(1)).as("c")).collect()
       .map(r => r.getAs[Any]("label").toString.toLong ->
@@ -62,13 +64,26 @@ class Round8OpsSpec extends SparkSpec {
       budget = budget, auditMod = 1L).collect()
     val (approx, exactRows) = out.partition(_.getAs[Boolean]("approx_label"))
     // only over-budget labels take the hatch (a hatched label with no
-    // surviving pairs simply emits no rows), and no within-budget label
-    // is ever marked approximate
+    // surviving pairs simply emits no rows); a hatched label may appear
+    // on the exact channel ONLY via the recall-floor escalation, in which
+    // case its output must BE the complete exact pair set with
+    // n_scored_pairs = the full term (round-9 recall contract)
     assert(approx.map(_.getAs[Int]("label").toLong).toSet
       .subsetOf(hatchedLabels))
-    assert(exactRows.forall(r =>
-      !hatchedLabels.contains(r.getAs[Int]("label").toLong)),
-      "within-budget labels must stay on the exact path")
+    val escalatedExact = exactRows
+      .map(_.getAs[Int]("label").toLong).toSet.intersect(hatchedLabels)
+    escalatedExact.foreach { l =>
+      val got = exactRows.filter(_.getAs[Int]("label").toLong == l)
+        .map(r => (r.getAs[Int]("label"), r.getAs[Long]("va"),
+          r.getAs[Long]("vb"), r.getAs[Double]("cosine"))).toSet
+      assert(got == exactAll.filter(_._1.toLong == l),
+        s"escalated-to-exact label $l must emit its complete exact set")
+      assert(exactRows.filter(_.getAs[Int]("label").toLong == l).forall { r =>
+        val c = counts(l)
+        r.getAs[Long]("n_scored_pairs") == c * (c - 1) / 2 &&
+          r.getAs[Boolean]("recall_floor_met")
+      })
+    }
     // va < vb invariant holds on the hatch path too
     assert(out.forall(r => r.getAs[Long]("va") < r.getAs[Long]("vb")))
     // hatch output is a SUBSET of the exact pair set, cosine bit-identical
@@ -79,10 +94,21 @@ class Round8OpsSpec extends SparkSpec {
         "identical cosine")
     assert(approxSet.nonEmpty, "the hatch must still find near-dup pairs")
     // within-budget labels are untouched: bit-identical to the exact path
+    // (plus the complete sets of any escalated-to-exact labels)
     val exactSet = exactRows.map(r => (r.getAs[Int]("label"),
       r.getAs[Long]("va"), r.getAs[Long]("vb"), r.getAs[Double]("cosine"))).toSet
-    assert(exactSet ==
-      exactAll.filterNot(p => hatchedLabels.contains(p._1.toLong)))
+    assert(exactSet == exactAll.filter(p =>
+      !hatchedLabels.contains(p._1.toLong) ||
+        escalatedExact.contains(p._1.toLong)))
+    // the recall floor is a CONTRACT: recall_floor_met on every row is
+    // exactly (audit_recall is null || audit_recall >= floor)
+    out.foreach { r =>
+      val met = r.getAs[Boolean]("recall_floor_met")
+      val expected = r.isNullAt(r.fieldIndex("audit_recall")) ||
+        r.getAs[Double]("audit_recall") >= 0.95
+      assert(met == expected,
+        s"label ${r.getAs[Int]("label")}: recall_floor_met $met != $expected")
+    }
     // the quadratic term is genuinely bounded: realized within-cell pairs
     // strictly below the label's all-pairs term
     approx.foreach { r =>

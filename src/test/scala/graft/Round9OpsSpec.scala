@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.queries.DedupQueries
+
+/** Round-9 d12 hatch hardening: the TWO-LEVEL cell path (centroid
+  * broadcast bounded at O(√cells) for giant labels) and the recall-floor
+  * CONTRACT (escalation + annotation), both forced through synthetic
+  * knobs the production defaults never hit at fixture scale.
+  */
+class Round9OpsSpec extends SparkSpec {
+
+  private def embeddings(dir: String) = {
+    graft.functions.FloatDotProduct.register(spark)
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", l2norm(col("embedding")))
+  }
+
+  private def pairKey(r: org.apache.spark.sql.Row) =
+    (r.getAs[Int]("label"), r.getAs[Long]("va"), r.getAs[Long]("vb"),
+      java.lang.Double.doubleToLongBits(r.getAs[Double]("cosine")))
+
+  test("d12 two-level path: forced tiny cellsBound keeps the hatch contract") {
+    val v = embeddings("/root/testdata/sf0.01")
+    val exactAll = DedupQueries.embedNeardupBlocked(spark, v, 0.3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    val counts = v.groupBy("label").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getAs[Any]("label").toString.toLong -> r.getAs[Long]("c"))
+      .toMap
+    val budget = 300L
+    val hatched = counts.filter { case (_, c) => c * (c - 1) / 2 > budget }
+      .keySet
+    assert(hatched.nonEmpty)
+    // cellsBound = 4 forces every hatched label onto the two-level path
+    // (their flat cell counts are ~17+ at this budget), exercising the
+    // coarse broadcast + distributed fine-assignment join end to end
+    val out = DedupQueries.embedNeardupBudgeted(spark, v, 0.3,
+      budget = budget, auditMod = 1L, cellsBound = 4L).collect()
+    val (approx, exactRows) = out.partition(_.getAs[Boolean]("approx_label"))
+    assert(approx.nonEmpty, "two-level hatch must still emit pairs")
+    // subset of the exact pair set, cosine bit-identical — the same
+    // contract the flat path carries (the tile kernel is shared)
+    assert(approx.map(pairKey).toSet.subsetOf(exactAll))
+    assert(out.forall(r => r.getAs[Long]("va") < r.getAs[Long]("vb")))
+    // the quadratic term is genuinely bounded on approx labels
+    approx.foreach { r =>
+      val c = counts(r.getAs[Int]("label").toLong)
+      assert(r.getAs[Long]("n_scored_pairs") < c * (c - 1) / 2,
+        s"label ${r.getAs[Int]("label")}: two-level hatch did not prune")
+    }
+    // audit rides (auditMod=1 ⇒ the audit IS the true recall) and the
+    // floor column is consistent on every row
+    val audited = approx.filter(r => !r.isNullAt(r.fieldIndex("audit_recall")))
+    assert(audited.nonEmpty)
+    val trueRecall: Map[Long, Double] = approx
+      .map(_.getAs[Int]("label").toLong).distinct.map { l =>
+        val ex = exactAll.count(_._1.toLong == l)
+        val got = approx.count(_.getAs[Int]("label").toLong == l)
+        l -> (if (ex == 0) 1.0 else got.toDouble / ex)
+      }.toMap
+    audited.foreach { r =>
+      val l = r.getAs[Int]("label").toLong
+      assert(math.abs(r.getAs[Double]("audit_recall") - trueRecall(l)) < 1e-12,
+        s"label $l: two-level audit_recall diverged from true recall")
+    }
+    out.foreach { r =>
+      val met = r.getAs[Boolean]("recall_floor_met")
+      val expected = r.isNullAt(r.fieldIndex("audit_recall")) ||
+        r.getAs[Double]("audit_recall") >= 0.95
+      assert(met == expected)
+    }
+    // within-budget labels stay bit-identical exact (unless escalated to
+    // exact by the floor, in which case they are ALSO complete)
+    val exactSet = exactRows.map(pairKey).toSet
+    val exactLabels = exactRows.map(_.getAs[Int]("label").toLong).toSet
+    assert(exactSet == exactAll.filter(p => exactLabels(p._1.toLong)))
+    exactLabels.foreach { l =>
+      assert(exactAll.count(_._1.toLong == l) ==
+        exactRows.count(_.getAs[Int]("label").toLong == l),
+        s"label $l on the exact channel must emit its complete pair set")
+    }
+  }
+
+  test("d12 recall floor: impossible floor forces escalation, annotates misses") {
+    val v = embeddings("/root/testdata/sf0.01")
+    val counts = v.groupBy("label").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getAs[Any]("label").toString.toLong -> r.getAs[Long]("c"))
+      .toMap
+    val budget = 300L
+    // floor > 1 can never be met: every audited hatched label must either
+    // resolve exactly (term ≤ 4·budget, or hatch pruned nothing) or emit
+    // recall_floor_met = false after the probe escalation
+    val out = DedupQueries.embedNeardupBudgeted(spark, v, 0.3,
+      budget = budget, auditMod = 1L, recallFloor = 1.1).collect()
+    val approx = out.filter(_.getAs[Boolean]("approx_label"))
+    val hatched = counts.filter { case (_, c) => c * (c - 1) / 2 > budget }
+      .keySet
+    // labels that stayed approximate must be term > 4·budget (the
+    // escalation's exact fallback would have absorbed the rest)...
+    approx.map(_.getAs[Int]("label").toLong).distinct.foreach { l =>
+      assert(counts(l) * (counts(l) - 1) / 2 > 4 * budget,
+        s"label $l should have been resolved exactly by the escalation")
+    }
+    // ...and every audited approx row is annotated as missing the floor
+    approx.filter(r => !r.isNullAt(r.fieldIndex("audit_recall")))
+      .foreach { r =>
+        assert(!r.getAs[Boolean]("recall_floor_met"),
+          s"label ${r.getAs[Int]("label")}: floor 1.1 cannot be met")
+      }
+    // escalation genuinely adds coverage: forced-escalation pairs ⊇ the
+    // no-floor (floor=0) round-1 pairs on the labels that stayed hatched
+    val base = DedupQueries.embedNeardupBudgeted(spark, v, 0.3,
+      budget = budget, auditMod = 1L, recallFloor = 0.0).collect()
+      .filter(_.getAs[Boolean]("approx_label"))
+    val stillHatched = approx.map(_.getAs[Int]("label").toLong).toSet
+    val basePairs = base.filter(r =>
+      stillHatched(r.getAs[Int]("label").toLong)).map(pairKey).toSet
+    val escPairs = approx.map(pairKey).toSet
+    assert(basePairs.subsetOf(escPairs),
+      "probe escalation must not lose pairs the first round found")
+    assert(hatched.nonEmpty && out.nonEmpty)
+  }
+
+  test("hatch pair plan is WINDOW-FREE on both the flat and two-level paths") {
+    // the round-8 hatch funneled each over-budget label's embedding rows
+    // through one row_number task; round 9 removed every Window from the
+    // hatch (hash-mod centroids + broadcast assignment kernel + count-join
+    // tile blocking) — pin it on the physical plan of the hatch internals
+    val v = embeddings("/root/testdata/sf0.01")
+    val members = v.select(col("label").cast("long").as("lab"),
+      col("vec_id"), col("nrm"), col("embedding"))
+    val over = members.groupBy("lab")
+      .agg(count(lit(1)).as("c"), min("vec_id").as("minv"))
+      .filter(col("c") * (col("c") - 1) / 2 > 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(over.nonEmpty)
+    for (bound <- Seq(200000L /* flat */, 4L /* two-level */)) {
+      val plans = DedupQueries.hatchPlansOf(over, 2, 300L, bound)
+      val (pairs, scored) = DedupQueries.hatchRound(spark, members, plans,
+        0.3, 1024, 2, bound)
+      val pPlan = pairs.queryExecution.executedPlan.toString
+      val sPlan = scored.queryExecution.executedPlan.toString
+      assert(!pPlan.contains("Window"),
+        s"bound=$bound: hatch pair plan contains a Window:\n$pPlan")
+      assert(!sPlan.contains("Window"),
+        s"bound=$bound: hatch scored plan contains a Window")
+      assert(pairs.count() > 0)
+    }
+  }
+
+  test("d12 hatch batching: many flat labels across multiple probe batches") {
+    // randomized multi-label corpus small enough to verify against the
+    // plain join, with MaxHatchProbeRows effectively forcing >1 batch via
+    // a tiny budget (many labels hatch, each with its own centroid set)
+    import spark.implicits._
+    graft.functions.FloatDotProduct.register(spark)
+    val rnd = new scala.util.Random(4242)
+    val rows = (0 until 600).map { i =>
+      val vec = Array.fill(6)((rnd.nextDouble() * 2 - 1).toFloat)
+      (i.toLong, i % 8, vec)
+    }
+    val v = rows.toDF("vec_id", "label", "embedding")
+      .withColumn("nrm", graft.functions.VectorFunctions.l2norm(col("embedding")))
+    val exact = DedupQueries.embedNeardupJoin(spark, v, 0.2)
+      .select(col("label").cast("int").as("label"), col("va"), col("vb"),
+        col("cosine")).collect().map(pairKey).toSet
+    val out = DedupQueries.embedNeardupBudgeted(spark, v, 0.2,
+      budget = 100L, auditMod = 1L, recallFloor = 0.0).collect()
+    val approx = out.filter(_.getAs[Boolean]("approx_label"))
+    assert(approx.nonEmpty)
+    assert(approx.map(pairKey).toSet.subsetOf(exact))
+    // every label emitted SOME channel and no label emitted both
+    val aLabs = approx.map(_.getAs[Int]("label")).toSet
+    val eLabs = out.filterNot(_.getAs[Boolean]("approx_label"))
+      .map(_.getAs[Int]("label")).toSet
+    assert(aLabs.intersect(eLabs).isEmpty,
+      "a label must resolve on exactly one channel")
+  }
+}
