@@ -241,6 +241,17 @@ object RelationalQueries4 {
       // SparkContext + cache manager, isolated SQLConf/temp views), so
       // later recursive queries on the caller's session keep the stock
       // runaway guard.
+      // PROFILED (round 9, solo min-of-2, local[32]): 0.97 s at sf0.001
+      // (1.5k customers), 1.16 s at sf0.01, 1.71 s at sf0.1 — 100x the
+      // data costs 1.76x the time. The cost is Spark's per-iteration
+      // UnionLoop machinery (~85 ms/step: plan re-derivation + job
+      // submission for each recursive step), x the recursion depth
+      // (log2(max custkey): ~11 steps at sf0.001, ~18 at sf0.1); the
+      // data term is minor at every measured SF. Nothing here re-scans
+      // parquet per iteration (the anchor reads customer once; each step
+      // consumes only the prior step's output), so there is nothing for
+      // the engine to cache away — the overhead is the framework's
+      // fixed cost per recursive step and is documented as such.
       val iso = isolatedSession(s)
       val n = t(iso, dir, "customer").count()
       iso.conf.set("spark.sql.cteRecursionRowLimit",
