@@ -28,6 +28,36 @@ object RelationalQueries4 {
       }
     }
 
+  /** Stable scratch dir for the round-trip queries, keyed by
+    * (application, fixture dir, query tag): repeated runs OVERWRITE one
+    * directory instead of leaking a fresh temp dir per invocation — at
+    * sf30 a single q57 CSV dump is 2.1 GB and the per-run
+    * `createTempDirectory` leak exhausted the disk mid-battery (round-9
+    * ladder, 328 leaked dirs / 33 GB). A JVM shutdown hook removes every
+    * registered dir best-effort; `mode("overwrite")` keeps reruns clean
+    * while the JVM lives.
+    */
+  private val rtDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val rtCleanup: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => rtDirs.forEach { d =>
+      try {
+        val root = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      } catch { case _: Throwable => () }
+    }))
+
+  private def roundTripDir(s: SparkSession, dir: String, tag: String): String = {
+    rtCleanup
+    val key = s"${s.sparkContext.applicationId}-${Integer.toHexString(dir.hashCode)}"
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft-$tag-$key").toString
+    rtDirs.add(p)
+    p
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C6/C7/C14 — TPC-H Q5 shape: local-supplier revenue by nation for one
     // region-year. Six tables; the c_nationkey = s_nationkey term makes the
@@ -419,7 +449,7 @@ object RelationalQueries4 {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"), to_date(col("o_orderdate")).as("o_date"),
           col("o_orderpriority"))
-      val out = java.nio.file.Files.createTempDirectory("graft-q57-").toString
+      val out = roundTripDir(s, dir, "q57")
       base.write.mode("overwrite").option("header", "true").csv(out)
       graft.sources.Sources.csv(s, out, Some(base.schema.toDDL))
         .groupBy("o_orderstatus")
@@ -436,7 +466,7 @@ object RelationalQueries4 {
     // the original schema; the oracle aggregates the parquet directly.
     "q58_json_roundtrip" -> { (s, dir) =>
       val base = t(s, dir, "documents").select("doc_id", "source", "text")
-      val out = java.nio.file.Files.createTempDirectory("graft-q58-").toString
+      val out = roundTripDir(s, dir, "q58")
       base.write.mode("overwrite").json(out)
       graft.sources.Sources.json(s, out, Some(base.schema.toDDL))
         .groupBy("source")
