@@ -258,7 +258,10 @@ object DedupQueries {
     * partial agg without ever materializing a pair buffer.
     *
     * MEASURED NEUTRAL at sf10 (warm min-of-2, `Prof d51`): d51 16.98 vs
-    * 16.96 s, d02 12.05 vs 12.16 s — on one JVM the sort-merge self-join
+    * 16.96 s, d02 12.05 vs 12.16 s — and still mildly behind at sf30's
+    * spill regime (round 9, solo min-of-2: d51 63.3 vs 60.6 s, d02 42.9
+    * vs 39.2 s), so the router keeps the count-join on any local master
+    * at every measured scale. On one JVM the sort-merge self-join
     * re-reads the co-partitioned index from local shuffle files, so the
     * "saved" shuffle costs ~nothing and the pair stream + count exchange
     * dominate both arms equally. Kept as an equality-pinned alternate:
