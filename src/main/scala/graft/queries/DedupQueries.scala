@@ -1255,6 +1255,28 @@ object DedupQueries {
     */
   private[graft] val DefaultRecallFloor = 0.95
 
+  /** Escalation routes for a hatched label after its round-1 evidence
+    * (realized scored-pair count + audited recall) is in. The decision
+    * table ([[escRouteOf]]) is pure so the contract is spec-pinned
+    * independently of the Spark machinery.
+    */
+  private[graft] sealed trait EscRoute
+  private[graft] case object EscKeep extends EscRoute
+  private[graft] case object EscExact extends EscRoute
+  private[graft] case object EscResplit extends EscRoute
+  private[graft] case object EscProbe extends EscRoute
+
+  /** term = the label's exact all-pairs count (double: it overflows Long
+    * past n ~ 4e9 and only magnitude matters here).
+    */
+  private[graft] def escRouteOf(term: Double, budget: Long,
+      degenerate: Boolean, belowFloor: Boolean): EscRoute =
+    if (degenerate) {
+      if (term <= 4.0 * budget) EscExact else EscResplit
+    } else if (belowFloor) {
+      if (term <= 4.0 * budget) EscExact else EscProbe
+    } else EscKeep
+
   /** One hatch planning row, computed on the driver from the bounded
     * over-budget label list (a label over budget B has ≥ √(2B) members,
     * so this list is ≤ corpus/√(2B) entries).
@@ -1263,13 +1285,14 @@ object DedupQueries {
       cells: Long, stepFine: Long, stepCoarse: Long)
 
   private[graft] def hatchPlansOf(over: Seq[(Long, Long, Long)], probe: Int,
-      budget: Long, cellsBound: Long): Seq[HatchPlan] =
+      budget: Long, cellsBound: Long, cellsMult: Long = 1L): Seq[HatchPlan] =
     over.map { case (lab, n, minv) =>
       val p = probe.toDouble
       // double arithmetic: p²n² overflows Long past n ~ 2e9 and this is
-      // a cell-count plan, not an answer
-      val cells = math.max(2L, (p * p * n.toDouble * n.toDouble /
-        (2.0 * budget.toDouble)).toLong + 1L)
+      // a cell-count plan, not an answer. cellsMult > 1 is the
+      // degenerate-label RE-SPLIT (finer grid, same probe count).
+      val cells = math.max(2L, (cellsMult * p * p * n.toDouble *
+        n.toDouble / (2.0 * budget.toDouble)).toLong + 1L)
       val stepFine = math.max(1L, (n + cells - 1L) / cells)
       val nCoarse = math.max(2L, math.sqrt(cells.toDouble).toLong + 1L)
       val stepCoarse = math.max(1L, n / nCoarse)
@@ -1535,12 +1558,15 @@ object DedupQueries {
     // the recall CONTRACT, in three rules, all decided from bounded
     // per-label collects (≤ one row per hatched label each):
     //   1. a hatched label whose REALIZED n_scored_pairs ≥ its exact
-    //      all-pairs term gets resolved EXACTLY — the hatch did zero
-    //      pruning there, so exact is strictly better AND has recall 1;
+    //      all-pairs term is DEGENERATE (the hatch pruned nothing): it
+    //      resolves exactly when its term ≤ 4×budget (strictly cheaper,
+    //      recall 1), else it RE-SPLITS once to a ×4-finer cell grid —
+    //      and only a still-degenerate label after that (a tight
+    //      duplicate cluster whose ANSWER is near-quadratic) goes exact;
     //   2. a pruning label auditing under `recallFloor` escalates ONCE:
     //      to the exact kernel when the ×4 escalated budget covers its
     //      full term anyway, else to probe ×2 (scored budget ×4) + a
-    //      re-audit — with rule 1 re-applied to the escalated result;
+    //      re-audit — with rule 1's degeneracy check re-applied;
     //   3. labels still under the floor after escalation are emitted with
     //      `recall_floor_met = false` and a stderr warning — approximation
     //      is never silent.
@@ -1555,67 +1581,85 @@ object DedupQueries {
         s"${degenerate1.mkString(",")} scored >= their full pair term — " +
         "resolved EXACTLY (hatch pruned nothing)")
     val failing = overLabs.filterNot(degenerate1)
-      .filter(l => a1.get(l).exists(_ < recallFloor))
-    val dropR1 = (failing ++ degenerate1).distinct
+      .filter(l => a1.get(l).exists(_ < recallFloor)).toSet
+    val dropR1 = (failing ++ degenerate1).toSeq
     val keep =
       if (dropR1.isEmpty) lit(true) else !col("lab").isin(dropR1: _*)
-    val (pairsF, scoredF, auditF, exactEscLabs) =
-      if (failing.isEmpty)
-        (ap1p.filter(keep), sc1.filter(keep), audit1.filter(keep),
-          degenerate1.toSeq)
-      else {
-        val failSet = failing.toSet
-        val failingOver = over.toSeq.filter(o => failSet(o._1))
-        val (toExact, toHatch) = failingOver.partition { case (l, _, _) =>
-          termOf(l) <= 4.0 * budget.toDouble }
-        if (toExact.nonEmpty)
-          Console.err.println(s"[graft] d12 hatch: labels " +
-            s"${toExact.map(_._1).mkString(",")} under recall floor " +
-            s"$recallFloor with full pair term <= 4x budget — resolved " +
-            "EXACTLY (recall 1)")
-        if (toHatch.isEmpty)
-          (ap1p.filter(keep), sc1.filter(keep), audit1.filter(keep),
-            degenerate1.toSeq ++ toExact.map(_._1))
-        else {
-          val labsH = toHatch.map(_._1)
-          val membersH = members.filter(col("lab").isin(labsH: _*)).persist()
-          val plans2 = hatchPlansOf(toHatch, probe * 2, budget * 4L,
-            cellsBound)
-          val (ap2, sc2) = hatchRound(s, membersH, plans2, thr, tile,
-            probe * 2, cellsBound)
-          val sc2p = sc2.persist()
-          // rule 1 re-applied to the escalated result
-          val sc2m: Map[Long, Long] = sc2p.as[(Long, Long)].collect().toMap
-          val degenerate2 = labsH
-            .filter(l => sc2m.getOrElse(l, 0L).toDouble >= termOf(l)).toSet
-          if (degenerate2.nonEmpty)
-            Console.err.println(s"[graft] d12 hatch: escalated labels " +
-              s"${degenerate2.mkString(",")} scored >= their full pair " +
-              "term — resolved EXACTLY")
-          val keep2 = if (degenerate2.isEmpty) lit(true)
-            else !col("lab").isin(degenerate2.toSeq: _*)
-          val ap2p = ap2.filter(keep2).persist()
-          val membersH2 =
-            if (degenerate2.isEmpty) membersH else membersH.filter(keep2)
-          val audit2 = hatchAudit(s, membersH2, ap2p, thr, auditModEff)
-            .persist()
-          val a2: Map[Long, Double] = audit2.as[(Long, Double)].collect()
-            .toMap
-          a2.filter(_._2 < recallFloor).foreach { case (l, r) =>
-            Console.err.println(f"[graft] d12 hatch: label $l audit_recall " +
-              f"$r%.4f still under floor $recallFloor%.2f after probe " +
-              s"escalation ${probe * 2} — emitted with recall_floor_met=false")
-          }
-          (ap1p.filter(keep).unionByName(ap2p),
-            sc1.filter(keep).unionByName(sc2p.filter(keep2)),
-            audit1.filter(keep).unionByName(audit2),
-            degenerate1.toSeq ++ toExact.map(_._1) ++ degenerate2.toSeq)
+    // escalation routing, one step per label:
+    //   floor-failing, term ≤ 4B  → exact (recall 1, ≤ the escalated work)
+    //   floor-failing, term > 4B  → probe ×2 (scored budget ×4), re-audit
+    //   degenerate,    term ≤ 4B  → exact (strictly cheaper than a
+    //                               non-pruning hatch)
+    //   degenerate,    term > 4B  → RE-SPLIT: cells ×4 at the same probe —
+    //     hash-sampled centroids are density-adaptive, so a finer grid
+    //     subdivides exactly the clusters that collapsed; falling back to
+    //     exact here would surrender the budget's whole point at extreme
+    //     scale (a clustered 10⁸-member label would pay its full
+    //     quadratic term). A label still degenerate AFTER the re-split
+    //     resolves exactly — at that point its above-threshold OUTPUT is
+    //     itself near-quadratic (tight duplicate cluster) and no cell
+    //     grid can beat the work its answer costs.
+    val routeOf: ((Long, Long, Long)) => EscRoute = o =>
+      escRouteOf(termOf(o._1), budget, degenerate1(o._1), failing(o._1))
+    val degenExact = over.toSeq.filter(o =>
+      degenerate1(o._1) && routeOf(o) == EscExact)
+    val degenSplit = over.toSeq.filter(o => routeOf(o) == EscResplit)
+    val floorExact = over.toSeq.filter(o =>
+      failing(o._1) && routeOf(o) == EscExact)
+    val floorHatch = over.toSeq.filter(o => routeOf(o) == EscProbe)
+    if (floorExact.nonEmpty)
+      Console.err.println(s"[graft] d12 hatch: labels " +
+        s"${floorExact.map(_._1).mkString(",")} under recall floor " +
+        s"$recallFloor with full pair term <= 4x budget — resolved " +
+        "EXACTLY (recall 1)")
+    if (degenSplit.nonEmpty)
+      Console.err.println(s"[graft] d12 hatch: labels " +
+        s"${degenSplit.map(_._1).mkString(",")} degenerate with term > " +
+        "4x budget — re-splitting cells x4")
+    // one escalated hatch round over `sub`; returns (pairs, scored, audit,
+    // still-degenerate labels routed to exact)
+    def escalate(sub: Seq[(Long, Long, Long)], plans: Seq[HatchPlan],
+        p2: Int): (DataFrame, DataFrame, DataFrame, Seq[(Long, Long, Long)]) = {
+      val labs = sub.map(_._1)
+      val membersX = members.filter(col("lab").isin(labs: _*)).persist()
+      val (ap, sc) = hatchRound(s, membersX, plans, thr, tile, p2,
+        cellsBound)
+      val scp = sc.persist()
+      val scm: Map[Long, Long] = scp.as[(Long, Long)].collect().toMap
+      val degen = labs.filter(l =>
+        scm.getOrElse(l, 0L).toDouble >= termOf(l)).toSet
+      if (degen.nonEmpty)
+        Console.err.println(s"[graft] d12 hatch: escalated labels " +
+          s"${degen.mkString(",")} still scored >= their full pair term " +
+          "— resolved EXACTLY (duplicate-cluster geometry)")
+      val keepX = if (degen.isEmpty) lit(true)
+        else !col("lab").isin(degen.toSeq: _*)
+      val app = ap.filter(keepX).persist()
+      val membersOk =
+        if (degen.isEmpty) membersX else membersX.filter(keepX)
+      val audit = hatchAudit(s, membersOk, app, thr, auditModEff).persist()
+      audit.as[(Long, Double)].collect().filter(_._2 < recallFloor)
+        .foreach { case (l, r) =>
+          Console.err.println(f"[graft] d12 hatch: label $l audit_recall " +
+            f"$r%.4f still under floor $recallFloor%.2f after escalation " +
+            s"(probe $p2) — emitted with recall_floor_met=false")
         }
-      }
-    val exactEsc: Seq[(Long, Long, Long)] = {
-      val es = exactEscLabs.toSet
-      over.toSeq.filter(o => es(o._1))
+      (app, scp.filter(keepX), audit, sub.filter(o => degen(o._1)))
     }
+    val escB = if (floorHatch.isEmpty) None
+      else Some(escalate(floorHatch,
+        hatchPlansOf(floorHatch, probe * 2, budget * 4L, cellsBound),
+        probe * 2))
+    val escD = if (degenSplit.isEmpty) None
+      else Some(escalate(degenSplit,
+        hatchPlansOf(degenSplit, probe, budget, cellsBound, cellsMult = 4L),
+        probe))
+    val escParts = Seq(escB, escD).flatten
+    val pairsF = escParts.map(_._1).foldLeft(ap1p.filter(keep))(_ unionByName _)
+    val scoredF = escParts.map(_._2).foldLeft(sc1.filter(keep))(_ unionByName _)
+    val auditF = escParts.map(_._3).foldLeft(audit1.filter(keep))(_ unionByName _)
+    val exactEsc: Seq[(Long, Long, Long)] =
+      degenExact ++ floorExact ++ escParts.flatMap(_._4)
     val approxPart = pairsF
       .join(broadcast(scoredF), "lab")
       .join(broadcast(auditF), Seq("lab"), "left")

@@ -152,6 +152,48 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("escalation route table: degenerate re-splits past 4x budget") {
+    import DedupQueries._
+    // pruning + audited fine → keep
+    assert(escRouteOf(1e9, 1 << 20, degenerate = false, belowFloor = false) == EscKeep)
+    // below floor: exact when cheap, probe escalation when the term is big
+    assert(escRouteOf(4.0 * (1 << 20), 1 << 20, degenerate = false, belowFloor = true) == EscExact)
+    assert(escRouteOf(1e9, 1 << 20, degenerate = false, belowFloor = true) == EscProbe)
+    // degenerate: exact when cheap; RE-SPLIT (never straight exact) when
+    // the term is big — falling back to exact there would surrender the
+    // budget at extreme scale
+    assert(escRouteOf(4.0 * (1 << 20), 1 << 20, degenerate = true, belowFloor = false) == EscExact)
+    assert(escRouteOf(1e12, 1 << 20, degenerate = true, belowFloor = false) == EscResplit)
+    // degeneracy dominates the floor signal (a degenerate label's audit
+    // is meaningless — it scored everything)
+    assert(escRouteOf(1e12, 1 << 20, degenerate = true, belowFloor = true) == EscResplit)
+  }
+
+  test("d12 duplicate-cluster label: re-split attempted, exact fallback completes") {
+    // 120 IDENTICAL vectors: every pair is above threshold, so the ANSWER
+    // is the full quadratic term — ties collapse every cell grid (all
+    // members pick the same lowest-id cells at ANY fineness), so round 1
+    // degenerates, the re-split (term > 4x budget) degenerates again, and
+    // the contract must resolve the label EXACTLY with its complete pair
+    // set rather than loop or emit a partial answer
+    import spark.implicits._
+    graft.functions.FloatDotProduct.register(spark)
+    val base = Array.fill(8)(0.5f)
+    val rows = (0 until 120).map(i => (i.toLong, 1, base))
+    val v = rows.toDF("vec_id", "label", "embedding")
+      .withColumn("nrm", graft.functions.VectorFunctions.l2norm(col("embedding")))
+    val budget = 50L // term = 7140 > 4*budget = 200 → degenerate route is re-split
+    val out = DedupQueries.embedNeardupBudgeted(spark, v, 0.4,
+      budget = budget, auditMod = 1L).collect()
+    assert(out.length == 120 * 119 / 2,
+      s"complete exact pair set expected, got ${out.length}")
+    assert(out.forall(!_.getAs[Boolean]("approx_label")),
+      "duplicate-cluster label must resolve on the exact channel")
+    assert(out.forall(_.getAs[Boolean]("recall_floor_met")))
+    assert(out.forall(_.getAs[Long]("n_scored_pairs") == 7140L))
+    assert(out.forall(_.getAs[Double]("cosine") > 0.99))
+  }
+
   test("d12 hatch batching: many flat labels across multiple probe batches") {
     // randomized multi-label corpus small enough to verify against the
     // plain join, with MaxHatchProbeRows effectively forcing >1 batch via
