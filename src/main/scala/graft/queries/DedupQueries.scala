@@ -1489,12 +1489,22 @@ object DedupQueries {
     * (sample × label members), never quadratic. Returns one
     * (lab, audit_recall) row per label that had ≥1 exact sample pair.
     */
-  private def hatchAudit(s: SparkSession, members: DataFrame,
-      pairs: DataFrame, thr: Double, auditModEff: Long): DataFrame = {
+  private[graft] def hatchAudit(s: SparkSession, members: DataFrame,
+      pairs: DataFrame, thr: Double, auditModEff: Long,
+      estSampleBytes: Long = 0L): DataFrame = {
     val sample = members.filter(pmod(col("vec_id"), lit(auditModEff)) === 0)
       .select(col("lab"), col("vec_id").as("sa"),
         col("embedding").as("se"), col("nrm").as("sn"))
-    val exactSample = members.join(broadcast(sample), "lab")
+    // the sample is ~(members/auditModEff) embedding rows — ~128 PER
+    // HATCHED LABEL, so it grows with how many labels hatch at once. A
+    // corpus hatching 10⁵+ labels would push a multi-GB broadcast;
+    // past the probe-set guard the audit joins by shuffle instead
+    // (same rows, fabric-partitioned) — the audit stays linear either way
+    val sampleSide =
+      if (estSampleBytes > 0L && estSampleBytes > VectorKernels.MaxProbeBytes)
+        sample
+      else broadcast(sample)
+    val exactSample = members.join(sampleSide, "lab")
       .filter(col("vec_id") =!= col("sa"))
       .withColumn("cos",
         cosineWithNorms(dot(col("embedding"), col("se")), col("nrm"), col("sn")))
@@ -1555,7 +1565,12 @@ object DedupQueries {
     val (ap1, sc1) = hatchRound(s, members, plans1, thr, tile, probe,
       cellsBound)
     val ap1p = ap1.persist()
-    val audit1 = hatchAudit(s, members, ap1p, thr, auditModEff).persist()
+    // audit-sample size estimate for the broadcast-vs-shuffle decision:
+    // Σ n_i/auditMod sampled rows × ~600 B (64-d float row, conservative)
+    val estAuditBytes =
+      over.map(_._2 / auditModEff + 1L).sum * 600L
+    val audit1 = hatchAudit(s, members, ap1p, thr, auditModEff,
+      estAuditBytes).persist()
     val a1: Map[Long, Double] = audit1
       .as[(Long, Double)].collect().toMap
     // the recall CONTRACT, in three rules, all decided from bounded
@@ -1640,7 +1655,8 @@ object DedupQueries {
       val app = ap.filter(keepX).persist()
       val membersOk =
         if (degen.isEmpty) membersX else membersX.filter(keepX)
-      val audit = hatchAudit(s, membersOk, app, thr, auditModEff).persist()
+      val audit = hatchAudit(s, membersOk, app, thr, auditModEff,
+        estAuditBytes).persist()
       audit.as[(Long, Double)].collect().filter(_._2 < recallFloor)
         .foreach { case (l, r) =>
           Console.err.println(f"[graft] d12 hatch: label $l audit_recall " +

@@ -194,6 +194,30 @@ class Round9OpsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("cosine") > 0.99))
   }
 
+  test("hatch audit: broadcast and shuffle-join arms agree") {
+    // past MaxProbeBytes the audit joins its sample by shuffle instead of
+    // broadcast — same rows either way, pinned here by forcing the
+    // estimate over the guard
+    val v = embeddings("/root/testdata/sf0.01")
+    val members = v.select(col("label").cast("long").as("lab"),
+      col("vec_id"), col("nrm"), col("embedding"))
+    val over = members.groupBy("lab")
+      .agg(count(lit(1)).as("c"), min("vec_id").as("minv"))
+      .filter(col("c") * (col("c") - 1) / 2 > 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val plans = DedupQueries.hatchPlansOf(over, 2, 300L, 200000L)
+    val (pairs, _) = DedupQueries.hatchRound(spark, members, plans,
+      0.3, 1024, 2, 200000L)
+    val p = pairs.persist()
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val bcast = key(DedupQueries.hatchAudit(spark, members, p, 0.3, 1L))
+    val shuffled = key(DedupQueries.hatchAudit(spark, members, p, 0.3, 1L,
+      estSampleBytes = Long.MaxValue))
+    assert(bcast.nonEmpty && bcast == shuffled,
+      "audit result must not depend on the join strategy")
+  }
+
   test("d12 hatch batching: many flat labels across multiple probe batches") {
     // randomized multi-label corpus small enough to verify against the
     // plain join, with MaxHatchProbeRows effectively forcing >1 batch via
