@@ -1971,10 +1971,12 @@ object DedupQueries {
       // [[embedNeardupBudgeted]] acts on it: a label whose pair term
       // crosses EmbedPairBudget switches to IVF-cell candidates with a
       // riding exact-sample recall audit (n_scored_pairs / approx_label /
-      // audit_recall). Every oracle/bench SF sits under the budget, so
-      // the verified output is the exact all-pairs set with the audit
-      // columns constant — the escape-hatch branch itself is spec-pinned
-      // with a forced tiny budget (Round8OpsSpec).
+      // audit_recall) that is ENFORCED against a 0.95 recall floor
+      // (escalation / exact fallback / loud recall_floor_met=false —
+      // round 9). Every oracle/bench SF sits under the budget, so the
+      // verified output is the exact all-pairs set with the audit
+      // columns constant — the escape-hatch branches are spec-pinned
+      // with forced tiny budgets (Round8OpsSpec/Round9OpsSpec).
       val cand = v.groupBy("label").agg(count(lit(1)).as("c"))
         .select(col("label"), expr("c * (c - 1) div 2").as("n_candidate_pairs"))
       // GRAFT_D12_BUDGET overrides the per-label pair budget — the

@@ -194,6 +194,30 @@ class Round9OpsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("cosine") > 0.99))
   }
 
+  test("tilePairs tile=1: every pair crosses blocks, (min,max) emit holds") {
+    // tile=1 makes every member its own block, so NO pair is same-block:
+    // the hash-blocked kernel's cross-block path (which must order ids
+    // explicitly since hash blocks don't) produces every pair
+    import spark.implicits._
+    graft.functions.FloatDotProduct.register(spark)
+    val rnd = new scala.util.Random(777)
+    val rows = (0 until 90).map { i =>
+      (i.toLong, i % 3, Array.fill(4)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val v = rows.toDF("vec_id", "label", "embedding")
+      .withColumn("nrm", graft.functions.VectorFunctions.l2norm(col("embedding")))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("label", "va", "vb", "cosine").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    val j = key(DedupQueries.embedNeardupJoin(spark, v, 0.1)
+      .select(col("label").cast("int").as("label"), col("va"), col("vb"),
+        col("cosine")))
+    val b1 = key(DedupQueries.embedNeardupBlocked(spark, v, 0.1, tile = 1))
+    assert(b1 == j, "tile=1 kernel diverged from the join")
+    assert(j.forall(p => p._2 < p._3))
+  }
+
   test("hatch audit: broadcast and shuffle-join arms agree") {
     // past MaxProbeBytes the audit joins its sample by shuffle instead of
     // broadcast — same rows either way, pinned here by forcing the
