@@ -1986,7 +1986,13 @@ object DedupQueries {
       val budget = sys.env.get("GRAFT_D12_BUDGET")
         .flatMap(v0 => scala.util.Try(v0.trim.toLong).toOption)
         .getOrElse(EmbedPairBudget)
-      embedNeardupBudgeted(s, v, 0.4, budget = budget)
+      // GRAFT_D12_CELLSBOUND forces the two-level cell layout at bench
+      // SFs (same scale-experiment role as GRAFT_D12_BUDGET); defaults
+      // keep the flat layout everywhere a single broadcast fits
+      val cb = sys.env.get("GRAFT_D12_CELLSBOUND")
+        .flatMap(v0 => scala.util.Try(v0.trim.toLong).toOption)
+        .getOrElse(FlatCellsBound)
+      embedNeardupBudgeted(s, v, 0.4, budget = budget, cellsBound = cb)
         .join(broadcast(cand), "label")
         .select(col("label"), col("va"), col("vb"), col("cosine"),
           col("n_candidate_pairs"), col("n_scored_pairs"),
