@@ -54,19 +54,21 @@ object Plans {
           .select(col("vec_id"), col("label"), col("embedding"))
           .withColumn("nrm",
             graft.functions.VectorFunctions.l2norm(col("embedding")))
-        val members = v.select(col("label").cast("long").as("lab"),
-          col("vec_id"), col("nrm"), col("embedding"))
-        val over = members.groupBy("lab")
-          .agg(count(lit(1)).as("c"), min("vec_id").as("minv"))
-          .filter(col("c") * (col("c") - 1) / 2 > 300)
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-          .toSeq
-        val plans = graft.queries.DedupQueries.hatchPlansOf(over, 2, 300L,
-          bound)
-        val (pairs, _) = graft.queries.DedupQueries.hatchRound(spark,
-          members, plans, 0.3, 1024, 2, bound)
-        pw.println(pairs.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
+        // the ENGINE's own prologue, so the audited plan can't
+        // desynchronize from the real routing predicate
+        val (members, over) =
+          graft.queries.DedupQueries.hatchOverOf(spark, v, 300L)
+        if (over.isEmpty)
+          pw.println("SKIPPED: no label exceeds the forced budget in " +
+            s"$dir — regenerate fixtures or lower the budget")
+        else {
+          val plans = graft.queries.DedupQueries.hatchPlansOf(over, 2,
+            300L, bound)
+          val (pairs, _) = graft.queries.DedupQueries.hatchRound(spark,
+            members, plans, 0.3, 1024, 2, bound)
+          pw.println(pairs.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        }
       } catch {
         case e: Throwable => pw.println(s"ERROR: ${e.getMessage}")
       }

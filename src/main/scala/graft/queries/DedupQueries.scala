@@ -1280,6 +1280,26 @@ object DedupQueries {
       if (term <= 4.0 * budget) EscExact else EscProbe
     } else EscKeep
 
+  /** The hatch prologue shared by the engine, the plan auditor
+    * (graft.Plans' forced-hatch EXPLAIN sections) and any harness that
+    * needs the over-budget label list: (normalized member frame,
+    * driver-side (lab, n, minv) rows for labels whose exact pair term
+    * exceeds `budget`). Keeping this in ONE place pins the audit dumps
+    * to the engine's actual routing predicate.
+    */
+  private[graft] def hatchOverOf(s: SparkSession, v: DataFrame,
+      budget: Long): (DataFrame, Seq[(Long, Long, Long)]) = {
+    import s.implicits._
+    val members = v.select(col("label").cast("long").as("lab"),
+      col("vec_id"), col("nrm"), col("embedding"))
+    val over = members.groupBy("lab")
+      .agg(count(lit(1)).as("c"), min(col("vec_id")).as("minv"))
+      .filter(expr(s"c * (c - 1) div 2 > ${budget}L"))
+      .select(col("lab"), col("c"), col("minv"))
+      .as[(Long, Long, Long)].collect().toSeq
+    (members, over)
+  }
+
   /** One hatch planning row, computed on the driver from the bounded
     * over-budget label list (a label over budget B has ≥ √(2B) members,
     * so this list is ≤ corpus/√(2B) entries).
@@ -1356,9 +1376,16 @@ object DedupQueries {
     */
   private[graft] def hatchRound(s: SparkSession, members: DataFrame,
       plans: Seq[HatchPlan], thr: Double, tile: Int, probe: Int,
-      cellsBound: Long): (DataFrame, DataFrame) = {
+      cellsBound: Long, probeRowBytes: Long = 576L): (DataFrame, DataFrame) = {
     import s.implicits._
-    val (flatPlans, tlPlans) = plans.partition(_.cells <= cellsBound)
+    require(plans.nonEmpty, "hatchRound called with no over-budget labels")
+    // a label is flat only while its WHOLE centroid set fits one
+    // broadcast — bounded in cells AND in bytes (probeRowBytes is the
+    // measured per-row widened size, 8·dim + overhead), so high-dim
+    // embeddings route to two-level earlier instead of OOMing the guard
+    val (flatPlans, tlPlans) = plans.partition(p =>
+      p.cells <= cellsBound &&
+        p.cells * probeRowBytes <= VectorKernels.MaxProbeBytes)
 
     def centFilter(stepCol: Column): Column =
       (pmod(xxhash64(col("vec_id")), stepCol) === 0) ||
@@ -1378,17 +1405,22 @@ object DedupQueries {
       val stride = centCounts.values.max + 1L
       val labIdx: Map[Long, Long] = flatPlans.map(_.lab).sorted.zipWithIndex
         .map { case (l, i) => l -> i.toLong }.toMap
-      // greedy label batches bounded by MaxHatchProbeRows centroid rows
+      // greedy label batches bounded in BYTES (MaxProbeBytes /
+      // measured row size) with MaxHatchProbeRows as the row-count cap
+      val maxBatchRows = math.max(1L, math.min(MaxHatchProbeRows,
+        VectorKernels.MaxProbeBytes / math.max(1L, probeRowBytes)))
       val batches = flatPlans.map(_.lab).sorted
         .foldLeft(List(List.empty[Long]) -> 0L) { case ((acc, sz), lab) =>
           val c = centCounts.getOrElse(lab, 1L)
-          if (sz + c > MaxHatchProbeRows && acc.head.nonEmpty)
+          if (sz + c > maxBatchRows && acc.head.nonEmpty)
             (List(lab) :: acc, c)
           else ((lab :: acc.head) :: acc.tail, sz + c)
         }._1.map(_.reverse).reverse.filter(_.nonEmpty)
       val parts = batches.map { labs =>
         val inBatch = col("lab").isin(labs: _*)
         val ps = denseProbeSet(cent.filter(inBatch), labIdx, stride)
+        // persisted: both the pair kernel and the scored audit consume
+        // it, and assignProbes' broadcast scan is the expensive part
         val assigned = VectorKernels.assignProbes(
             members.filter(inBatch)
               .select("lab", "vec_id", "nrm", "embedding"),
@@ -1396,6 +1428,7 @@ object DedupQueries {
             p = probe, arrayOut = true)
           .select(col("lab"), explode(col("cellArr")).as("gkey"),
             col("vec_id"), col("nrm"), col("embedding"))
+          .persist()
         val labByIdx = broadcast(labs.map(l => (labIdx(l), l))
           .toDF("lidx", "lab"))
         val pairs = tilePairs(s,
@@ -1462,6 +1495,7 @@ object DedupQueries {
           .toDF("lab", "lidx")), "lab")
         .select(col("lab"), (col("lidx") * vstride + col("fid")).as("gkey"),
           col("vec_id"), col("nrm"), col("embedding"))
+        .persist()
       val labByIdx = broadcast(tlPlans.map(p => (labIdx(p.lab), p.lab))
         .toDF("lidx", "lab"))
       val pairs = tilePairs(s,
@@ -1560,19 +1594,23 @@ object DedupQueries {
     val members = vl
       .join(broadcast(overLabs.toDF("lab")), Seq("lab"))
       .persist()
+    // measured embedding width (limit-1 scan, stops at the first
+    // non-empty vector): sizes every broadcast/batch estimate below —
+    // a 1024-d corpus is ~16× a 64-d one and a hard-coded constant
+    // would defeat the byte guards exactly where they matter
+    val dim: Int = members.select(size(col("embedding")).as("d"))
+      .filter(col("d") > 0).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(64)
+    val probeRowBytes = 8L * dim + 64L
     // round 1: the configured probe/budget
     val plans1 = hatchPlansOf(over.toSeq, probe, budget, cellsBound)
     val (ap1, sc1) = hatchRound(s, members, plans1, thr, tile, probe,
-      cellsBound)
+      cellsBound, probeRowBytes)
     val ap1p = ap1.persist()
     // audit-sample size estimate for the broadcast-vs-shuffle decision:
-    // Σ n_i/auditMod sampled rows × ~600 B (64-d float row, conservative)
+    // Σ n_i/auditMod sampled rows × the measured widened row size
     val estAuditBytes =
-      over.map(_._2 / auditModEff + 1L).sum * 600L
-    val audit1 = hatchAudit(s, members, ap1p, thr, auditModEff,
-      estAuditBytes).persist()
-    val a1: Map[Long, Double] = audit1
-      .as[(Long, Double)].collect().toMap
+      over.map(_._2 / auditModEff + 1L).sum * (probeRowBytes + 32L)
     // the recall CONTRACT, in three rules, all decided from bounded
     // per-label collects (≤ one row per hatched label each):
     //   1. a hatched label whose REALIZED n_scored_pairs ≥ its exact
@@ -1592,12 +1630,25 @@ object DedupQueries {
       over.map { case (l, n, _) => l -> n.toDouble * (n - 1).toDouble / 2.0 }
         .toMap
     val sc1m: Map[Long, Long] = sc1.as[(Long, Long)].collect().toMap
+    // the reusable per-label scored frame is rebuilt from the collected
+    // map (bounded: one row per hatched label) instead of re-running the
+    // sc1 lineage — and the degeneracy verdict lands BEFORE the audit so
+    // degenerate labels (whose near-quadratic pair sets would make the
+    // audit's left-semi join pointless work) never enter it
+    val sc1df = sc1m.toSeq.toDF("lab", "n_scored_pairs")
     val degenerate1 = overLabs
       .filter(l => sc1m.getOrElse(l, 0L).toDouble >= termOf(l)).toSet
     if (degenerate1.nonEmpty)
       Console.err.println(s"[graft] d12 hatch: labels " +
-        s"${degenerate1.mkString(",")} scored >= their full pair term — " +
-        "resolved EXACTLY (hatch pruned nothing)")
+        s"${degenerate1.mkString(",")} scored >= their full pair term " +
+        "(hatch pruned nothing) — routing to exact or re-split")
+    val auditMembers =
+      if (degenerate1.isEmpty) members
+      else members.filter(!col("lab").isin(degenerate1.toSeq: _*))
+    val audit1 = hatchAudit(s, auditMembers, ap1p, thr, auditModEff,
+      estAuditBytes).persist()
+    val a1: Map[Long, Double] = audit1
+      .as[(Long, Double)].collect().toMap
     val failing = overLabs.filterNot(degenerate1)
       .filter(l => a1.get(l).exists(_ < recallFloor)).toSet
     val dropR1 = (failing ++ degenerate1).toSeq
@@ -1641,9 +1692,9 @@ object DedupQueries {
       val labs = sub.map(_._1)
       val membersX = members.filter(col("lab").isin(labs: _*)).persist()
       val (ap, sc) = hatchRound(s, membersX, plans, thr, tile, p2,
-        cellsBound)
-      val scp = sc.persist()
-      val scm: Map[Long, Long] = scp.as[(Long, Long)].collect().toMap
+        cellsBound, probeRowBytes)
+      val scm: Map[Long, Long] = sc.as[(Long, Long)].collect().toMap
+      val scdf = scm.toSeq.toDF("lab", "n_scored_pairs")
       val degen = labs.filter(l =>
         scm.getOrElse(l, 0L).toDouble >= termOf(l)).toSet
       if (degen.nonEmpty)
@@ -1663,7 +1714,7 @@ object DedupQueries {
             f"$r%.4f still under floor $recallFloor%.2f after escalation " +
             s"(probe $p2) — emitted with recall_floor_met=false")
         }
-      (app, scp.filter(keepX), audit, sub.filter(o => degen(o._1)))
+      (app, scdf.filter(keepX), audit, sub.filter(o => degen(o._1)))
     }
     val escB = if (floorHatch.isEmpty) None
       else Some(escalate(floorHatch,
@@ -1675,7 +1726,7 @@ object DedupQueries {
         probe))
     val escParts = Seq(escB, escD).flatten
     val pairsF = escParts.map(_._1).foldLeft(ap1p.filter(keep))(_ unionByName _)
-    val scoredF = escParts.map(_._2).foldLeft(sc1.filter(keep))(_ unionByName _)
+    val scoredF = escParts.map(_._2).foldLeft(sc1df.filter(keep))(_ unionByName _)
     val auditF = escParts.map(_._3).foldLeft(audit1.filter(keep))(_ unionByName _)
     val exactEsc: Seq[(Long, Long, Long)] =
       degenExact ++ floorExact ++ escParts.flatMap(_._4)

@@ -49,13 +49,37 @@ object RelationalQueries4 {
       } catch { case _: Throwable => () }
     }))
 
+  private val rtGen = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Generations under the stable parent, not one mutable dir: a
+    * previously-returned round-trip DataFrame keeps a valid lineage
+    * (its generation's files survive the next few invocations) and
+    * concurrent same-query runs never overwrite each other. Disk stays
+    * bounded: at creation every generation older than the last 3 is
+    * deleted, so at most ~4 dumps live at once (≈8 GB at sf30 vs the
+    * unbounded leak this replaced).
+    */
   private def roundTripDir(s: SparkSession, dir: String, tag: String): String = {
     rtCleanup
     val key = s"${s.sparkContext.applicationId}-${Integer.toHexString(dir.hashCode)}"
-    val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft-$tag-$key").toString
-    rtDirs.add(p)
-    p
+    val parent = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft-$tag-$key")
+    val gen = rtGen.incrementAndGet()
+    try {
+      java.nio.file.Files.createDirectories(parent)
+      val old = parent.toFile.listFiles()
+      if (old != null) old.filter { f =>
+        f.getName.startsWith("gen-") &&
+          scala.util.Try(f.getName.stripPrefix("gen-").toLong)
+            .toOption.exists(_ < gen - 3)
+      }.foreach { f =>
+        java.nio.file.Files.walk(f.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+      }
+    } catch { case _: Throwable => () }
+    rtDirs.add(parent.toString)
+    parent.resolve(s"gen-$gen").toString
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
