@@ -28,6 +28,32 @@ object RelationalQueries4 {
       }
     }
 
+  /** Broadcast-disabled session clone for q61: at bench SFs AQE would
+    * broadcast the bucketed orders side and the co-located sort-merge
+    * join — the thing the query demonstrates — would never appear in the
+    * plan. `newSession()` shares the external catalog, so tables written
+    * through the parent session are visible here. One clone per parent,
+    * same leak rationale as [[isolatedSession]].
+    */
+  private val bucketSessions =
+    new java.util.IdentityHashMap[SparkSession, SparkSession]()
+
+  private def bucketSession(s: SparkSession): SparkSession =
+    bucketSessions.synchronized {
+      Option(bucketSessions.get(s)).getOrElse {
+        val iso = s.newSession()
+        iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        iso.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        // Trust the per-bucket sortBy order on read (off by default since
+        // Spark 3.0 because multi-file buckets interleave; safe here — the
+        // writer repartitions to exactly one file per bucket), so the SMJ
+        // consumes scan output directly: no Exchange AND no Sort below it.
+        iso.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        bucketSessions.put(s, iso)
+        iso
+      }
+    }
+
   /** Stable scratch dir for the round-trip queries, keyed by
     * (application, fixture dir, query tag): repeated runs OVERWRITE one
     * directory instead of leaking a fresh temp dir per invocation — at
@@ -498,6 +524,97 @@ object RelationalQueries4 {
           sum(length(col("text"))).as("total_chars"),
           countDistinct("doc_id").as("n_ids"))
         .orderBy("source")
+    },
+    // C2 — oracle-checked ORC ROUND TRIP: the columnar-but-not-parquet
+    // source format. lineitem's widest mix of types (int64/int32/double/
+    // string/date) rides through an ORC dump and back via Sources.orc
+    // (self-describing schema — no DDL passed, the reader must recover
+    // types from the file footer alone). DATE not timestamp for the same
+    // reader-timezone-independence reason as q57. The oracle aggregates
+    // the parquet directly: a hash match proves the ORC writer/reader
+    // pair is lossless for every one of these types.
+    "q59_orc_roundtrip" -> { (s, dir) =>
+      val base = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"), col("l_linestatus"),
+          to_date(col("l_shipdate")).as("l_sdate"))
+      val out = roundTripDir(s, dir, "q59")
+      base.write.mode("overwrite").orc(out)
+      graft.sources.Sources.orc(s, out)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          usum(col("l_quantity")).as("sum_qty"),
+          usum(col("l_extendedprice")).as("sum_price"),
+          min("l_orderkey").as("min_key"),
+          max("l_linenumber").as("max_line"),
+          min("l_sdate").as("first_ship"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    // C2/C6 — oracle-checked PARTITIONED write + PRUNED read: orders
+    // written `partitionBy(o_year)` (Hive-style year=... dirs — the
+    // standard 100 TB lake layout), read back with a partition-column
+    // predicate. The filter must resolve to PartitionFilters (directory
+    // pruning — non-matching years are never opened, the scan I/O is cut
+    // by the year selectivity BEFORE any row is read); spec-pinned on the
+    // physical plan. o_year is cast to INT explicitly: partition values
+    // round-trip as directory-name strings and the reader must re-infer
+    // the numeric type.
+    "q60_partition_pruned" -> { (s, dir) =>
+      val base = t(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_year")
+      val out = roundTripDir(s, dir, "q60")
+      base.write.mode("overwrite").partitionBy("o_year").parquet(out)
+      s.read.parquet(out)
+        .where(col("o_year") >= 1994 && col("o_year") <= 1995)
+        .groupBy(col("o_year").cast("int").as("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          usum(col("o_totalprice")).as("total"),
+          max("o_orderkey").as("max_key"))
+        .orderBy("o_year", "o_orderstatus")
+    },
+    // C6/C14 — oracle-checked BUCKETED CO-LOCATED JOIN: both fact tables
+    // written `bucketBy(8, joinkey)` + per-file `sortBy` into the shared
+    // catalog (external tables on round-trip scratch paths), then joined
+    // in a broadcast-disabled session clone. Bucketed scans report
+    // HashPartitioning(key, 8) so the sort-merge join needs NO Exchange
+    // on either side and NO Sort (one pre-sorted file per bucket via the
+    // repartition before write) — the only shuffle in the whole plan is
+    // the final 3-group aggregate. This is THE 100 TB repeated-join
+    // pattern: pay the shuffle once at layout time, join for free every
+    // read after. Zero-exchange-below-the-join is spec-pinned.
+    "q61_bucketed_join" -> { (s, dir) =>
+      val iso = bucketSession(s)
+      val out = roundTripDir(s, dir, "q61")
+      val tag = Integer.toHexString(dir.hashCode)
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        .repartition(8, col("l_orderkey"))
+      val ord = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .repartition(8, col("o_orderkey"))
+      li.write.mode("overwrite").option("path", s"$out/li")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"graft_q61_li_$tag")
+      ord.write.mode("overwrite").option("path", s"$out/ord")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"graft_q61_ord_$tag")
+      // The overwrite above invalidates the WRITER session's relation
+      // cache, not the clone's: without this refresh a repeat invocation
+      // reads the clone's cached file listing for the PREVIOUS generation
+      // (whose files roundTripDir has since pruned) and dies with
+      // FAILED_READ.FILE_NOT_EXIST on the second bench pass.
+      iso.catalog.refreshTable(s"graft_q61_li_$tag")
+      iso.catalog.refreshTable(s"graft_q61_ord_$tag")
+      iso.table(s"graft_q61_li_$tag")
+        .join(iso.table(s"graft_q61_ord_$tag"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          usum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+          usum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus")
     }
   )
 
@@ -716,6 +833,29 @@ object RelationalQueries4 {
       """SELECT source, COUNT(*) AS n_docs,
         |       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
         |       COUNT(DISTINCT doc_id) AS n_ids
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q59_orc_roundtrip" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |       ${oUSum("l_quantity")} AS sum_qty,
+         |       ${oUSum("l_extendedprice")} AS sum_price,
+         |       MIN(l_orderkey) AS min_key,
+         |       MAX(l_linenumber) AS max_line,
+         |       MIN(CAST(l_shipdate AS DATE)) AS first_ship
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q60_partition_pruned" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
+         |       COUNT(*) AS n,
+         |       ${oUSum("o_totalprice")} AS total,
+         |       MAX(o_orderkey) AS max_key
+         |FROM orders
+         |WHERE year(o_orderdate) BETWEEN 1994 AND 1995
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q61_bucketed_join" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |       ${oUSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |       ${oUSum("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -69,6 +69,29 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q60 prunes partitions at the directory level (no row-side filter)") {
+    // the o_year predicate must land in PartitionFilters (directories for
+    // non-matching years are never opened); nothing should remain as a
+    // data-side filter — the scan reads zero predicate work per row
+    val p = plan("q60_partition_pruned")
+    assert(raw"PartitionFilters: \[isnotnull\(o_year#\d+\), \(o_year#\d+ >= 1994\), \(o_year#\d+ <= 1995\)\]"
+      .r.findFirstIn(p).isDefined, p)
+    assert(p.contains("PushedFilters: []") && p.contains("DataFilters: []"), p)
+  }
+
+  test("q61 bucketed join: no Exchange and no Sort below the SortMergeJoin") {
+    // both sides are bucketed+sortBy'd on the join key with one file per
+    // bucket, so the SMJ must consume the scans directly — the layout-time
+    // shuffle bought a shuffle-free, sort-free join on every read
+    val p = plan("q61_bucketed_join")
+    val i = p.indexOf("SortMergeJoin")
+    assert(i >= 0, p)
+    val below = p.substring(i)
+    assert(!below.contains("Exchange") && !below.contains("+- Sort"), below)
+    assert("SelectedBucketsCount: 8 out of 8".r.findAllIn(p).size == 2, p)
+    assert(p.contains("Bucketed: true"), p)
+  }
+
   test("no query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin with a broadcast side is the intended shape
     // for the ANN/simhash cross joins; an unbroadcast CartesianProduct is
