@@ -56,14 +56,14 @@ object Plans {
             graft.functions.VectorFunctions.l2norm(col("embedding")))
         // the ENGINE's own prologue, so the audited plan can't
         // desynchronize from the real routing predicate
-        val (members, over) =
+        val (members, _, over) =
           graft.queries.DedupQueries.hatchOverOf(spark, v, 300L)
         if (over.isEmpty)
           pw.println("SKIPPED: no label exceeds the forced budget in " +
             s"$dir — regenerate fixtures or lower the budget")
         else {
           val plans = graft.queries.DedupQueries.hatchPlansOf(over, 2,
-            300L, bound)
+            300L)
           val (pairs, _) = graft.queries.DedupQueries.hatchRound(spark,
             members, plans, 0.3, 1024, 2, bound)
           pw.println(pairs.queryExecution.explainString(

@@ -1207,13 +1207,18 @@ object DedupQueries {
     * ~budget instead of n²/2 (`n_scored_pairs` reports the realized
     * within-cell total; multi-probe duplicates collapse by distinct —
     * cosine is a bit-identical fold, so the duplicate rows are equal).
-    * Approximation is never silent: a deterministic `vec_id % auditMod`
-    * sample of each hatched label is re-answered EXACTLY (sample×label is
-    * linear, not quadratic) and the per-label recall of the hatch against
-    * that sample rides on every output row as `audit_recall` (the d32/d43
+    * Approximation is never silent: a deterministic `vec_id % mod`
+    * sample of each hatched label — mod sized PER LABEL so every hatched
+    * label yields ~[[AuditSamplesPerLabel]] sampled vectors regardless of
+    * its size — is re-answered EXACTLY (sample×label is linear, not
+    * quadratic) and the per-label recall of the hatch against that sample
+    * rides on every output row as `audit_recall` (the d32/d43
     * audit-column contract) — AND is ENFORCED: labels under `recallFloor`
     * escalate once (probe ×2), re-audit, and carry
-    * `recall_floor_met = false` if they still miss.
+    * `recall_floor_met = false` if they still miss. Every hatched label
+    * gets an audit row by construction; `audit_recall` is null only when
+    * the sample found zero above-threshold pairs (no counterevidence),
+    * never because a label went unaudited.
     *
     * Driver-side bounds: the hatched-label metadata + per-round audit
     * collects are ≤ corpus/√(2·budget) rows each (a label over budget B
@@ -1249,6 +1254,15 @@ object DedupQueries {
     */
   private[graft] val MaxHatchProbeRows = 500000L
 
+  /** Expected audit-sample size per hatched label: each label's audit
+    * modulus is `max(1, n/this)`, so the exact recall audit costs
+    * ~this·n dot products per label (linear) and EVERY hatched label is
+    * sampled — a single corpus-wide modulus sized from the largest label
+    * would leave labels ≳128× smaller with no samples at all, and their
+    * recall would ride out unchecked.
+    */
+  private[graft] val AuditSamplesPerLabel = 128L
+
   /** Default per-label recall floor the hatch ENFORCES (round-9 verdict
     * item: the audit is a contract, not a measurement): a hatched label
     * whose exact-sample recall audit lands below this is re-run once with
@@ -1280,24 +1294,26 @@ object DedupQueries {
       if (term <= 4.0 * budget) EscExact else EscProbe
     } else EscKeep
 
-  /** The hatch prologue shared by the engine, the plan auditor
-    * (graft.Plans' forced-hatch EXPLAIN sections) and any harness that
-    * needs the over-budget label list: (normalized member frame,
-    * driver-side (lab, n, minv) rows for labels whose exact pair term
-    * exceeds `budget`). Keeping this in ONE place pins the audit dumps
-    * to the engine's actual routing predicate.
+  /** The hatch prologue shared by the engine ([[embedNeardupBudgeted]]),
+    * the plan auditor (graft.Plans' forced-hatch EXPLAIN sections) and
+    * any harness that needs the over-budget label list: (normalized
+    * member frame, per-label (c, minv) counts frame, driver-side
+    * (lab, n, minv) rows for labels whose exact pair term exceeds
+    * `budget`). Keeping this in ONE place pins the audit dumps AND the
+    * engine to the same routing predicate — neither can drift.
     */
   private[graft] def hatchOverOf(s: SparkSession, v: DataFrame,
-      budget: Long): (DataFrame, Seq[(Long, Long, Long)]) = {
+      budget: Long): (DataFrame, DataFrame, Seq[(Long, Long, Long)]) = {
     import s.implicits._
     val members = v.select(col("label").cast("long").as("lab"),
       col("vec_id"), col("nrm"), col("embedding"))
-    val over = members.groupBy("lab")
+    val counts = members.groupBy("lab")
       .agg(count(lit(1)).as("c"), min(col("vec_id")).as("minv"))
+    val over = counts
       .filter(expr(s"c * (c - 1) div 2 > ${budget}L"))
       .select(col("lab"), col("c"), col("minv"))
       .as[(Long, Long, Long)].collect().toSeq
-    (members, over)
+    (members, counts, over)
   }
 
   /** One hatch planning row, computed on the driver from the bounded
@@ -1308,7 +1324,7 @@ object DedupQueries {
       cells: Long, stepFine: Long, stepCoarse: Long)
 
   private[graft] def hatchPlansOf(over: Seq[(Long, Long, Long)], probe: Int,
-      budget: Long, cellsBound: Long, cellsMult: Long = 1L): Seq[HatchPlan] =
+      budget: Long, cellsMult: Long = 1L): Seq[HatchPlan] =
     over.map { case (lab, n, minv) =>
       val p = probe.toDouble
       // double arithmetic: p²n² overflows Long past n ~ 2e9 and this is
@@ -1376,7 +1392,9 @@ object DedupQueries {
     */
   private[graft] def hatchRound(s: SparkSession, members: DataFrame,
       plans: Seq[HatchPlan], thr: Double, tile: Int, probe: Int,
-      cellsBound: Long, probeRowBytes: Long = 576L): (DataFrame, DataFrame) = {
+      cellsBound: Long, probeRowBytes: Long = 576L,
+      scratch: scala.collection.mutable.Buffer[DataFrame] =
+        scala.collection.mutable.Buffer.empty): (DataFrame, DataFrame) = {
     import s.implicits._
     require(plans.nonEmpty, "hatchRound called with no over-budget labels")
     // a label is flat only while its WHOLE centroid set fits one
@@ -1400,6 +1418,7 @@ object DedupQueries {
       val fm = members.join(broadcast(fMeta), "lab")
       val cent = fm.filter(centFilter(col("step")))
         .select("lab", "vec_id", "nrm", "embedding").persist()
+      scratch += cent
       val centCounts: Map[Long, Long] = cent.groupBy("lab")
         .agg(count(lit(1)).as("cc")).as[(Long, Long)].collect().toMap
       val stride = centCounts.values.max + 1L
@@ -1429,6 +1448,7 @@ object DedupQueries {
           .select(col("lab"), explode(col("cellArr")).as("gkey"),
             col("vec_id"), col("nrm"), col("embedding"))
           .persist()
+        scratch += assigned
         val labByIdx = broadcast(labs.map(l => (labIdx(l), l))
           .toDF("lidx", "lab"))
         val pairs = tilePairs(s,
@@ -1449,6 +1469,7 @@ object DedupQueries {
       val tm = members.join(broadcast(tMeta), "lab")
       val coarse = tm.filter(centFilter(col("stepCoarse")))
         .select("lab", "vec_id", "nrm", "embedding").persist()
+      scratch += coarse
       val coarseCounts: Map[Long, Long] = coarse.groupBy("lab")
         .agg(count(lit(1)).as("cc")).as[(Long, Long)].collect().toMap
       val cstride = coarseCounts.values.max + 1L
@@ -1496,6 +1517,7 @@ object DedupQueries {
         .select(col("lab"), (col("lidx") * vstride + col("fid")).as("gkey"),
           col("vec_id"), col("nrm"), col("embedding"))
         .persist()
+      scratch += assigned
       val labByIdx = broadcast(tlPlans.map(p => (labIdx(p.lab), p.lab))
         .toDF("lidx", "lab"))
       val pairs = tilePairs(s,
@@ -1518,15 +1540,25 @@ object DedupQueries {
     (pairs, scored)
   }
 
-  /** Exact recall audit of `pairs` over a deterministic
-    * `vec_id % auditMod == 0` sample of each hatched label — linear
-    * (sample × label members), never quadratic. Returns one
-    * (lab, audit_recall) row per label that had ≥1 exact sample pair.
+  /** Exact recall audit of `pairs` over a deterministic PER-LABEL
+    * `vec_id % mod == 0` sample — linear (sample × label members), never
+    * quadratic. `mods` carries one (lab, mod) entry per label to audit,
+    * each mod sized from THAT label's cardinality
+    * (~[[AuditSamplesPerLabel]] expected samples each): a single global
+    * modulus sized from the largest hatched label starves labels ≳128×
+    * smaller of samples entirely, and an unsampled label would ride out
+    * with an unchecked `recall_floor_met = true`. Returns one
+    * (lab, audit_recall) row for EVERY entry in `mods`; audit_recall is
+    * null when the sample produced zero above-threshold exact pairs (no
+    * counterevidence) — by construction never "not audited".
     */
   private[graft] def hatchAudit(s: SparkSession, members: DataFrame,
-      pairs: DataFrame, thr: Double, auditModEff: Long,
+      pairs: DataFrame, thr: Double, mods: Seq[(Long, Long)],
       estSampleBytes: Long = 0L): DataFrame = {
-    val sample = members.filter(pmod(col("vec_id"), lit(auditModEff)) === 0)
+    import s.implicits._
+    val sample = members
+      .join(broadcast(mods.toDF("lab", "amod")), "lab")
+      .filter(pmod(col("vec_id"), col("amod")) === 0)
       .select(col("lab"), col("vec_id").as("sa"),
         col("embedding").as("se"), col("nrm").as("sn"))
     // the sample is ~(members/auditModEff) embedding rows — ~128 PER
@@ -1549,11 +1581,15 @@ object DedupQueries {
     val found = exactSample.join(
       pairs.select(col("lab"), col("va").as("pa"), col("vb").as("pb")),
       Seq("lab", "pa", "pb"), "left_semi")
-    exactSample.groupBy("lab").agg(count(lit(1)).as("n_exact"))
+    mods.map(_._1).toDF("lab")
+      .join(exactSample.groupBy("lab").agg(count(lit(1)).as("n_exact")),
+        Seq("lab"), "left")
       .join(found.groupBy("lab").agg(count(lit(1)).as("n_found")),
         Seq("lab"), "left")
       .select(col("lab"),
-        (coalesce(col("n_found"), lit(0L)).cast("double") / col("n_exact"))
+        when(col("n_exact").isNull, lit(null).cast("double"))
+          .otherwise(coalesce(col("n_found"), lit(0L)).cast("double") /
+            col("n_exact"))
           .as("audit_recall"))
   }
 
@@ -1563,14 +1599,11 @@ object DedupQueries {
       cellsBound: Long = FlatCellsBound,
       recallFloor: Double = DefaultRecallFloor): DataFrame = {
     import s.implicits._
-    val vl = v.select(col("label").cast("long").as("lab"),
-      col("vec_id"), col("nrm"), col("embedding"))
-    val counts = vl.groupBy("lab").agg(count(lit(1)).as("c"),
-      min(col("vec_id")).as("minv"))
-    val over: Array[(Long, Long, Long)] = counts
-      .filter(expr(s"c * (c - 1) div 2 > ${budget}L"))
-      .select(col("lab"), col("c"), col("minv"))
-      .as[(Long, Long, Long)].collect()
+    // the engine, the plan auditor (graft.Plans) and any harness derive
+    // the over-budget label list from the SAME prologue, so the routing
+    // predicate lives in one place and cannot drift between them
+    val (vl, counts, overSeq) = hatchOverOf(s, v, budget)
+    val over: Array[(Long, Long, Long)] = overSeq.toArray
     val exactScored = counts
       .filter(expr(s"c * (c - 1) div 2 <= ${budget}L"))
       .select(col("lab"), expr("c * (c - 1) div 2").as("n_scored_pairs"))
@@ -1584,12 +1617,14 @@ object DedupQueries {
         .withColumn("audit_recall", lit(null).cast("double"))
         .withColumn("recall_floor_met", lit(true))
     }
-    // auditMod <= 0 → adaptive: ~128 sampled vectors per hatched label,
-    // so the audit's exact re-answer stays O(n) with a small constant at
-    // any scale (a fixed modulus would make it O(n²/mod) as labels grow)
-    val auditModEff =
-      if (auditMod > 0L) auditMod
-      else math.max(64L, over.map(_._2).max / 128L)
+    // audit modulus PER LABEL (auditMod > 0 forces one fixed modulus for
+    // every label — the spec knob): ~AuditSamplesPerLabel expected
+    // samples for EVERY hatched label, so the exact re-answer stays
+    // O(n·128) per label at any scale AND no label is ever unsampled
+    val modOf: Map[Long, Long] = over.map { case (l, c, _) =>
+      l -> (if (auditMod > 0L) auditMod
+            else math.max(1L, c / AuditSamplesPerLabel))
+    }.toMap
     val overLabs = over.map(_._1).toSeq
     val members = vl
       .join(broadcast(overLabs.toDF("lab")), Seq("lab"))
@@ -1603,14 +1638,16 @@ object DedupQueries {
       .headOption.map(_.getInt(0)).getOrElse(64)
     val probeRowBytes = 8L * dim + 64L
     // round 1: the configured probe/budget
-    val plans1 = hatchPlansOf(over.toSeq, probe, budget, cellsBound)
+    val scratch1 = scala.collection.mutable.Buffer.empty[DataFrame]
+    val plans1 = hatchPlansOf(over.toSeq, probe, budget)
     val (ap1, sc1) = hatchRound(s, members, plans1, thr, tile, probe,
-      cellsBound, probeRowBytes)
+      cellsBound, probeRowBytes, scratch1)
     val ap1p = ap1.persist()
     // audit-sample size estimate for the broadcast-vs-shuffle decision:
-    // Σ n_i/auditMod sampled rows × the measured widened row size
+    // Σ n_i/mod_i sampled rows × the measured widened row size
     val estAuditBytes =
-      over.map(_._2 / auditModEff + 1L).sum * (probeRowBytes + 32L)
+      over.map { case (l, c, _) => c / modOf(l) + 1L }
+        .sum * (probeRowBytes + 32L)
     // the recall CONTRACT, in three rules, all decided from bounded
     // per-label collects (≤ one row per hatched label each):
     //   1. a hatched label whose REALIZED n_scored_pairs ≥ its exact
@@ -1630,12 +1667,11 @@ object DedupQueries {
       over.map { case (l, n, _) => l -> n.toDouble * (n - 1).toDouble / 2.0 }
         .toMap
     val sc1m: Map[Long, Long] = sc1.as[(Long, Long)].collect().toMap
-    // the reusable per-label scored frame is rebuilt from the collected
-    // map (bounded: one row per hatched label) instead of re-running the
-    // sc1 lineage — and the degeneracy verdict lands BEFORE the audit so
-    // degenerate labels (whose near-quadratic pair sets would make the
-    // audit's left-semi join pointless work) never enter it
-    val sc1df = sc1m.toSeq.toDF("lab", "n_scored_pairs")
+    // per-label evidence frames are rebuilt from the collected maps
+    // (bounded: one row per hatched label) instead of re-running the
+    // sc1/audit lineages — and the degeneracy verdict lands BEFORE the
+    // audit so degenerate labels (whose near-quadratic pair sets would
+    // make the audit's left-semi join pointless work) never enter it
     val degenerate1 = overLabs
       .filter(l => sc1m.getOrElse(l, 0L).toDouble >= termOf(l)).toSet
     if (degenerate1.nonEmpty)
@@ -1645,15 +1681,29 @@ object DedupQueries {
     val auditMembers =
       if (degenerate1.isEmpty) members
       else members.filter(!col("lab").isin(degenerate1.toSeq: _*))
-    val audit1 = hatchAudit(s, auditMembers, ap1p, thr, auditModEff,
-      estAuditBytes).persist()
-    val a1: Map[Long, Double] = audit1
-      .as[(Long, Double)].collect().toMap
+    val mods1 = overLabs.filterNot(degenerate1).map(l => (l, modOf(l)))
+    val a1: Map[Long, Option[Double]] =
+      if (mods1.isEmpty) Map.empty
+      else hatchAudit(s, auditMembers, ap1p, thr, mods1, estAuditBytes)
+        .as[(Long, Option[Double])].collect().toMap
+    // round-1 evidence is now fully on the driver and ap1p itself is
+    // cached (the audit's left-semi materialized it, or it is about to
+    // be empty-folded when every label escalates): the round's scratch
+    // frames (centroids, per-batch assignments) can go — without this,
+    // every d12 invocation leaks corpus-scale cached blocks for the
+    // application lifetime
+    scratch1.foreach(_.unpersist(false))
     val failing = overLabs.filterNot(degenerate1)
-      .filter(l => a1.get(l).exists(_ < recallFloor)).toSet
+      .filter(l => a1.get(l).flatten.exists(_ < recallFloor)).toSet
     val dropR1 = (failing ++ degenerate1).toSeq
+    val keepLabs1 = overLabs.filterNot(l => failing(l) || degenerate1(l))
+    // lit(false) (not an empty isin) when nothing survives round 1, so
+    // Catalyst empty-folds the branch instead of re-deriving an
+    // all-filtered cache at evaluation time
     val keep =
-      if (dropR1.isEmpty) lit(true) else !col("lab").isin(dropR1: _*)
+      if (keepLabs1.isEmpty) lit(false)
+      else if (dropR1.isEmpty) lit(true)
+      else !col("lab").isin(dropR1: _*)
     // escalation routing, one step per label:
     //   floor-failing, term ≤ 4B  → exact (recall 1, ≤ the escalated work)
     //   floor-failing, term > 4B  → probe ×2 (scored budget ×4), re-audit
@@ -1685,55 +1735,83 @@ object DedupQueries {
       Console.err.println(s"[graft] d12 hatch: labels " +
         s"${degenSplit.map(_._1).mkString(",")} degenerate with term > " +
         "4x budget — re-splitting cells x4")
-    // one escalated hatch round over `sub`; returns (pairs, scored, audit,
-    // still-degenerate labels routed to exact)
+    // one escalated hatch round over `sub`; returns (pairs, per-label
+    // scored map, per-label audit map, still-degenerate labels routed
+    // to exact)
     def escalate(sub: Seq[(Long, Long, Long)], plans: Seq[HatchPlan],
-        p2: Int): (DataFrame, DataFrame, DataFrame, Seq[(Long, Long, Long)]) = {
+        p2: Int): (DataFrame, Map[Long, Long], Map[Long, Option[Double]],
+          Seq[(Long, Long, Long)]) = {
       val labs = sub.map(_._1)
+      val scratchX = scala.collection.mutable.Buffer.empty[DataFrame]
       val membersX = members.filter(col("lab").isin(labs: _*)).persist()
       val (ap, sc) = hatchRound(s, membersX, plans, thr, tile, p2,
-        cellsBound, probeRowBytes)
+        cellsBound, probeRowBytes, scratchX)
       val scm: Map[Long, Long] = sc.as[(Long, Long)].collect().toMap
-      val scdf = scm.toSeq.toDF("lab", "n_scored_pairs")
       val degen = labs.filter(l =>
         scm.getOrElse(l, 0L).toDouble >= termOf(l)).toSet
       if (degen.nonEmpty)
         Console.err.println(s"[graft] d12 hatch: escalated labels " +
           s"${degen.mkString(",")} still scored >= their full pair term " +
           "— resolved EXACTLY (duplicate-cluster geometry)")
-      val keepX = if (degen.isEmpty) lit(true)
+      val keepLabsX = labs.filterNot(degen)
+      val keepX = if (keepLabsX.isEmpty) lit(false)
+        else if (degen.isEmpty) lit(true)
         else !col("lab").isin(degen.toSeq: _*)
       val app = ap.filter(keepX).persist()
       val membersOk =
         if (degen.isEmpty) membersX else membersX.filter(keepX)
-      val audit = hatchAudit(s, membersOk, app, thr, auditModEff,
-        estAuditBytes).persist()
-      audit.as[(Long, Double)].collect().filter(_._2 < recallFloor)
-        .foreach { case (l, r) =>
+      val modsX = keepLabsX.map(l => (l, modOf(l)))
+      val auditM: Map[Long, Option[Double]] =
+        if (modsX.isEmpty) Map.empty
+        else hatchAudit(s, membersOk, app, thr, modsX, estAuditBytes)
+          .as[(Long, Option[Double])].collect().toMap
+      auditM.foreach {
+        case (l, Some(r)) if r < recallFloor =>
           Console.err.println(f"[graft] d12 hatch: label $l audit_recall " +
             f"$r%.4f still under floor $recallFloor%.2f after escalation " +
             s"(probe $p2) — emitted with recall_floor_met=false")
-        }
-      (app, scdf.filter(keepX), audit, sub.filter(o => degen(o._1)))
+        case _ => ()
+      }
+      // escalated evidence is on the driver and app is cached (the
+      // audit materialized it, or it is empty-folded): release the
+      // round's scratch and member slice
+      scratchX.foreach(_.unpersist(false))
+      membersX.unpersist(false)
+      (app, keepLabsX.map(l => l -> scm.getOrElse(l, 0L)).toMap,
+        auditM, sub.filter(o => degen(o._1)))
     }
     val escB = if (floorHatch.isEmpty) None
       else Some(escalate(floorHatch,
-        hatchPlansOf(floorHatch, probe * 2, budget * 4L, cellsBound),
+        hatchPlansOf(floorHatch, probe * 2, budget * 4L),
         probe * 2))
     val escD = if (degenSplit.isEmpty) None
       else Some(escalate(degenSplit,
-        hatchPlansOf(degenSplit, probe, budget, cellsBound, cellsMult = 4L),
+        hatchPlansOf(degenSplit, probe, budget, cellsMult = 4L),
         probe))
     val escParts = Seq(escB, escD).flatten
+    if (keepLabs1.isEmpty) ap1p.unpersist(false)
     val pairsF = escParts.map(_._1).foldLeft(ap1p.filter(keep))(_ unionByName _)
-    val scoredF = escParts.map(_._2).foldLeft(sc1df.filter(keep))(_ unionByName _)
-    val auditF = escParts.map(_._3).foldLeft(audit1.filter(keep))(_ unionByName _)
+    // scored/audit side frames rebuilt from the driver maps (one entry
+    // per surviving hatched label): nothing re-runs the sc1/audit
+    // lineages and every surviving label HAS an audit entry — round-1
+    // labels from a1 (minus escalated ones, whose FINAL audit is their
+    // escalation round's), escalated labels from their escalate map
+    val scoredF = (keepLabs1.map(l => l -> sc1m.getOrElse(l, 0L)) ++
+        escParts.flatMap(_._2.toSeq))
+      .toDF("lab", "n_scored_pairs")
+    val auditF = (keepLabs1.map(l => l -> a1.getOrElse(l, None)) ++
+        escParts.flatMap(_._3.toSeq))
+      .toDF("lab", "audit_recall")
     val exactEsc: Seq[(Long, Long, Long)] =
       degenExact ++ floorExact ++ escParts.flatMap(_._4)
     val approxPart = pairsF
       .join(broadcast(scoredF), "lab")
       .join(broadcast(auditF), Seq("lab"), "left")
       .withColumn("approx_label", lit(true))
+      // null audit_recall here means "audited, zero above-threshold
+      // sample pairs" (no counterevidence) — per-label moduli guarantee
+      // every surviving hatched label was sampled, so the null can no
+      // longer mean "never audited"
       .withColumn("recall_floor_met",
         coalesce(col("audit_recall") >= recallFloor, lit(true)))
       .select(col("lab").cast("int").as("label"), col("va"), col("vb"),
@@ -1742,6 +1820,11 @@ object DedupQueries {
     // exact channel: never-hatched labels plus any labels the recall
     // escalation resolved exactly — the output for both is the complete
     // exact pair set, so both carry approx_label = false
+    // members stays cached only while the FINAL plan needs it (labels
+    // the escalation resolved exactly read it at evaluation time);
+    // otherwise every non-empty branch of the output is backed by its
+    // own cache (ap1p / app) and the corpus-scale slice can go now
+    if (exactEsc.isEmpty) members.unpersist(false)
     val neverHatched = vl
       .join(broadcast(overLabs.toDF("lab")), Seq("lab"), "left_anti")
     val exactInput =

@@ -71,31 +71,46 @@ object RelationalQueries4 {
   private val rtDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private lazy val rtCleanup: Unit = Runtime.getRuntime.addShutdownHook(
     new Thread(() => rtDirs.forEach { d =>
-      try {
-        val root = java.nio.file.Paths.get(d)
-        if (java.nio.file.Files.exists(root))
-          java.nio.file.Files.walk(root)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      } catch { case _: Throwable => () }
+      try deleteTree(java.nio.file.Paths.get(d))
+      catch { case _: Throwable => () }
     }))
 
-  private val rtGen = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Recursive delete with the walk stream CLOSED (an unclosed
+    * `Files.walk` holds a directory descriptor until GC — one per pruned
+    * generation adds up under the fd pressure a sf30 shuffle already
+    * creates).
+    */
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root))
+      scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      }
+
+  /** Generation counters PER PARENT (per application+fixture+query): a
+    * shared counter would let unrelated round-trip queries advance a
+    * tag's generation numbers, deleting its previous dump on the very
+    * next invocation whenever 4+ other round-trip calls ran in between.
+    */
+  private val rtGens = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
 
   /** Generations under the stable parent, not one mutable dir: a
     * previously-returned round-trip DataFrame keeps a valid lineage
-    * (its generation's files survive the next few invocations) and
-    * concurrent same-query runs never overwrite each other. Disk stays
-    * bounded: at creation every generation older than the last 3 is
-    * deleted, so at most ~4 dumps live at once (≈8 GB at sf30 vs the
-    * unbounded leak this replaced).
+    * (its generation's files survive the next THREE invocations of the
+    * SAME query — the counter is per parent) and concurrent same-query
+    * runs never overwrite each other. Disk stays bounded: at creation
+    * every generation older than the last 3 is deleted, so at most ~4
+    * dumps live at once (≈8 GB at sf30 vs the unbounded leak this
+    * replaced).
     */
   private def roundTripDir(s: SparkSession, dir: String, tag: String): String = {
     rtCleanup
     val key = s"${s.sparkContext.applicationId}-${Integer.toHexString(dir.hashCode)}"
     val parent = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft-$tag-$key")
-    val gen = rtGen.incrementAndGet()
+    val gen = rtGens.computeIfAbsent(parent.toString,
+      _ => new java.util.concurrent.atomic.AtomicLong(0L)).incrementAndGet()
     try {
       java.nio.file.Files.createDirectories(parent)
       val old = parent.toFile.listFiles()
@@ -103,11 +118,7 @@ object RelationalQueries4 {
         f.getName.startsWith("gen-") &&
           scala.util.Try(f.getName.stripPrefix("gen-").toLong)
             .toOption.exists(_ < gen - 3)
-      }.foreach { f =>
-        java.nio.file.Files.walk(f.toPath)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
-      }
+      }.foreach(f => deleteTree(f.toPath))
     } catch { case _: Throwable => () }
     rtDirs.add(parent.toString)
     parent.resolve(s"gen-$gen").toString

@@ -139,7 +139,7 @@ class Round9OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(over.nonEmpty)
     for (bound <- Seq(200000L /* flat */, 4L /* two-level */)) {
-      val plans = DedupQueries.hatchPlansOf(over, 2, 300L, bound)
+      val plans = DedupQueries.hatchPlansOf(over, 2, 300L)
       val (pairs, scored) = DedupQueries.hatchRound(spark, members, plans,
         0.3, 1024, 2, bound)
       val pPlan = pairs.queryExecution.executedPlan.toString
@@ -229,17 +229,50 @@ class Round9OpsSpec extends SparkSpec {
       .agg(count(lit(1)).as("c"), min("vec_id").as("minv"))
       .filter(col("c") * (col("c") - 1) / 2 > 300)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    val plans = DedupQueries.hatchPlansOf(over, 2, 300L, 200000L)
+    val plans = DedupQueries.hatchPlansOf(over, 2, 300L)
     val (pairs, _) = DedupQueries.hatchRound(spark, members, plans,
       0.3, 1024, 2, 200000L)
     val p = pairs.persist()
+    val mods = over.map(o => (o._1, 1L))
     def key(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
-    val bcast = key(DedupQueries.hatchAudit(spark, members, p, 0.3, 1L))
-    val shuffled = key(DedupQueries.hatchAudit(spark, members, p, 0.3, 1L,
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    val bcast = key(DedupQueries.hatchAudit(spark, members, p, 0.3, mods))
+    val shuffled = key(DedupQueries.hatchAudit(spark, members, p, 0.3, mods,
       estSampleBytes = Long.MaxValue))
     assert(bcast.nonEmpty && bcast == shuffled,
       "audit result must not depend on the join strategy")
+  }
+
+  test("d12 adaptive audit: small hatched labels are never unaudited") {
+    // the audit modulus is sized PER LABEL: a global modulus sized from
+    // the largest hatched label (the round-9 first cut) starved labels
+    // ≳128× smaller of samples entirely — they rode out with an
+    // unchecked recall_floor_met=true. This corpus pins the fix: the
+    // small label's members are all ODD vec_ids, so ANY even global
+    // modulus samples nothing from it, while the per-label modulus
+    // (max(1, 60/128) = 1) samples every member.
+    import spark.implicits._
+    graft.functions.FloatDotProduct.register(spark)
+    val rnd = new scala.util.Random(99)
+    def vec() = Array.fill(6)((rnd.nextDouble() * 2 - 1).toFloat)
+    val big = (0 until 4096).map(i => (i.toLong, 1, vec()))
+    val small = (0 until 60).map(i => (100000L + 2L * i + 1L, 2, vec()))
+    val v = (big ++ small).toDF("vec_id", "label", "embedding")
+      .withColumn("nrm",
+        graft.functions.VectorFunctions.l2norm(col("embedding")))
+    // auditMod = 0 → adaptive per-label moduli; thr = -1 makes every
+    // sampled pair above threshold, so n_exact > 0 whenever a label was
+    // actually sampled — a null audit_recall can only mean "unsampled"
+    val out = DedupQueries.embedNeardupBudgeted(spark, v, -1.0,
+      budget = 700L, recallFloor = 0.0).collect()
+    val approx = out.filter(_.getAs[Boolean]("approx_label"))
+    val approxLabs = approx.map(_.getAs[Int]("label")).toSet
+    assert(approxLabs.contains(2), "small label must stay hatched")
+    approx.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("audit_recall")),
+        s"label ${r.getAs[Int]("label")} emitted without an audit")
+    }
   }
 
   test("d12 hatch batching: many flat labels across multiple probe batches") {
