@@ -264,6 +264,7 @@ class Round9OpsSpec extends SparkSpec {
     // auditMod = 0 → adaptive per-label moduli; thr = -1 makes every
     // sampled pair above threshold, so n_exact > 0 whenever a label was
     // actually sampled — a null audit_recall can only mean "unsampled"
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     val out = DedupQueries.embedNeardupBudgeted(spark, v, -1.0,
       budget = 700L, recallFloor = 0.0).collect()
     val approx = out.filter(_.getAs[Boolean]("approx_label"))
@@ -273,6 +274,13 @@ class Round9OpsSpec extends SparkSpec {
       assert(!r.isNullAt(r.fieldIndex("audit_recall")),
         s"label ${r.getAs[Int]("label")} emitted without an audit")
     }
+    // cache lifecycle: only the frames the FINAL plan reads may stay
+    // cached (members + the round pair sets); the hatch's internal
+    // scratch (centroids, per-batch assignments, member slices) must be
+    // released — before the round-9 review fix one invocation leaked ~7
+    // corpus-scale cached frames for the application lifetime
+    val leaked = spark.sparkContext.getPersistentRDDs.size - cachedBefore
+    assert(leaked <= 4, s"d12 left $leaked cached frames behind")
   }
 
   test("d12 hatch batching: many flat labels across multiple probe batches") {
