@@ -550,10 +550,17 @@ object RelationalQueries4 {
     // the parquet directly: a hash match proves the ORC writer/reader
     // pair is lossless for every one of these types.
     "q59_orc_roundtrip" -> { (s, dir) =>
+      // l_null: a deterministically null-bearing column (lineitem carries
+      // no native nulls) — the round trip must preserve ORC null masks,
+      // not only values: n_null counts them, sum_null aggregates around
+      // them, and both hash-match the oracle computing the same CASE from
+      // the parquet directly.
       val base = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_returnflag"), col("l_linestatus"),
-          to_date(col("l_shipdate")).as("l_sdate"))
+          to_date(col("l_shipdate")).as("l_sdate"),
+          when(col("l_linenumber") % 3 === 0, lit(null).cast("double"))
+            .otherwise(col("l_discount")).as("l_null"))
       val out = roundTripDir(s, dir, "q59")
       base.write.mode("overwrite").orc(out)
       graft.sources.Sources.orc(s, out)
@@ -563,7 +570,9 @@ object RelationalQueries4 {
           usum(col("l_extendedprice")).as("sum_price"),
           min("l_orderkey").as("min_key"),
           max("l_linenumber").as("max_line"),
-          min("l_sdate").as("first_ship"))
+          min("l_sdate").as("first_ship"),
+          sum(when(col("l_null").isNull, 1L).otherwise(0L)).as("n_null"),
+          usum(col("l_null")).as("sum_null"))
         .orderBy("l_returnflag", "l_linestatus")
     },
     // C2/C6 — oracle-checked PARTITIONED write + PRUNED read: orders
@@ -874,7 +883,11 @@ object RelationalQueries4 {
          |       ${oUSum("l_extendedprice")} AS sum_price,
          |       MIN(l_orderkey) AS min_key,
          |       MAX(l_linenumber) AS max_line,
-         |       MIN(CAST(l_shipdate AS DATE)) AS first_ship
+         |       MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+         |       CAST(SUM(CASE WHEN l_linenumber % 3 = 0 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_null,
+         |       ${oUSum("CASE WHEN l_linenumber % 3 = 0 THEN NULL " +
+                "ELSE l_discount END")} AS sum_null
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q60_partition_pruned" ->
