@@ -612,6 +612,13 @@ object RelationalQueries4 {
       val iso = bucketSession(s)
       val tag = Integer.toHexString(dir.hashCode)
       val (liName, ordName) = (s"graft_q61_li_$tag", s"graft_q61_ord_$tag")
+      // Bucket count: 8 at fixture scale (the plan spec pins 8/8), but a
+      // production layout sizes buckets to the data — one pre-sorted file
+      // per bucket only stays healthy while a bucket fits comfortably in
+      // a task (~a few million rows); at 100 TB you'd set this to
+      // thousands. GRAFT_Q61_BUCKETS overrides for scale experiments.
+      val buckets = sys.env.get("GRAFT_Q61_BUCKETS")
+        .map(_.toInt).getOrElse(8)
       // Lay the tables out ONCE per (application, fixture dir) — that is
       // the pattern itself: the bucketed layout is a one-time cost
       // amortized over every subsequent join, so only the FIRST
@@ -629,15 +636,15 @@ object RelationalQueries4 {
           t(s, dir, "lineitem")
             .select("l_orderkey", "l_quantity", "l_extendedprice",
               "l_discount")
-            .repartition(8, col("l_orderkey"))
+            .repartition(buckets, col("l_orderkey"))
             .write.mode("overwrite").option("path", s"$out/li")
-            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
             .saveAsTable(liName)
           t(s, dir, "orders")
             .select("o_orderkey", "o_orderstatus")
-            .repartition(8, col("o_orderkey"))
+            .repartition(buckets, col("o_orderkey"))
             .write.mode("overwrite").option("path", s"$out/ord")
-            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
             .saveAsTable(ordName)
           // The overwrite invalidates the WRITER session's relation
           // cache, not the clone's: without this refresh a rewrite
