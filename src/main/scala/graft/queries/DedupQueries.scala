@@ -1207,18 +1207,23 @@ object DedupQueries {
     * ~budget instead of n²/2 (`n_scored_pairs` reports the realized
     * within-cell total; multi-probe duplicates collapse by distinct —
     * cosine is a bit-identical fold, so the duplicate rows are equal).
-    * Approximation is never silent: a deterministic `vec_id % mod`
-    * sample of each hatched label — mod sized PER LABEL so every hatched
-    * label yields ~[[AuditSamplesPerLabel]] sampled vectors regardless of
-    * its size — is re-answered EXACTLY (sample×label is linear, not
-    * quadratic) and the per-label recall of the hatch against that sample
-    * rides on every output row as `audit_recall` (the d32/d43
-    * audit-column contract) — AND is ENFORCED: labels under `recallFloor`
-    * escalate once (probe ×2), re-audit, and carry
-    * `recall_floor_met = false` if they still miss. Every hatched label
-    * gets an audit row by construction; `audit_recall` is null only when
-    * the sample found zero above-threshold pairs (no counterevidence),
-    * never because a label went unaudited.
+    * Approximation is never silent: a deterministic salted-hash-residue
+    * sample of each hatched label (`xxhash64(salt, vec_id) % mod` — id
+    * structure can't dodge it, and the salt decorrelates it from the
+    * centroid hash) — mod sized PER LABEL so every hatched label yields
+    * ~[[AuditSamplesPerLabel]] sampled vectors regardless of its size —
+    * is re-answered EXACTLY (sample×label is linear, not quadratic) and
+    * the per-label recall of the hatch against that sample rides on
+    * every output row as `audit_recall` (the d32/d43 audit-column
+    * contract) — AND is ENFORCED: labels under `recallFloor` escalate
+    * once (probe ×2), re-audit, and carry `recall_floor_met = false` if
+    * they still miss. Every hatched label gets an audit row by
+    * construction; `audit_recall` is null only when the sample found
+    * zero above-threshold pairs (no counterevidence), never because a
+    * label went unaudited — and a label whose sample came back EMPTY
+    * (possible only by hash coincidence) is treated as floor-not-met,
+    * escalating in round 1 or carrying `recall_floor_met = false` after
+    * escalation, never trusted.
     *
     * Driver-side bounds: the hatched-label metadata + per-round audit
     * collects are ≤ corpus/√(2·budget) rows each (a label over budget B
@@ -1541,16 +1546,27 @@ object DedupQueries {
   }
 
   /** Exact recall audit of `pairs` over a deterministic PER-LABEL
-    * `vec_id % mod == 0` sample — linear (sample × label members), never
-    * quadratic. `mods` carries one (lab, mod) entry per label to audit,
-    * each mod sized from THAT label's cardinality
-    * (~[[AuditSamplesPerLabel]] expected samples each): a single global
-    * modulus sized from the largest hatched label starves labels ≳128×
-    * smaller of samples entirely, and an unsampled label would ride out
-    * with an unchecked `recall_floor_met = true`. Returns one
-    * (lab, audit_recall) row for EVERY entry in `mods`; audit_recall is
-    * null when the sample produced zero above-threshold exact pairs (no
-    * counterevidence) — by construction never "not audited".
+    * hash-residue sample (`xxhash64(salt, vec_id) % mod == 0`) — linear
+    * (sample × label members), never quadratic. `mods` carries one
+    * (lab, mod) entry per label to audit, each mod sized from THAT
+    * label's cardinality (~[[AuditSamplesPerLabel]] expected samples
+    * each): a single global modulus sized from the largest hatched label
+    * starves labels ≳128× smaller of samples entirely, and an unsampled
+    * label would ride out with an unchecked `recall_floor_met = true`.
+    * The residue is taken on a SALTED hash, not the raw id, for two
+    * reasons: structured id spaces (shard-strided or parity-biased
+    * vec_ids — e.g. all-odd ids against an even modulus) can dodge a raw
+    * `vec_id % mod` entirely, and an UNSALTED hash residue would
+    * correlate the sample with [[hatchRound]]'s centroid selection
+    * (which filters `xxhash64(vec_id) % step == 0`) — centroids sit at
+    * cell centers and are systematically better-recalled, so a
+    * centroid-biased sample overstates recall exactly when it matters.
+    * Returns one (lab, audit_recall, n_sampled) row for EVERY entry in
+    * `mods`; audit_recall is null when the sample produced zero
+    * above-threshold exact pairs (no counterevidence). `n_sampled` lets
+    * the caller distinguish "sampled, clean" from the residual
+    * zero-sample case (possible only by hash coincidence now, but the
+    * contract treats it as floor-not-met rather than trusting it).
     */
   private[graft] def hatchAudit(s: SparkSession, members: DataFrame,
       pairs: DataFrame, thr: Double, mods: Seq[(Long, Long)],
@@ -1558,7 +1574,8 @@ object DedupQueries {
     import s.implicits._
     val sample = members
       .join(broadcast(mods.toDF("lab", "amod")), "lab")
-      .filter(pmod(col("vec_id"), col("amod")) === 0)
+      .filter(pmod(xxhash64(lit("graft-audit"), col("vec_id")),
+        col("amod")) === 0)
       .select(col("lab"), col("vec_id").as("sa"),
         col("embedding").as("se"), col("nrm").as("sn"))
     // the sample is ~(members/auditModEff) embedding rows — ~128 PER
@@ -1586,11 +1603,14 @@ object DedupQueries {
         Seq("lab"), "left")
       .join(found.groupBy("lab").agg(count(lit(1)).as("n_found")),
         Seq("lab"), "left")
+      .join(sample.groupBy("lab").agg(count(lit(1)).as("ns")),
+        Seq("lab"), "left")
       .select(col("lab"),
         when(col("n_exact").isNull, lit(null).cast("double"))
           .otherwise(coalesce(col("n_found"), lit(0L)).cast("double") /
             col("n_exact"))
-          .as("audit_recall"))
+          .as("audit_recall"),
+        coalesce(col("ns"), lit(0L)).as("n_sampled"))
   }
 
   private[graft] def embedNeardupBudgeted(s: SparkSession, v: DataFrame,
@@ -1682,10 +1702,11 @@ object DedupQueries {
       if (degenerate1.isEmpty) members
       else members.filter(!col("lab").isin(degenerate1.toSeq: _*))
     val mods1 = overLabs.filterNot(degenerate1).map(l => (l, modOf(l)))
-    val a1: Map[Long, Option[Double]] =
+    val a1: Map[Long, (Option[Double], Long)] =
       if (mods1.isEmpty) Map.empty
       else hatchAudit(s, auditMembers, ap1p, thr, mods1, estAuditBytes)
-        .as[(Long, Option[Double])].collect().toMap
+        .as[(Long, Option[Double], Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
     // round-1 evidence is now fully on the driver and ap1p itself is
     // cached (the audit's left-semi materialized it, or it is about to
     // be empty-folded when every label escalates): the round's scratch
@@ -1693,8 +1714,17 @@ object DedupQueries {
     // every d12 invocation leaks corpus-scale cached blocks for the
     // application lifetime
     scratch1.foreach(_.unpersist(false))
+    // zero-sample labels (hash-coincidence residual) count as FAILING —
+    // an unverified label escalates rather than riding an unchecked floor
+    val unsampled1 = overLabs.filterNot(degenerate1)
+      .filter(l => a1.get(l).exists(_._2 == 0L)).toSet
+    if (unsampled1.nonEmpty)
+      Console.err.println(s"[graft] d12 hatch: labels " +
+        s"${unsampled1.mkString(",")} drew ZERO audit samples — treated " +
+        "as under the recall floor and escalated")
     val failing = overLabs.filterNot(degenerate1)
-      .filter(l => a1.get(l).flatten.exists(_ < recallFloor)).toSet
+      .filter(l => a1.get(l).exists { case (r, n) =>
+        n == 0L || r.exists(_ < recallFloor) }).toSet
     val dropR1 = (failing ++ degenerate1).toSeq
     val keepLabs1 = overLabs.filterNot(l => failing(l) || degenerate1(l))
     // lit(false) (not an empty isin) when nothing survives round 1, so
@@ -1739,9 +1769,15 @@ object DedupQueries {
     // scored map, per-label audit map, still-degenerate labels routed
     // to exact)
     def escalate(sub: Seq[(Long, Long, Long)], plans: Seq[HatchPlan],
-        p2: Int): (DataFrame, Map[Long, Long], Map[Long, Option[Double]],
-          Seq[(Long, Long, Long)]) = {
+        p2: Int): (DataFrame, Map[Long, Long],
+          Map[Long, (Option[Double], Long)], Seq[(Long, Long, Long)]) = {
       val labs = sub.map(_._1)
+      // size the audit's broadcast-vs-shuffle estimate from the ESCALATED
+      // subset, not the whole round-1 corpus: a large round-1 estimate
+      // would force the shuffle arm even when this subset's sample is a
+      // few KB and trivially broadcastable
+      val estSubBytes = sub.map { case (l, c, _) => c / modOf(l) + 1L }
+        .sum * (probeRowBytes + 32L)
       val scratchX = scala.collection.mutable.Buffer.empty[DataFrame]
       val membersX = members.filter(col("lab").isin(labs: _*)).persist()
       val (ap, sc) = hatchRound(s, membersX, plans, thr, tile, p2,
@@ -1761,15 +1797,20 @@ object DedupQueries {
       val membersOk =
         if (degen.isEmpty) membersX else membersX.filter(keepX)
       val modsX = keepLabsX.map(l => (l, modOf(l)))
-      val auditM: Map[Long, Option[Double]] =
+      val auditM: Map[Long, (Option[Double], Long)] =
         if (modsX.isEmpty) Map.empty
-        else hatchAudit(s, membersOk, app, thr, modsX, estAuditBytes)
-          .as[(Long, Option[Double])].collect().toMap
+        else hatchAudit(s, membersOk, app, thr, modsX, estSubBytes)
+          .as[(Long, Option[Double], Long)].collect()
+          .map(t => t._1 -> ((t._2, t._3))).toMap
       auditM.foreach {
-        case (l, Some(r)) if r < recallFloor =>
+        case (l, (Some(r), _)) if r < recallFloor =>
           Console.err.println(f"[graft] d12 hatch: label $l audit_recall " +
             f"$r%.4f still under floor $recallFloor%.2f after escalation " +
             s"(probe $p2) — emitted with recall_floor_met=false")
+        case (l, (_, 0L)) =>
+          Console.err.println(s"[graft] d12 hatch: label $l drew ZERO " +
+            s"audit samples after escalation (probe $p2) — emitted with " +
+            "recall_floor_met=false")
         case _ => ()
       }
       // escalated evidence is on the driver and app is cached (the
@@ -1799,21 +1840,25 @@ object DedupQueries {
     val scoredF = (keepLabs1.map(l => l -> sc1m.getOrElse(l, 0L)) ++
         escParts.flatMap(_._2.toSeq))
       .toDF("lab", "n_scored_pairs")
-    val auditF = (keepLabs1.map(l => l -> a1.getOrElse(l, None)) ++
+    val auditF = (keepLabs1.map(l => l -> a1.getOrElse(l, (None, 0L))) ++
         escParts.flatMap(_._3.toSeq))
-      .toDF("lab", "audit_recall")
+      .map { case (l, (r, n)) => (l, r, n) }
+      .toDF("lab", "audit_recall", "n_sampled")
     val exactEsc: Seq[(Long, Long, Long)] =
       degenExact ++ floorExact ++ escParts.flatMap(_._4)
     val approxPart = pairsF
       .join(broadcast(scoredF), "lab")
       .join(broadcast(auditF), Seq("lab"), "left")
       .withColumn("approx_label", lit(true))
-      // null audit_recall here means "audited, zero above-threshold
-      // sample pairs" (no counterevidence) — per-label moduli guarantee
-      // every surviving hatched label was sampled, so the null can no
-      // longer mean "never audited"
+      // null audit_recall with n_sampled > 0 means "audited, zero
+      // above-threshold sample pairs" (no counterevidence) — that label
+      // meets the floor. n_sampled == 0 (a hash-coincidence residual
+      // after an escalation round) is the opposite: NO evidence either
+      // way, and an unverified label must not claim the floor.
       .withColumn("recall_floor_met",
-        coalesce(col("audit_recall") >= recallFloor, lit(true)))
+        when(col("n_sampled") === 0L, lit(false))
+          .otherwise(coalesce(col("audit_recall") >= recallFloor,
+            lit(true))))
       .select(col("lab").cast("int").as("label"), col("va"), col("vb"),
         col("cosine"), col("n_scored_pairs"), col("approx_label"),
         col("audit_recall"), col("recall_floor_met"))

@@ -633,19 +633,39 @@ object RelationalQueries4 {
         if (!(q61Layouts.contains(key) && iso.catalog.tableExists(liName)
             && iso.catalog.tableExists(ordName))) {
           val out = roundTripDir(s, dir, "q61")
+          // maxRecordsPerFile=0 pinned PER WRITE: the outputOrdering
+          // trust above is only sound with exactly one file per bucket —
+          // a harness-level spark.sql.files.maxRecordsPerFile would roll
+          // buckets into interleaved files whose concatenation is
+          // unsorted, and the Sort-free SMJ would silently join wrong.
           t(s, dir, "lineitem")
             .select("l_orderkey", "l_quantity", "l_extendedprice",
               "l_discount")
             .repartition(buckets, col("l_orderkey"))
             .write.mode("overwrite").option("path", s"$out/li")
+            .option("maxRecordsPerFile", 0)
             .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
             .saveAsTable(liName)
           t(s, dir, "orders")
             .select("o_orderkey", "o_orderstatus")
             .repartition(buckets, col("o_orderkey"))
             .write.mode("overwrite").option("path", s"$out/ord")
+            .option("maxRecordsPerFile", 0)
             .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
             .saveAsTable(ordName)
+          // belt-and-braces: verify the invariant the plan depends on
+          // before any read trusts it (cheap local listing; on a real
+          // lake this is one FileSystem.listStatus per table)
+          Seq(s"$out/li", s"$out/ord").foreach { d =>
+            val files = new java.io.File(d).listFiles()
+            val parts =
+              if (files == null) 0
+              else files.count(f => f.getName.startsWith("part-"))
+            require(parts == buckets,
+              s"q61 layout invariant violated: $d has $parts data files " +
+                s"for $buckets buckets (outputOrdering trust requires " +
+                "exactly one sorted file per bucket)")
+          }
           // The overwrite invalidates the WRITER session's relation
           // cache, not the clone's: without this refresh a rewrite
           // leaves the clone reading the PREVIOUS generation's file
