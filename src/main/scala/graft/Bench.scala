@@ -1,5 +1,41 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Opt-in (SPARK_GRAFT_METRICS=1) per-query task-metrics accumulator:
+  * answers "how many bytes did this query actually shuffle/spill/scan"
+  * with executor-reported numbers instead of plan-shape reasoning. The
+  * scale argument for every operator ("no shuffle becomes the bottleneck
+  * at 100×") is only as good as measured shuffle growth across SFs —
+  * this is the instrument that measures it (see SCALING.md).
+  *
+  * LongAdder per counter: onTaskEnd fires on listener-bus threads
+  * concurrent with the driver; sums are snapshotted between queries, so
+  * per-query deltas only need monotonicity, not a consistent cut.
+  */
+private[graft] class TaskMetricsListener
+    extends org.apache.spark.scheduler.SparkListener {
+  import java.util.concurrent.atomic.LongAdder
+  private val counters = Array.fill(8)(new LongAdder)
+  override def onTaskEnd(
+      te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      counters(0).add(m.shuffleReadMetrics.totalBytesRead)
+      counters(1).add(m.shuffleWriteMetrics.bytesWritten)
+      counters(2).add(m.memoryBytesSpilled)
+      counters(3).add(m.diskBytesSpilled)
+      counters(4).add(m.inputMetrics.bytesRead)
+      counters(5).add(m.executorCpuTime)
+      counters(6).add(m.peakExecutionMemory)
+      counters(7).add(1L)
+    }
+  }
+  /** (shuffleRead, shuffleWrite, spillMem, spillDisk, input, cpuNs,
+    * peakMemSum, tasks) — cumulative since registration.
+    */
+  def snapshot(): Array[Long] = counters.map(_.sum())
+}
+
 object Bench {
   /** Per-query minimum across timed passes, over SUCCESSFUL runs only: a
     * failed run's elapsed time is how fast the error was thrown, not a
@@ -157,6 +193,25 @@ object Bench {
     // instrument that separates "the plan is slow" from "the JVM was busy
     // compiling/collecting under this query" when a battery time spikes.
     val diag = sys.env.contains("SPARK_GRAFT_DIAG")
+    // SPARK_GRAFT_METRICS=1: per-query executor task metrics as #metrics
+    // stderr lines (shuffle read/write, spill, scan input, CPU, tasks).
+    // Listener events are asynchronous, so each delta is taken outside
+    // the timed window after a bus drain — reflection on the
+    // private[spark] LiveListenerBus.waitUntilEmpty (public at bytecode
+    // level), with a bounded sleep fallback if the internals move.
+    val metricsListener = sys.env.get("SPARK_GRAFT_METRICS")
+      .filter(_ == "1").map { _ =>
+        val l = new TaskMetricsListener
+        spark.sparkContext.addSparkListener(l)
+        l
+      }
+    def drainBus(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+        ()
+      } catch { case _: Throwable => Thread.sleep(200) }
     def gcMs: Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -165,6 +220,7 @@ object Bench {
     def runPass(): Seq[(String, Double, Boolean)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         settle(10) // drain the previous query's compile backlog (untimed)
+        val m0 = metricsListener.map { l => drainBus(); l.snapshot() }
         val (jit0, gc0) =
           (if (jitBean != null) jitBean.getTotalCompilationTime else 0L, gcMs)
         val t0 = System.nanoTime()
@@ -182,6 +238,14 @@ object Bench {
         if (diag) {
           val jd = if (jitBean != null) jitBean.getTotalCompilationTime - jit0 else -1L
           System.err.println(f"#diag $name%-28s ${sec}%8.3fs jit=${jd}ms gc=${gcMs - gc0}ms")
+        }
+        metricsListener.zip(m0).foreach { case (l, s0) =>
+          drainBus()
+          val d = l.snapshot().zip(s0).map { case (a, b) => a - b }
+          System.err.println(f"#metrics $name%-28s sec=$sec%.3f " +
+            s"shufRead=${d(0)} shufWrite=${d(1)} spillMem=${d(2)} " +
+            s"spillDisk=${d(3)} input=${d(4)} cpuMs=${d(5) / 1000000L} " +
+            s"tasks=${d(7)}")
         }
         (name, sec, failed.isDefined)
       }

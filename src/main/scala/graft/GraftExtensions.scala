@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeTokenCount, DistinctNgramCount, FloatDotProduct, Int8Quantize, RepetitionProfile, TokenNgrams}
+import graft.functions.{BpeTokenCount, DistinctNgramCount, FloatDotProduct, Int8Quantize, RepetitionProfile, TokenNgrams, TopKStructs}
 
 /** Spark-native packaging of the engine's custom expressions: register the
   * library through the extensions hook instead of imperative per-session
@@ -71,6 +71,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"int8_quantize requires exactly 1 argument, got ${exprs.length}")
         Int8Quantize(exprs.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("topk_structs"),
+      new ExpressionInfo(classOf[TopKStructs].getName, "topk_structs"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"topk_structs requires exactly 2 arguments, got ${exprs.length}")
+        TopKStructs(exprs(0), exprs(1))
+      }))
   }
 }
 
@@ -94,5 +102,6 @@ object GraftExtensions {
       graft.functions.RepetitionProfile.register(spark)
       graft.functions.TokenNgrams.register(spark)
       graft.functions.Int8Quantize.register(spark)
+      graft.functions.TopKStructs.register(spark)
     }
 }

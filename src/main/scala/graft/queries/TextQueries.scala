@@ -26,7 +26,7 @@ object TextQueries {
     * persisted, and shared by every consumer (d31 TF-IDF, d47 BM25: term
     * joins, document frequencies, global term ranks all derive from it).
     */
-  private def docTf(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docTf(s: SparkSession, dir: String): DataFrame =
     Q.memo(s, dir, "docTf") {
       t(s, dir, "documents")
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
@@ -103,13 +103,26 @@ object TextQueries {
     // stratum, ranked by the md5 hash of the doc id — reproducible on any
     // engine, no RNG state, and at scale it's a single shuffle by stratum.
     "d14_stratified_sample" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("lang", "source")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      // k-per-stratum via the bounded `topk_structs` aggregate, NOT a
+      // row_number window: strata are (lang, source) — a few dozen at any
+      // corpus size — so the window funnels the ENTIRE corpus through one
+      // sort task per stratum (the canonical low-cardinality-window
+      // hazard at 100 TB). The aggregate keeps a k-slot heap per stratum
+      // WITH map-side partial combine: every core scans its split, the
+      // exchange carries ≤ strata×tasks×k rows, and no corpus-sized sort
+      // exists anywhere. Rank order (md5 ASC, doc_id ASC) is the struct's
+      // natural ascending order; posexplode's pos+1 is the window's
+      // row_number (equality spec-pinned in TopKStructsSpec).
       t(s, dir, "documents")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select("lang", "source", "rn", "doc_id", "n_chars")
+        .groupBy("lang", "source")
+        .agg(call_function("topk_structs",
+          struct(md5(col("doc_id").cast("string")).as("mk"),
+            col("doc_id"), col("n_chars")),
+          lit(3)).as("top"))
+        .select(col("lang"), col("source"), posexplode(col("top")))
+        .select(col("lang"), col("source"),
+          (col("pos") + 1).cast("int").as("rn"),
+          col("col.doc_id").as("doc_id"), col("col.n_chars").as("n_chars"))
         .orderBy("lang", "source", "rn")
     },
     // Composite training-data prep pipeline: quality filter → exact dedup
@@ -118,7 +131,6 @@ object TextQueries {
     // end-to-end shape a 100 TB corpus prep job runs: every stage is one
     // narrow filter or one keyed shuffle; nothing quadratic.
     "d15_pipeline_prep" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val quality = t(s, dir, "documents")
         .withColumn("tk", tokens(col("text")))
         .withColumn("n_tokens", size(col("tk")))
@@ -126,17 +138,29 @@ object TextQueries {
           size(array_distinct(col("tk"))).cast("double") / col("n_tokens"))
         .filter(col("n_tokens").between(qualityMinTokens, qualityMaxTokens) &&
           col("distinct_ratio") >= qualityMinDistinctRatio)
-      val wDup = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      // exact dedup = keep-min-doc_id per content hash: a min_by argmax
+      // (map-side partial combine), not a per-hash row_number window —
+      // same rows, no per-group sort, and partial aggregation collapses
+      // duplicates before the exchange instead of shuffling every copy
       val deduped = quality
-        .withColumn("rn_dup", row_number().over(wDup)).filter(col("rn_dup") === 1)
-      val wStratum = Window.partitionBy("lang", "source")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .groupBy(md5(col("text")).as("__h"))
+        .agg(min_by(struct(col("doc_id"), col("lang"), col("source"),
+          col("n_tokens")), col("doc_id")).as("__r"))
+        .select(col("__r.*"))
+      // k-per-stratum via topk_structs — same low-cardinality-window
+      // hazard and fix as d14 (strata = (lang, source); a window would
+      // funnel the surviving corpus through one task per stratum)
       deduped
-        .withColumn("rn", row_number().over(wStratum)).filter(col("rn") <= 5)
+        .groupBy("lang", "source")
+        .agg(call_function("topk_structs",
+          struct(md5(col("doc_id").cast("string")).as("mk"),
+            col("doc_id"), col("n_tokens")),
+          lit(5)).as("top"))
+        .select(col("lang"), col("source"), explode(col("top")).as("s"))
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_kept"),
-          sum("n_tokens").as("total_tokens"),
-          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+          sum("s.n_tokens").as("total_tokens"),
+          min("s.doc_id").as("min_doc"), max("s.doc_id").as("max_doc"))
         .orderBy("lang", "source")
     },
     // Vocabulary building: corpus-wide top-20 3-gram document frequency.
@@ -259,13 +283,25 @@ object TextQueries {
     // freq, doc freq) + a broadcast of the 1-row corpus count + a top-k
     // window per doc — every stage keyed, no corpus-sized driver state.
     "d31_tfidf_keywords" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       // tf first, then df FROM tf: tf has exactly one row per (doc, tok),
       // so per-token row counts of tf ARE document frequencies — the
       // corpus is tokenized once and the countDistinct expand disappears.
       // tf (not the exploded token table) is what persists: it feeds both
       // the join and the df agg, and it's the smaller frame. Memoized so
       // d47 (BM25) reuses the identical materialization.
+      //
+      // Top-3 per doc stays a row_number WINDOW — the bounded
+      // `topk_structs` aggregate was measured here and REJECTED for this
+      // corpus shape (round 10, sf10 solo min-of-2: window 6.45 s /
+      // 626 MB shuffled vs aggregate 6.59 s / 689 MB): fixture docs
+      // average only ~2 tf rows per (doc, map partition), UNDER the k=3
+      // partial-buffer size, so map-side combine prunes nothing and the
+      // length-framed partial buffers are fatter than the window's
+      // UnsafeRow stream. The aggregate wins only when rows-per-group-
+      // per-task ≫ k (see d05's corpus-sized groups, where exactly that
+      // shape is routed to bounded heaps); doc_id groups at ~70 distinct
+      // tokens over 32 tasks are the opposite regime.
+      import org.apache.spark.sql.expressions.Window
       val tf = docTf(s, dir)
       val docFreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val n = t(s, dir, "documents").agg(count(lit(1)).as("n"))

@@ -306,6 +306,19 @@ object VectorQueries {
     * order, NaN-greatest like Spark sorts; spec-pinned on every consumer).
     * `rank` (1..≤k per query) is appended as the last column.
     */
+  /** NOTE (round 10, measured): re-expressing this kernel as a
+    * `topk_structs` aggregation (groupBy(qCol) + the bounded-heap
+    * TypedImperativeAggregate) was tried and REJECTED — sf10 solo
+    * min-of-2: d05 0.63→1.01 s, d20 1.28→2.00 s, d43 0.83→1.94 s. Both
+    * shapes prune identically (exchange carries partitions×queries×k
+    * rows), so there is no fabric advantage to trade; the aggregate's
+    * per-row `struct(...)` child evaluation allocates a full payload
+    * struct per scored row and its interpreted ordering compare loses to
+    * this kernel's primitive field reads. `topk_structs` earns its keep
+    * where NO bounded pre-filter exists at all — the low-cardinality
+    * stratum windows (d14/d15), where a row_number window would funnel
+    * the corpus through one task per stratum.
+    */
   private[graft] def topKPerQuery(scored: DataFrame, k: Int, qCol: String,
       ordCol: String, tieCol: String): DataFrame = {
     val schema = scored.schema
