@@ -82,35 +82,44 @@ def main():
               f"scan input {human(tot['input'])}, cpu {tot['cpuMs']/1000:.0f} s, "
               f"tasks {tot['tasks']}.\n")
 
-    if len(runs) >= 2:
-        (l0, d0), (l1, d1) = runs[0], runs[-1]
+    for (l0, d0), (l1, d1) in zip(runs, runs[1:]):
         s0, s1 = sf_value(l0), sf_value(l1)
         data_ratio = (s1 / s0) if (s0 and s1) else None
         hdr = f"## Shuffle growth {l0} → {l1}"
         if data_ratio:
             hdr += f" (data ×{data_ratio:g})"
         print(hdr + "\n")
+        rows, shifts = [], []
+        for q in sorted(set(d0) & set(d1)):
+            w0, w1 = d0[q]["shufWrite"], d1[q]["shufWrite"]
+            if w1 < 1 << 20:  # sub-MB at the larger SF: nothing to grade
+                continue
+            secr = d1[q]["sec"] / d0[q]["sec"] if d0[q]["sec"] > 0 else 0
+            if w0 < 1 << 18:
+                # a near-zero baseline that becomes real shuffle is a PLAN
+                # SHIFT (a small side crossing the broadcast threshold),
+                # not byte growth — grading it as a ratio is meaningless
+                shifts.append((q, w0, w1))
+                continue
+            rows.append((q, w0, w1, w1 / w0, secr))
+        rows.sort(key=lambda r: -r[3])
         print("| query | shufWrite " + l0 + " | shufWrite " + l1 +
               " | ratio | sec ratio | verdict |")
         print("|---|---|---|---|---|---|")
-        rows = []
-        for q in sorted(set(d0) & set(d1)):
-            w0, w1 = d0[q]["shufWrite"], d1[q]["shufWrite"]
-            if w1 < 1 << 20:  # ignore sub-MB shufflers at the larger SF
-                continue
-            ratio = w1 / w0 if w0 > 0 else float("inf")
-            secr = d1[q]["sec"] / d0[q]["sec"] if d0[q]["sec"] > 0 else 0
-            rows.append((q, w0, w1, ratio, secr))
-        rows.sort(key=lambda r: -r[3])
         for q, w0, w1, ratio, secr in rows:
             verdict = "linear-or-better"
             if data_ratio and ratio > 1.25 * data_ratio:
                 verdict = "SUPERLINEAR"
             elif data_ratio and ratio > data_ratio:
                 verdict = "~linear"
-            rtxt = "inf" if ratio == float("inf") else f"{ratio:.2f}x"
-            print(f"| {q} | {human(w0)} | {human(w1)} | {rtxt} | "
+            print(f"| {q} | {human(w0)} | {human(w1)} | {ratio:.2f}x | "
                   f"{secr:.2f}x | {verdict} |")
+        if shifts:
+            print(f"\nPlan shifts (broadcast→shuffle as a side outgrew the "
+                  f"threshold; baseline <256KB so a growth ratio is not "
+                  f"meaningful): " + ", ".join(
+                      f"{q} ({human(w0)}→{human(w1)})"
+                      for q, w0, w1 in shifts))
         print()
     return 0
 
