@@ -33,6 +33,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StructType}
   * `pos + 1` as the 1-based rank — bit-identical to the window's
   * row_number on the same total order.
   *
+  * NaN caveat for the negation trick: NaN compares GREATEST in Spark's
+  * ordering and `-NaN` is still NaN, so a NaN score ranks LAST here
+  * while a `.desc` window ranks it FIRST (spec-pinned). Callers ranking
+  * a possibly-NaN column descending must map NaN to a sentinel first
+  * (`when(isnan(c), lit(-inf)).otherwise(-c)` for bounded domains);
+  * the deployed sites (d14/d15) rank md5 strings — no NaN exists.
+  *
   * Buffer: a size-bounded max-heap (root = largest kept value); an
   * incoming row is copied only when it actually displaces the root —
   * after the heap warms up past the corpus's top-k band, updates are one

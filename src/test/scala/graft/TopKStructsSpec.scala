@@ -68,6 +68,20 @@ class TopKStructsSpec extends SparkSpec {
     assert(out == 2)
   }
 
+  test("NaN sorts greatest: selected last by k-smallest (doc'd negation caveat)") {
+    import spark.implicits._
+    graft.functions.TopKStructs.register(spark)
+    val df = Seq((1, 5.0), (1, Double.NaN), (1, 1.0), (1, 3.0))
+      .toDF("g", "v").repartition(3)
+    val out = df.groupBy("g")
+      .agg(call_function("topk_structs", struct(col("v")), lit(3)).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.v")).collect().map(_.getDouble(0)).toSeq
+    // ascending natural order, NaN greatest => the 3 smallest are the
+    // finite values; NaN is excluded at k=3 (and would rank LAST at k=4)
+    assert(out == Seq(1.0, 3.0, 5.0))
+  }
+
   test("d14 on the aggregate matches the window formulation; no Window in plan") {
     val dir = "/root/testdata/sf0.01"
     val d14 = SparkEntry.queries("d14_stratified_sample")(spark, dir)
