@@ -160,10 +160,13 @@ object TopKStructs {
     private val heap = new Array[Any](k)
     private var n = 0
 
-    private def owned(v: Any, copy: Boolean): Any = v match {
-      case r: InternalRow if copy => r.copy()
-      case other => other
-    }
+    // InternalRow.copyValue, not a bare row.copy(): it also deep-copies
+    // pointer-typed ATOMIC inputs (a bare UTF8String child points into
+    // the operator's reused row buffer), and for struct rows it is what
+    // GenericInternalRow.copy() delegates to per field anyway
+    private def owned(v: Any, copy: Boolean): Any =
+      if (copy) org.apache.spark.sql.catalyst.InternalRow.copyValue(v)
+      else v
 
     def insert(v: Any, copyOnInsert: Boolean): Unit =
       if (n < k) {

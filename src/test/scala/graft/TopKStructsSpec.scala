@@ -68,6 +68,23 @@ class TopKStructsSpec extends SparkSpec {
     assert(out == 2)
   }
 
+  test("bare string child from a parquet scan is deep-copied, not aliased") {
+    // a pointer-typed ATOMIC child (no struct wrapper): the evaluated
+    // UTF8String points into the scan's reused row buffer, so a shallow
+    // store would corrupt once the buffer advances — pinned against a
+    // driver-side recomputation over the same parquet rows
+    graft.functions.TopKStructs.register(spark)
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val agg = d.groupBy("lang")
+      .agg(call_function("topk_structs", col("source"), lit(3)).as("t"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[String](1).toList)).toMap
+    val expected = d.select("lang", "source").collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rs) => l -> rs.map(_.getString(1)).sorted.take(3).toList }
+    assert(agg == expected)
+  }
+
   test("NaN sorts greatest: selected last by k-smallest (doc'd negation caveat)") {
     import spark.implicits._
     graft.functions.TopKStructs.register(spark)
