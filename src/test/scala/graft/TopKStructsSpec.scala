@@ -119,6 +119,35 @@ class TopKStructsSpec extends SparkSpec {
       "d14 must not plan a Window")
   }
 
+  test("d52 on the aggregate matches the window formulation; no Window in plan") {
+    val dir = "/root/testdata/sf0.01"
+    val d52 = SparkEntry.queries("d52_label_outliers")(spark, dir)
+    // independent window recomputation of bottom-3-cosine per label over
+    // the same scored frame shape (cosine ASC, vec_id ASC)
+    graft.functions.FloatDotProduct.register(spark)
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm",
+        graft.functions.VectorFunctions.l2norm(col("embedding")))
+    val cent = graft.queries.VectorQueries.quantCentroids(
+      v.select(col("label"), col("embedding")), "label")
+    val w = Window.partitionBy("label")
+      .orderBy(col("cosine").asc, col("vec_id"))
+    val win = v.join(broadcast(cent), "label")
+      .withColumn("cosine", graft.functions.VectorFunctions.cosineWithNorms(
+        graft.functions.VectorFunctions.dotHof(col("embedding"), col("ce")),
+        col("nrm"), col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("label", "rnk", "vec_id", "cosine")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.get(0).toString, r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).sorted.toSeq
+    assert(key(win) == key(d52))
+    assert(!d52.queryExecution.executedPlan.toString.contains("Window"),
+      "d52 must not plan a Window")
+  }
+
   test("d15 plans no Window (stratum top-k and dedup are aggregates)") {
     val dir = "/root/testdata/sf0.01"
     val d15 = SparkEntry.queries("d15_pipeline_prep")(spark, dir)
