@@ -14,8 +14,12 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] class TaskMetricsListener
     extends org.apache.spark.scheduler.SparkListener {
-  import java.util.concurrent.atomic.LongAdder
+  import java.util.concurrent.atomic.{LongAccumulator, LongAdder}
   private val counters = Array.fill(8)(new LongAdder)
+  // per-task peak execution memory is only meaningful as a MAX (the old
+  // cross-task LongAdder sum was dead weight); getThenReset gives each
+  // query window its own high-water mark
+  private val peakTask = new LongAccumulator(Math.max(_, _), 0L)
   override def onTaskEnd(
       te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
     val m = te.taskMetrics
@@ -26,14 +30,16 @@ private[graft] class TaskMetricsListener
       counters(3).add(m.diskBytesSpilled)
       counters(4).add(m.inputMetrics.bytesRead)
       counters(5).add(m.executorCpuTime)
-      counters(6).add(m.peakExecutionMemory)
+      peakTask.accumulate(m.peakExecutionMemory)
       counters(7).add(1L)
     }
   }
   /** (shuffleRead, shuffleWrite, spillMem, spillDisk, input, cpuNs,
-    * peakMemSum, tasks) — cumulative since registration.
+    * unused, tasks) — cumulative since registration.
     */
   def snapshot(): Array[Long] = counters.map(_.sum())
+  /** Largest single-task peakExecutionMemory since the last call. */
+  def peakTaskMemSinceReset(): Long = peakTask.getThenReset()
 }
 
 object Bench {
@@ -242,10 +248,20 @@ object Bench {
         metricsListener.zip(m0).foreach { case (l, s0) =>
           drainBus()
           val d = l.snapshot().zip(s0).map { case (a, b) => a - b }
+          // storage-memory occupancy AFTER the query: in local mode one
+          // block manager; used = max - remaining. Rising occupancy
+          // across the battery names which queries' persisted frames
+          // crowd later queries' execution memory (the d51 in-battery
+          // investigation) — a per-query delta would hide the standing
+          // level, so this is an absolute gauge, not a delta.
+          val storageUsed = spark.sparkContext.getExecutorMemoryStatus
+            .values.map { case (max, rem) => max - rem }.sum
           System.err.println(f"#metrics $name%-28s sec=$sec%.3f " +
             s"shufRead=${d(0)} shufWrite=${d(1)} spillMem=${d(2)} " +
             s"spillDisk=${d(3)} input=${d(4)} cpuMs=${d(5) / 1000000L} " +
-            s"tasks=${d(7)}")
+            s"tasks=${d(7)} gcMs=${gcMs - gc0} " +
+            s"peakTaskMem=${l.peakTaskMemSinceReset()} " +
+            s"storageUsed=$storageUsed")
         }
         (name, sec, failed.isDefined)
       }

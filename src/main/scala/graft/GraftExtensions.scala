@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeTokenCount, DistinctNgramCount, FloatDotProduct, Int8Quantize, RepetitionProfile, TokenNgrams, TopKStructs}
+import graft.functions.{BpeTokenCount, DescKey, DistinctNgramCount, FloatDotProduct, Int8Quantize, RepetitionProfile, TokenNgrams, TopKStructs}
 
 /** Spark-native packaging of the engine's custom expressions: register the
   * library through the extensions hook instead of imperative per-session
@@ -79,6 +79,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"topk_structs requires exactly 2 arguments, got ${exprs.length}")
         TopKStructs(exprs(0), exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("desc_key"),
+      new ExpressionInfo(classOf[DescKey].getName, "desc_key"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"desc_key requires exactly 1 argument, got ${exprs.length}")
+        DescKey(exprs.head)
+      }))
   }
 }
 
@@ -103,5 +111,6 @@ object GraftExtensions {
       graft.functions.TokenNgrams.register(spark)
       graft.functions.Int8Quantize.register(spark)
       graft.functions.TopKStructs.register(spark)
+      graft.functions.DescKey.register(spark)
     }
 }

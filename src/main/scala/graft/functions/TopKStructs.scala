@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, RowOrdering, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StructType}
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, SQLOrderingUtil, TypeUtils}
+import org.apache.spark.sql.types.{ArrayType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, StringType, StructType, TimestampNTZType, TimestampType}
 
 /** Bounded exact top-k aggregate: `topk_structs(s, k)` keeps the k
   * SMALLEST values of `s` (any orderable type, typically a struct) in
@@ -36,9 +36,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StructType}
   * NaN caveat for the negation trick: NaN compares GREATEST in Spark's
   * ordering and `-NaN` is still NaN, so a NaN score ranks LAST here
   * while a `.desc` window ranks it FIRST (spec-pinned). Callers ranking
-  * a possibly-NaN column descending must map NaN to a sentinel first
-  * (`when(isnan(c), lit(-inf)).otherwise(-c)` for bounded domains);
-  * the deployed sites (d14/d15) rank md5 strings — no NaN exists.
+  * a possibly-NaN double descending should use [[DescKey]]
+  * (`desc_key(score)`) as the leading struct field — a bit-level key
+  * whose ascending order IS `desc_nulls_last`, correct for
+  * NaN/±inf/±0.0/null by construction. The deployed sites (d14/d15)
+  * rank md5 strings — no NaN exists.
   *
   * Buffer: a size-bounded max-heap (root = largest kept value); an
   * incoming row is copied only when it actually displaces the root —
@@ -56,7 +58,7 @@ case class TopKStructs(
   private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
 
   private lazy val ordering: Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(child.dataType)
+    TopKStructs.orderingFor(child.dataType)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (!RowOrdering.isOrderable(child.dataType))
@@ -149,6 +151,62 @@ case class TopKStructs(
 }
 
 object TopKStructs {
+
+  /** Heap ordering with a first-field fast path: the deployed struct
+    * shapes lead with the rank key (a double cosine, a long count, an
+    * md5 string), so nearly every heap compare is decided by field 0 —
+    * paying `TypeUtils.getInterpretedOrdering`'s per-field dispatch walk
+    * for it (measured: ~1.23× on d52's sf10 solo) buys nothing. The fast
+    * path reads field 0 through the primitive accessor and falls back to
+    * the interpreted full-struct compare ONLY on a field-0 tie, so the
+    * total order is bit-identical to the interpreted one by
+    * construction: the per-type comparators are the exact ones Spark's
+    * interpreted ordering uses (SQLOrderingUtil for float/double — NaN
+    * greatest, -0.0 == 0.0 — and binary UTF8String.compareTo for
+    * default-collation strings), and ties defer entirely.
+    */
+  private[graft] def orderingFor(dt: DataType): Ordering[Any] = {
+    val full = TypeUtils.getInterpretedOrdering(dt)
+    dt match {
+      case st: StructType if st.fields.nonEmpty =>
+        val headCmp: (InternalRow, InternalRow) => Int =
+          st.fields(0).dataType match {
+            case DoubleType => (a, b) =>
+              SQLOrderingUtil.compareDoubles(a.getDouble(0), b.getDouble(0))
+            case FloatType => (a, b) =>
+              SQLOrderingUtil.compareFloats(a.getFloat(0), b.getFloat(0))
+            case LongType | TimestampType | TimestampNTZType => (a, b) =>
+              java.lang.Long.compare(a.getLong(0), b.getLong(0))
+            case IntegerType | DateType => (a, b) =>
+              java.lang.Integer.compare(a.getInt(0), b.getInt(0))
+            // the default-collation singleton ONLY: UTF8String.compareTo
+            // is the binary order, which is what the interpreted
+            // ordering uses for UTF8_BINARY; any other collation (or
+            // type) keeps the interpreted path
+            case s: StringType if s == StringType => (a, b) =>
+              a.getUTF8String(0).compareTo(b.getUTF8String(0))
+            case _ => null
+          }
+        if (headCmp == null) full
+        else new Ordering[Any] {
+          override def compare(x: Any, y: Any): Int = {
+            val a = x.asInstanceOf[InternalRow]
+            val b = y.asInstanceOf[InternalRow]
+            val an = a.isNullAt(0)
+            val bn = b.isNullAt(0)
+            if (an || bn) {
+              // asc nulls-first, matching the interpreted ordering;
+              // both-null is a field-0 tie → full compare for the rest
+              if (an && bn) full.compare(x, y) else if (an) -1 else 1
+            } else {
+              val c = headCmp(a, b)
+              if (c != 0) c else full.compare(x, y)
+            }
+          }
+        }
+      case _ => full
+    }
+  }
 
   /** Bounded max-heap over the k smallest seen values: `heap(0)` is the
     * LARGEST kept value, so the common no-op case (value ≥ root once the

@@ -1570,14 +1570,27 @@ object DedupQueries {
     */
   private[graft] def hatchAudit(s: SparkSession, members: DataFrame,
       pairs: DataFrame, thr: Double, mods: Seq[(Long, Long)],
-      estSampleBytes: Long = 0L): DataFrame = {
+      estSampleBytes: Long = 0L,
+      scratch: scala.collection.mutable.Buffer[DataFrame] = null): DataFrame = {
     import s.implicits._
-    val sample = members
+    // the audit result reads `sample` through THREE consumers (the
+    // broadcast/shuffle join arm feeding exactSample, exactSample's own
+    // n_exact/n_found aggregations, and the per-label n_sampled count) —
+    // without a materialization each consumer rescans `members` and
+    // recomputes the salted filter; correct (the filter is
+    // deterministic) but 3x the member scans at scale. When the caller
+    // hands a scratch buffer, the ~128-rows-per-label sample (and the
+    // above-threshold exact pair set, read twice downstream) persist for
+    // the audit's lifetime and the caller unpersists after its collect.
+    def viaScratch(df: DataFrame): DataFrame =
+      if (scratch == null) df
+      else { val p = df.persist(); scratch += p; p }
+    val sample = viaScratch(members
       .join(broadcast(mods.toDF("lab", "amod")), "lab")
       .filter(pmod(xxhash64(lit("graft-audit"), col("vec_id")),
         col("amod")) === 0)
       .select(col("lab"), col("vec_id").as("sa"),
-        col("embedding").as("se"), col("nrm").as("sn"))
+        col("embedding").as("se"), col("nrm").as("sn")))
     // the sample is ~(members/auditModEff) embedding rows — ~128 PER
     // HATCHED LABEL, so it grows with how many labels hatch at once. A
     // corpus hatching 10⁵+ labels would push a multi-GB broadcast;
@@ -1587,14 +1600,14 @@ object DedupQueries {
       if (estSampleBytes > 0L && estSampleBytes > VectorKernels.MaxProbeBytes)
         sample
       else broadcast(sample)
-    val exactSample = members.join(sampleSide, "lab")
+    val exactSample = viaScratch(members.join(sampleSide, "lab")
       .filter(col("vec_id") =!= col("sa"))
       .withColumn("cos",
         cosineWithNorms(dot(col("embedding"), col("se")), col("nrm"), col("sn")))
       .filter(col("cos") > thr)
       .select(col("lab"), least(col("sa"), col("vec_id")).as("pa"),
         greatest(col("sa"), col("vec_id")).as("pb"))
-      .distinct()
+      .distinct())
     val found = exactSample.join(
       pairs.select(col("lab"), col("va").as("pa"), col("vb").as("pb")),
       Seq("lab", "pa", "pb"), "left_semi")
@@ -1704,7 +1717,8 @@ object DedupQueries {
     val mods1 = overLabs.filterNot(degenerate1).map(l => (l, modOf(l)))
     val a1: Map[Long, (Option[Double], Long)] =
       if (mods1.isEmpty) Map.empty
-      else hatchAudit(s, auditMembers, ap1p, thr, mods1, estAuditBytes)
+      else hatchAudit(s, auditMembers, ap1p, thr, mods1, estAuditBytes,
+          scratch1)
         .as[(Long, Option[Double], Long)].collect()
         .map(t => t._1 -> ((t._2, t._3))).toMap
     // round-1 evidence is now fully on the driver and ap1p itself is
@@ -1799,7 +1813,8 @@ object DedupQueries {
       val modsX = keepLabsX.map(l => (l, modOf(l)))
       val auditM: Map[Long, (Option[Double], Long)] =
         if (modsX.isEmpty) Map.empty
-        else hatchAudit(s, membersOk, app, thr, modsX, estSubBytes)
+        else hatchAudit(s, membersOk, app, thr, modsX, estSubBytes,
+            scratchX)
           .as[(Long, Option[Double], Long)].collect()
           .map(t => t._1 -> ((t._2, t._3))).toMap
       auditM.foreach {

@@ -192,4 +192,87 @@ class TopKStructsSpec extends SparkSpec {
         java.lang.Double.doubleToLongBits(r.getDouble(5)))).sorted.toSeq
     assert(key(win) == key(agg))
   }
+
+  test("desc_key: NaN/inf/zero/null-safe descending equals desc_nulls_last window") {
+    import spark.implicits._
+    graft.functions.TopKStructs.register(spark)
+    graft.functions.DescKey.register(spark)
+    val rnd = new scala.util.Random(13)
+    // every edge the naive -score negation gets wrong, plus exact ties:
+    // NaN (greatest => rank FIRST desc), ±inf (negation collides -inf
+    // with a real +inf score), -0.0/0.0 (Spark ties them; the tiebreak
+    // must decide), null (desc default = NULLS LAST)
+    val edge = Seq(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, -0.0, 0.0)
+    val rows = (0 until 4000).map { i =>
+      val s: java.lang.Double =
+        if (i % 11 == 0) null
+        else if (i % 7 == 0) edge(rnd.nextInt(edge.length))
+        else rnd.nextInt(20).toDouble
+      (i % 53, i.toLong, s)
+    }
+    val df = rows.toDF("g", "id", "score").repartition(16)
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val win = df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5).select("g", "rnk", "id", "score")
+    val agg = df.groupBy("g")
+      .agg(call_function("topk_structs",
+        struct(call_function("desc_key", col("score")).as("dk"),
+          col("id"), col("score")),
+        lit(5)).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("id"), col("col.score").as("score"))
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map { r =>
+        val s = if (r.isNullAt(3)) -1L
+          else java.lang.Double.doubleToLongBits(r.getDouble(3))
+        (r.getInt(0), r.getInt(1), r.getLong(2), s)
+      }.sorted.toSeq
+    assert(key(win) == key(agg))
+  }
+
+  test("desc_key is strictly order-reversing and collision-free on distinct values") {
+    // interpreted twin (shared with codegen): total ascending key order
+    // == Spark's desc_nulls_last; ties ONLY where Spark ties (-0.0/0.0)
+    import graft.functions.DescKey.key
+    val vs = Seq(Double.NegativeInfinity, -1.7e308, -2.0, -1.0,
+      -java.lang.Double.MIN_VALUE, 0.0, java.lang.Double.MIN_VALUE,
+      0.5, 1.0, 2.0, 1.7e308, Double.PositiveInfinity)
+    vs.sliding(2).foreach { case Seq(a, b) =>
+      assert(key(a) > key(b), s"key($a) must rank AFTER key($b) desc")
+    }
+    assert(key(-0.0) == key(0.0), "Spark ties -0.0 with 0.0")
+    assert(key(Double.NaN) < key(Double.PositiveInfinity),
+      "NaN is greatest => first in desc order")
+    assert(vs.map(key).max < Long.MaxValue, "null sentinel stays above all keys")
+  }
+
+  test("null first struct field ranks nulls-first, ties fall to the next field") {
+    import spark.implicits._
+    // pins the fast-path ordering's null arm and both-null full-compare
+    // fallback against the row_number window (asc = nulls first)
+    graft.functions.TopKStructs.register(spark)
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 3000).map { i =>
+      val s: java.lang.Double =
+        if (i % 5 == 0) null else rnd.nextInt(8).toDouble
+      (i % 31, i.toLong, s)
+    }
+    val df = rows.toDF("g", "id", "score").repartition(8)
+    val w = Window.partitionBy("g")
+      .orderBy(col("score").asc_nulls_first, col("id"))
+    val win = df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 4).select("g", "rnk", "id")
+    val agg = df.groupBy("g")
+      .agg(call_function("topk_structs",
+        struct(col("score"), col("id")), lit(4)).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("id"))
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .sorted.toSeq
+    assert(key(win) == key(agg))
+  }
 }
