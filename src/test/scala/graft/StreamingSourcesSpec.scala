@@ -462,4 +462,63 @@ class StreamingSourcesSpec extends SparkSpec {
     assert(replayed == Set((1L, "orig-1"), (2L, "orig-2")),
       "replay must pin to the version recorded in the offset")
   }
+
+  test("graft-table source soak: upsert/compact/reset churn stays exactly-once") {
+    // the V1 Source's contention soak: a RUNNING streaming query while
+    // the table churns through every version-swapping mutation the
+    // catalog supports — upserts that add fresh id bands, upserts that
+    // REWRITE bands already below the cursor (must not re-emit: the
+    // value cursor delivers an ordering value once), periodic compact()
+    // (active-pointer swap to a consolidated dir), and a mid-soak
+    // reset() (active pointer to a fresh NULL version — the high-water
+    // clamp must hold across the empty generation). Exactly-once is
+    // asserted against a driver-side recomputation of what each round
+    // introduced above the cursor.
+    val root = freshRoot()
+    val e = new GraftEngine(spark, root)
+    val t = e.table("soak_churn_src", "w").init(uniqueOn = Seq("id"))
+    def band(lo: Long, n: Long, tag: String) =
+      spark.range(lo, lo + n).select(col("id"),
+        concat(lit(tag), col("id")).as("v"))
+    t.append(band(0L, 200L, "r0-")); t.flush()
+    val stream = spark.readStream
+      .format("graft.streaming.GraftTableSourceProvider")
+      .option("root", root).option("table", "soak_churn_src")
+      .option("orderBy", "id")
+      .load()
+    val q = StreamingPipelines.toMemorySink(stream, "soak_rows", complete = false)
+    val expected = scala.collection.mutable.Set.empty[Long]
+    expected ++= (0L until 200L)
+    try {
+      q.processAllAvailable()
+      var high = 199L
+      for (round <- 1 to 24) {
+        val fresh = band(high + 1L, 200L, s"r$round-")
+        val batch =
+          if (round % 2 == 0)
+            // rewrite a band 100 ids BELOW the cursor in the same upsert:
+            // payload updates of already-delivered ordering values
+            fresh.unionByName(band(high - 99L, 50L, s"u$round-"))
+          else fresh
+        t.upsert(batch)
+        expected ++= (high + 1L) to (high + 200L)
+        high += 200L
+        if (round % 5 == 0) t.compact()
+        if (round == 12) {
+          t.reset()
+          // rows re-introduced BELOW the high water after the reset are
+          // behind the cursor — delivered already, must not re-emit
+          t.upsert(band(high - 49L, 50L, "post-reset-"))
+        }
+        q.processAllAvailable()
+      }
+      val got = spark.table("soak_rows").select("id").as[Long].collect()
+      assert(got.length == got.distinct.length,
+        s"duplicate delivery: ${got.length - got.distinct.length} ids emitted twice")
+      assert(got.toSet == expected,
+        s"delivered ${got.length} ids, expected ${expected.size} " +
+          s"(missing=${(expected -- got.toSet).take(5)}, " +
+          s"extra=${(got.toSet -- expected).take(5)})")
+    } finally q.stop()
+  }
 }
