@@ -160,6 +160,39 @@ object DedupQueries {
         .persist()
     }
 
+  /** Sorted-source bit index (source, i) — |sources| rows (a provenance
+    * label set is tiny by definition), memoized + persisted; the bit
+    * assignment shared by d36's bitmap formulation and d27's corpus-hash
+    * route. NULL sources are dropped (collect_set semantics).
+    */
+  private[queries] def srcIndexOf(s: SparkSession, dir: String): DataFrame =
+    Q.memo(s, dir, "srcIndex") {
+      t(s, dir, "documents").filter(col("source").isNotNull)
+        .select("source").distinct()
+        .withColumn("i",
+          row_number().over(Window.orderBy("source")) - 1)
+        .persist()
+    }
+
+  /** Per-shingle-hash source-occupancy bitmap (h, mask): bit i set iff
+    * some doc of source i contains hash h. ONE corpus-wide shuffle on h
+    * (bit_or partial-aggregates map-side, 16 bytes per hash through the
+    * fabric), memoized + persisted and shared by d36 (its mask histogram
+    * is a tiny re-aggregation of this) and d27 (corpus hashes = masks
+    * with any non-eval bit) — without the share each rebuilt its own
+    * groupBy-h pass over the same gramTable⋈source rows. Only meaningful
+    * in the ≤63-source regime; callers probe [[srcIndexOf]] first.
+    */
+  private[queries] def hashSourceMask(s: SparkSession, dir: String): DataFrame =
+    Q.memo(s, dir, "hashSourceMask") {
+      gramTable(s, dir)
+        .join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
+        .join(broadcast(srcIndexOf(s, dir)), "source")
+        .withColumn("b", expr("shiftleft(CAST(1 AS BIGINT), i)"))
+        .groupBy("h").agg(expr("bit_or(b)").as("mask"))
+        .persist()
+    }
+
   /** Near-dup pairs at the 0.5 Jaccard threshold, persisted (tiny —
     * hundreds of rows); feeds d02 (pair report) and d21 (clustering).
     *
@@ -2120,8 +2153,28 @@ object DedupQueries {
       val evalDocs = withSrc.filter(col("source") === "src0" &&
         size(col("h_arr")) > 0)
       val evalSh = evalDocs.select(col("doc_id"), explode(col("h_arr")).as("h"))
-      val corpusHashes = withSrc.filter(col("source") =!= "src0")
-        .select(explode(col("h_arr")).as("h")).distinct()
+      // corpus hashes via the shared (h, source-mask) index when the
+      // source count fits its 63-bit regime: "h appears in some
+      // non-eval source" is a mask test against src0's bit, so d27 and
+      // d36 split ONE corpus-wide groupBy-h shuffle instead of each
+      // paying their own (the explode+distinct here shuffled the same
+      // gram universe the mask build does). src0 absent from the index
+      // means every occupied mask is corpus (and the eval side is empty
+      // anyway); the >63-source fallback keeps the direct formulation.
+      // Null-source docs are outside both routes: the index drops them,
+      // and `source =!= "src0"` is null-filtering.
+      val srcIdx = srcIndexOf(s, dir)
+      val corpusHashes =
+        if (srcIdx.count() <= 63) {
+          val src0i = srcIdx.filter(col("source") === "src0")
+            .select("i").collect().headOption.map(_.getInt(0))
+          val nonEval = src0i match {
+            case Some(i) => col("mask").bitwiseAND(lit(~(1L << i))) =!= 0L
+            case None => lit(true)
+          }
+          hashSourceMask(s, dir).filter(nonEval).select("h")
+        } else withSrc.filter(col("source") =!= "src0")
+          .select(explode(col("h_arr")).as("h")).distinct()
       val hits = evalSh.join(corpusHashes, Seq("h"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
       evalDocs.select(col("doc_id"), size(col("h_arr")).as("n_grams"))
@@ -2228,19 +2281,11 @@ object DedupQueries {
     // (tiny, fixed) source count, never by corpus size.
     "d36_source_overlap" -> { (s, dir) =>
       val docsSrc = t(s, dir, "documents").select("doc_id", "source")
-      // |sources| is tiny by definition (it's a provenance label); the
-      // sorted order is the bit assignment, memoized + persisted so the
-      // index job runs once per fixture dir, not per plan construction.
-      // NULL sources are dropped — the same semantics collect_set gave
-      // the set formulation. >63 real sources falls back to the
-      // source-SET formulation (collect_set + bounded explode) below.
-      val totals = Q.memo(s, dir, "srcIndex") {
-        docsSrc.filter(col("source").isNotNull)
-          .select("source").distinct()
-          .withColumn("i",
-            row_number().over(Window.orderBy("source")) - 1)
-          .persist()
-      }
+      // the sorted-source bit index, memoized + persisted (shared with
+      // d27's corpus-hash route — see srcIndexOf). >63 real sources
+      // falls back to the source-SET formulation (collect_set + bounded
+      // explode) below.
+      val totals = srcIndexOf(s, dir)
       // adaptive-path probe on a persisted ~|sources|-row frame: the same
       // measured-runtime-choice pattern as componentsOf
       if (totals.count() <= 63) {
@@ -2252,11 +2297,10 @@ object DedupQueries {
         // explode of the set formulation disappears entirely, and at
         // 100 TB the shuffle carries 16 bytes per hash instead of a
         // string array.
+        // the corpus-wide groupBy-h pass lives in hashSourceMask (shared
+        // with d27); the histogram here is a tiny re-aggregation of it
         val maskCounts = Q.memo(s, dir, "srcMaskCounts") {
-          gramTable(s, dir).join(docsSrc, "doc_id")
-            .join(broadcast(totals), "source")
-            .withColumn("b", expr("shiftleft(CAST(1 AS BIGINT), i)"))
-            .groupBy("h").agg(expr("bit_or(b)").as("mask"))
+          hashSourceMask(s, dir)
             .groupBy("mask").agg(count(lit(1)).as("cnt"))
             .persist()
         }

@@ -19,10 +19,11 @@ import sys
 LINE = re.compile(
     r"#metrics\s+(\S+)\s+sec=([0-9.]+)\s+shufRead=(-?\d+)\s+"
     r"shufWrite=(-?\d+)\s+spillMem=(-?\d+)\s+spillDisk=(-?\d+)\s+"
-    r"input=(-?\d+)\s+cpuMs=(-?\d+)\s+tasks=(-?\d+)")
+    r"input=(-?\d+)\s+cpuMs=(-?\d+)\s+tasks=(-?\d+)"
+    r"(?:\s+gcMs=(-?\d+)\s+peakTaskMem=(-?\d+)\s+storageUsed=(-?\d+))?")
 
 FIELDS = ["sec", "shufRead", "shufWrite", "spillMem", "spillDisk",
-          "input", "cpuMs", "tasks"]
+          "input", "cpuMs", "tasks", "gcMs", "peakTaskMem", "storageUsed"]
 
 
 def parse(path):
@@ -34,7 +35,8 @@ def parse(path):
                 continue
             q = m.group(1)
             vals = dict(zip(FIELDS, [float(m.group(2))] +
-                            [int(g) for g in m.groups()[2:]]))
+                            [int(g) if g is not None else 0
+                             for g in m.groups()[2:]]))
             if q not in best or vals["sec"] < best[q]["sec"]:
                 best[q] = vals
     return best
@@ -76,11 +78,19 @@ def main():
                   f"{human(v['spillDisk'])} | {human(v['input'])} | "
                   f"{v['cpuMs']/1000:.1f} | {v['tasks']} |")
         tot = {f: sum(v[f] for v in data.values()) for f in FIELDS}
+        # the three gauges (round 11) are max-style, not additive
+        peaks = {f: max((v[f] for v in data.values()), default=0)
+                 for f in ("gcMs", "peakTaskMem", "storageUsed")}
         print(f"\nBattery totals: shuffle write {human(tot['shufWrite'])}, "
               f"read {human(tot['shufRead'])}, spill mem "
               f"{human(tot['spillMem'])} / disk {human(tot['spillDisk'])}, "
               f"scan input {human(tot['input'])}, cpu {tot['cpuMs']/1000:.0f} s, "
-              f"tasks {tot['tasks']}.\n")
+              f"tasks {tot['tasks']}.")
+        if any(peaks.values()):
+            print(f"Gauges (max over queries): per-query gc {peaks['gcMs']} ms, "
+                  f"single-task peak exec mem {human(peaks['peakTaskMem'])}, "
+                  f"storage occupancy {human(peaks['storageUsed'])}.")
+        print()
 
     for (l0, d0), (l1, d1) in zip(runs, runs[1:]):
         s0, s1 = sf_value(l0), sf_value(l1)
