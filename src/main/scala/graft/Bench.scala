@@ -105,7 +105,7 @@ object Bench {
     // to silently time zero queries when given a Verify-style prefix.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
+    val included = only match {
       case Some(names) =>
         val sel = SparkEntry.queries.filter(kv => names.exists(kv._1.startsWith))
         if (sel.isEmpty)
@@ -114,6 +114,22 @@ object Bench {
         sel
       case None => SparkEntry.queries
     }
+    // SPARK_GRAFT_SKIP=d51,d02 (prefix match): scale-experiment
+    // exclusion for queries whose transient shuffle+spill exceeds the
+    // box at the target SF (the driver never sets it); skipped names
+    // are printed so a truncated battery can never read as a full one.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val selected =
+      if (skip.isEmpty) included
+      else {
+        val dropped = included.keys.filter(n => skip.exists(n.startsWith)).toSeq.sorted
+        if (dropped.nonEmpty)
+          System.err.println(
+            s"[bench] SPARK_GRAFT_SKIP excludes: ${dropped.mkString(",")}")
+        included.filter(kv => !skip.exists(kv._1.startsWith))
+      }
     // Steady-state warmup: run the whole battery once at the smallest
     // fixture so each query's generated code is JIT-compiled before the
     // timed loop (measured: first call of the dedup pipelines costs ~2x
