@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -44,6 +44,16 @@ object RelationalQueries3 {
         .select(col("l_returnflag"),
           col("l_quantity").cast("long").as("x"),
           col("l_linenumber").cast("long").as("y"))
+      // Row-level products and their BIGINT sums are safe to ~10^15 rows
+      // (x ≤ 2500 per row), but the MOMENT COMBINATIONS are not: n·sxx
+      // overflowed 2^63 at the sf100 pass (n ≈ 2·10^8 per group × sxx ≈
+      // 4·10^11 → 10^20) and ANSI mode threw ARITHMETIC_OVERFLOW — found
+      // by running one SF past the gate, exactly like q14's 2^63 cliff.
+      // The combination is widened to DECIMAL(38,0): exact for every
+      // product of two <10^19 BIGINTs, good to ~10^19-row groups; the
+      // oracle widens the same step to HUGEINT (int128) — both compute
+      // the exact integer, then round once to double.
+      def w(c: Column) = c.cast("decimal(38,0)")
       li.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           sum("x").as("sx"), sum("y").as("sy"),
@@ -52,13 +62,13 @@ object RelationalQueries3 {
           sum(col("x") * col("y")).as("sxy"))
         .select(col("l_returnflag"), col("n"),
           col("sx"),
-          ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
-            (col("n") * (col("n") - 1)).cast("double")).as("var_qty"),
-          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
-            (col("n") * (col("n") - 1)).cast("double")).as("stddev_qty"),
-          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          ((w(col("n")) * w(col("sxx")) - w(col("sx")) * w(col("sx"))).cast("double") /
+            (w(col("n")) * w(col("n") - 1)).cast("double")).as("var_qty"),
+          sqrt((w(col("n")) * w(col("sxx")) - w(col("sx")) * w(col("sx"))).cast("double") /
+            (w(col("n")) * w(col("n") - 1)).cast("double")).as("stddev_qty"),
+          ((w(col("n")) * w(col("sxy")) - w(col("sx")) * w(col("sy"))).cast("double") /
+            (sqrt((w(col("n")) * w(col("sxx")) - w(col("sx")) * w(col("sx"))).cast("double")) *
+              sqrt((w(col("n")) * w(col("syy")) - w(col("sy")) * w(col("sy"))).cast("double"))))
             .as("corr_qty_line"))
         .orderBy("l_returnflag")
     },
@@ -113,10 +123,13 @@ object RelationalQueries3 {
         |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n, sx,
-        |  CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS var_qty,
-        |  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS stddev_qty,
-        |  CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |  CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS var_qty,
+        |  sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)) AS stddev_qty,
+        |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+        |    (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+        |     * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
         |    AS corr_qty_line
         |FROM m ORDER BY l_returnflag""".stripMargin,
     "q40_unpivot" ->
