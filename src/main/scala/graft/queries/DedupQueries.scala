@@ -1079,7 +1079,8 @@ object DedupQueries {
     * within-cell candidates.
     */
   private[graft] def tilePairs(s: SparkSession, v: DataFrame,
-      thr: Double, tile: Int = 1024): DataFrame = {
+      thr: Double, tile: Int = 1024, quantFabric: Boolean = false): DataFrame = {
+    if (quantFabric) return tilePairsQuant(s, v, thr, tile)
     import s.implicits._
     // Windowless blocking (round-9): blk = hash(vec_id) mod ceil(n/tile).
     // The old row_number().over(partitionBy(gkey)) funneled every group's
@@ -1213,6 +1214,223 @@ object DedupQueries {
       out
     }.toDF("gkey", "va", "vb", "cosine")
   }
+
+  /** One int8-quantized tile for [[tilePairsQuant]]: per member, the
+    * exact norm (double — the rescore denominators must not drift), the
+    * quantization scale (0 marks an UNSAFE member: NaN/±Inf/null
+    * components, zero maxabs, or a non-finite/zero norm — every pair it
+    * touches routes to the exact rescore unconditionally), and the
+    * flattened int8 codes (1 B/component — the 4 B float codes are what
+    * made the exact tile fabric the d12 disk ceiling at 1000×).
+    */
+  private[graft] case class EmbTileQ(gkey: Long, blk: Int, ids: Array[Long],
+      nrms: Array[Double], dims: Array[Int], scls: Array[Double],
+      qv: Array[Byte])
+
+  /** [[tilePairs]] with an int8-quantized CANDIDATE fabric — same blocks,
+    * same tile-pair join and repartition, but tile rows carry 1-byte
+    * codes instead of 4-byte floats (~3× fewer fabric bytes — the term
+    * that exhausted the box's disk at 1000×), and the kernel emits
+    * CANDIDATE pairs under a rigorous no-false-negative bound instead of
+    * exact cosines. Survivors re-join the (persisted) member frame and
+    * re-score through the identical `float_dot` expression the plain-join
+    * reference uses, so the output is BIT-IDENTICAL to [[tilePairs]]
+    * (spec-pinned, including NaN/ragged/tie edges).
+    *
+    * The bound: with q = ⌊x·s + ½⌋ (s = 127/maxabs, so |q − x·s| ≤ ½ per
+    * component), |dot(x,y) − Q/(sₓs_y)| ≤ (½·Σ|qₓ| + ½·Σ|q_y| + ¼·d)/
+    * (sₓs_y) where Q = Σ qₓq_y (integer). A pair survives when the upper
+    * bound on its cosine clears `thr` (slack 1e-7 ≫ the bound
+    * arithmetic's own FP rounding, ≪ the ~1e-2 quantization width), or
+    * when either member is unsafe (scl = 0) or the denominator is
+    * non-finite — the exact rescore, not the bound, decides those.
+    * At thr − ε selectivity the survivor set is output-sized, so the
+    * rescore joins move O(output) rows, never O(pairs).
+    */
+  private[graft] def tilePairsQuant(s: SparkSession, v: DataFrame,
+      thr: Double, tile: Int = 1024): DataFrame = {
+    import s.implicits._
+    val cnts = v.groupBy("gkey").agg(count(lit(1)).as("gn"))
+    val maxabs = array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))
+    val hasNull = exists(col("embedding"), x => x.isNull)
+    // member safety gate: quantization (and the bound's denominator)
+    // only trusts finite, non-degenerate members; everything else takes
+    // scl = 0 and rides to the exact rescore. The division sits INSIDE
+    // the when so ANSI never sees a zero divisor, and a subnormal maxabs
+    // (127/x overflowing to +Inf) demotes to unsafe in the second step.
+    val safeIn = col("embedding").isNotNull && !hasNull &&
+      maxabs.isNotNull && !isnan(maxabs) && maxabs > 0 &&
+      maxabs =!= lit(Double.PositiveInfinity) &&
+      !isnan(col("nrm")) && col("nrm") > 0 &&
+      col("nrm") =!= lit(Double.PositiveInfinity)
+    val sclRaw = when(safeIn, lit(127.0) / maxabs).otherwise(lit(0.0))
+    val sclSafe = when(sclRaw =!= lit(Double.PositiveInfinity), sclRaw)
+      .otherwise(lit(0.0))
+    // int8 codes as a hex string per member (2 chars/component), joined
+    // and unhex'd once per TILE into a flat binary — linear, and the only
+    // array<tinyint>→binary bridge the SQL surface offers
+    val blocks = v.join(cnts, "gkey")
+      .withColumn("blk",
+        pmod(xxhash64(col("vec_id")),
+          expr(s"(gn + ${tile - 1}) div $tile")).cast("int"))
+      .withColumn("scl", sclSafe)
+      .withColumn("qhex",
+        when(col("scl") === 0.0,
+          repeat(lit("00"), coalesce(size(col("embedding")), lit(0))))
+        .otherwise(array_join(transform(col("embedding"), x =>
+          lpad(hex(floor(x.cast("double") * col("scl") + 0.5).cast("int")
+            .bitwiseAND(lit(255))), 2, "0")), "")))
+      .groupBy(col("gkey"), col("blk"))
+      .agg(sort_array(collect_list(struct(
+        col("vec_id"), col("nrm"), col("scl"),
+        coalesce(size(col("embedding")), lit(0)).as("dim"),
+        col("qhex")))).as("m"))
+      .select(col("gkey"), col("blk"),
+        expr("transform(m, x -> x.vec_id)").as("ids"),
+        expr("transform(m, x -> x.nrm)").as("nrms"),
+        expr("transform(m, x -> x.dim)").as("dims"),
+        expr("transform(m, x -> x.scl)").as("scls"),
+        unhex(concat_ws("", expr("transform(m, x -> x.qhex)"))).as("qv"))
+      .as[EmbTileQ]
+    val pairs = blocks.as("x").joinWith(blocks.as("y"),
+        col("x.gkey") === col("y.gkey") && col("x.blk") <= col("y.blk"))
+      .repartition(col("_1.gkey"), col("_1.blk"), col("_2.blk"))
+    val cand = pairs.flatMap { case (ta, tb) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val same = ta.blk == tb.blk
+      val nA = ta.ids.length
+      val nB = tb.ids.length
+      def offsets(dims: Array[Int]): Array[Int] = {
+        val o = new Array[Int](dims.length)
+        var i = 1
+        while (i < dims.length) { o(i) = o(i - 1) + dims(i - 1); i += 1 }
+        o
+      }
+      // per-member |q| L1 from the codes themselves (no cross-layer
+      // drift with the bound that consumes it), once per tile
+      def l1Of(t: EmbTileQ, off: Array[Int]): Array[Int] = {
+        val l1 = new Array[Int](t.ids.length)
+        var i = 0
+        while (i < t.ids.length) {
+          var acc = 0
+          var k = 0
+          val o = off(i); val d = t.dims(i)
+          while (k < d) {
+            val b = t.qv(o + k).toInt
+            acc += (if (b < 0) -b else b)
+            k += 1
+          }
+          l1(i) = acc
+          i += 1
+        }
+        l1
+      }
+      val offA = offsets(ta.dims)
+      val offB = if (same) offA else offsets(tb.dims)
+      val l1A = l1Of(ta, offA)
+      val l1B = if (same) l1A else l1Of(tb, offB)
+      @inline def emitC(i: Int, j: Int): Unit = {
+        val a = ta.ids(i); val b = tb.ids(j)
+        out += ((ta.gkey, math.min(a, b), math.max(a, b)))
+      }
+      @inline def check(i: Int, j: Int, q: Long, d: Int): Unit = {
+        val sa = ta.scls(i); val sb = tb.scls(j)
+        if (sa == 0.0 || sb == 0.0) emitC(i, j)
+        else {
+          val den = sa * sb * ta.nrms(i) * tb.nrms(j)
+          if (!(den > 0.0 && den < Double.PositiveInfinity)) emitC(i, j)
+          else {
+            val err = 0.500001 * (l1A(i) + l1B(j)) + 0.250001 * d
+            if ((q + err) / den + 1e-7 > thr) emitC(i, j)
+          }
+        }
+      }
+      val d0 = if (ta.dims.nonEmpty) ta.dims(0) else 0
+      val uniform = d0 > 0 &&
+        ta.dims.forall(_ == d0) && tb.dims.forall(_ == d0)
+      if (uniform) {
+        // 4-wide integer accumulator chains over byte codes (the
+        // tilePairs blocking shape; int adds have no FP latency to hide
+        // but the 4-wide layout keeps the byte loads streaming)
+        val qa = ta.qv
+        val qb = tb.qv
+        var i = 0
+        while (i < nA) {
+          val oa = i * d0
+          var j = if (same) i + 1 else 0
+          while (j + 3 < nB) {
+            val o0 = j * d0; val o1 = o0 + d0; val o2 = o1 + d0; val o3 = o2 + d0
+            var t0 = 0L; var t1 = 0L; var t2 = 0L; var t3 = 0L
+            var k = 0
+            while (k < d0) {
+              val x = qa(oa + k).toLong
+              t0 += x * qb(o0 + k); t1 += x * qb(o1 + k)
+              t2 += x * qb(o2 + k); t3 += x * qb(o3 + k)
+              k += 1
+            }
+            check(i, j, t0, d0); check(i, j + 1, t1, d0)
+            check(i, j + 2, t2, d0); check(i, j + 3, t3, d0)
+            j += 4
+          }
+          while (j < nB) {
+            val ob = j * d0
+            var t = 0L
+            var k = 0
+            while (k < d0) { t += qa(oa + k).toLong * qb(ob + k); k += 1 }
+            check(i, j, t, d0)
+            j += 1
+          }
+          i += 1
+        }
+      } else {
+        // ragged tiles: per-pair offsets; mismatched dims ⇒ no pair
+        // (float_dot's NULL contract — the rescore would drop them too)
+        var i = 0
+        while (i < nA) {
+          val d = ta.dims(i)
+          val oa = offA(i)
+          var j = if (same) i + 1 else 0
+          while (j < nB) {
+            if (d == tb.dims(j)) {
+              val ob = offB(j)
+              var t = 0L
+              var k = 0
+              while (k < d) { t += ta.qv(oa + k).toLong * tb.qv(ob + k); k += 1 }
+              check(i, j, t, d)
+            }
+            j += 1
+          }
+          i += 1
+        }
+      }
+      out
+    }.toDF("gkey", "va", "vb")
+    // exact rescore of survivors through the SAME float_dot/comparison
+    // expressions as the plain-join reference — `v` is the caller's
+    // (persisted) member frame, so the two lookups re-read cache, and
+    // the joins move O(survivors), not O(pairs)
+    val ea = v.select(col("gkey"), col("vec_id").as("va"),
+      col("nrm").as("na"), col("embedding").as("ea"))
+    val eb = v.select(col("gkey"), col("vec_id").as("vb"),
+      col("nrm").as("nb"), col("embedding").as("eb"))
+    cand.join(ea, Seq("gkey", "va")).join(eb, Seq("gkey", "vb"))
+      .withColumn("cosine",
+        cosineWithNorms(dot(col("ea"), col("eb")), col("na"), col("nb")))
+      .filter(col("cosine") > thr)
+      .select("gkey", "va", "vb", "cosine")
+  }
+
+  /** Planned-pair volume past which the hatch's tile fabric quantizes to
+    * int8 ([[tilePairsQuant]]): each hatched label's realized within-cell
+    * pair term is ~budget by construction, so hatched-labels × budget
+    * estimates the fabric's pair term. 2³³ pairs ≈ 4.6 GB of exact tile
+    * fabric at 64-d — below it the exact kernel's single pass beats the
+    * quantize + rescore round trip; above it fabric BYTES are the
+    * binding constraint (measured: d12's 63–67 GB candidate fabric at
+    * 1000× exhausted the box; int8 cuts it ~3×).
+    */
+  private[graft] val QuantFabricPairBound = 1L << 33
 
   /** Per-label candidate-pair budget for d12. Labels whose exact all-pairs
     * term c·(c−1)/2 stays within it run the irreducible tile kernel
@@ -1432,7 +1650,8 @@ object DedupQueries {
       plans: Seq[HatchPlan], thr: Double, tile: Int, probe: Int,
       cellsBound: Long, probeRowBytes: Long = 576L,
       scratch: scala.collection.mutable.Buffer[DataFrame] =
-        scala.collection.mutable.Buffer.empty): (DataFrame, DataFrame) = {
+        scala.collection.mutable.Buffer.empty,
+      quantFabric: Boolean = false): (DataFrame, DataFrame) = {
     import s.implicits._
     require(plans.nonEmpty, "hatchRound called with no over-budget labels")
     // a label is flat only while its WHOLE centroid set fits one
@@ -1490,7 +1709,8 @@ object DedupQueries {
         val labByIdx = broadcast(labs.map(l => (labIdx(l), l))
           .toDF("lidx", "lab"))
         val pairs = tilePairs(s,
-            assigned.select("gkey", "vec_id", "nrm", "embedding"), thr, tile)
+            assigned.select("gkey", "vec_id", "nrm", "embedding"), thr, tile,
+            quantFabric)
           .withColumn("lidx", expr(s"gkey div ${stride}L"))
           .join(labByIdx, "lidx")
           .select(col("lab"), col("va"), col("vb"), col("cosine"))
@@ -1559,7 +1779,8 @@ object DedupQueries {
       val labByIdx = broadcast(tlPlans.map(p => (labIdx(p.lab), p.lab))
         .toDF("lidx", "lab"))
       val pairs = tilePairs(s,
-          assigned.select("gkey", "vec_id", "nrm", "embedding"), thr, tile)
+          assigned.select("gkey", "vec_id", "nrm", "embedding"), thr, tile,
+          quantFabric)
         .withColumn("lidx", expr(s"gkey div ${vstride}L"))
         .join(labByIdx, "lidx")
         .select(col("lab"), col("va"), col("vb"), col("cosine"))
@@ -1663,7 +1884,8 @@ object DedupQueries {
       thr: Double, budget: Long = EmbedPairBudget, tile: Int = 1024,
       probe: Int = 2, auditMod: Long = 0L,
       cellsBound: Long = FlatCellsBound,
-      recallFloor: Double = DefaultRecallFloor): DataFrame = {
+      recallFloor: Double = DefaultRecallFloor,
+      quantFabric: Option[Boolean] = None): DataFrame = {
     import s.implicits._
     // the engine, the plan auditor (graft.Plans) and any harness derive
     // the over-budget label list from the SAME prologue, so the routing
@@ -1703,11 +1925,21 @@ object DedupQueries {
       .filter(col("d") > 0).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(64)
     val probeRowBytes = 8L * dim + 64L
+    // quantized tile fabric once the planned pair volume (hatched labels
+    // × ~budget realized pairs each) says fabric BYTES, not kernel
+    // passes, are the binding constraint; the spec knob forces either arm
+    val quant = quantFabric.getOrElse(
+      over.length.toLong * budget >= QuantFabricPairBound)
+    if (quant)
+      Console.err.println(s"[graft] d12 hatch: planned pair volume " +
+        s"~${over.length.toLong * budget} >= $QuantFabricPairBound — " +
+        "int8-quantized candidate fabric engaged (exact rescore preserves " +
+        "bit-identical output)")
     // round 1: the configured probe/budget
     val scratch1 = scala.collection.mutable.Buffer.empty[DataFrame]
     val plans1 = hatchPlansOf(over.toSeq, probe, budget)
     val (ap1, sc1) = hatchRound(s, members, plans1, thr, tile, probe,
-      cellsBound, probeRowBytes, scratch1)
+      cellsBound, probeRowBytes, scratch1, quant)
     val ap1p = ap1.persist()
     // audit-sample size estimate for the broadcast-vs-shuffle decision:
     // Σ n_i/mod_i sampled rows × the measured widened row size
@@ -1828,7 +2060,7 @@ object DedupQueries {
       val scratchX = scala.collection.mutable.Buffer.empty[DataFrame]
       val membersX = members.filter(col("lab").isin(labs: _*)).persist()
       val (ap, sc) = hatchRound(s, membersX, plans, thr, tile, p2,
-        cellsBound, probeRowBytes, scratchX)
+        cellsBound, probeRowBytes, scratchX, quant)
       val scm: Map[Long, Long] = sc.as[(Long, Long)].collect().toMap
       val degen = labs.filter(l =>
         scm.getOrElse(l, 0L).toDouble >= termOf(l)).toSet

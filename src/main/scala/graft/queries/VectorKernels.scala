@@ -90,7 +90,7 @@ object VectorKernels {
   /** Spark's nanSafe double comparison: NaN greatest, NaN == NaN,
     * -0.0 == +0.0 (the [[VectorQueries.topKPerQuery]] contract).
     */
-  @inline private def nanSafeCmp(a: Double, b: Double): Int = {
+  @inline private[queries] def nanSafeCmp(a: Double, b: Double): Int = {
     val an = java.lang.Double.isNaN(a)
     val bn = java.lang.Double.isNaN(b)
     if ((an && bn) || a == b) 0
@@ -100,14 +100,14 @@ object VectorKernels {
   }
 
   /** Strict left-to-right double fold — bit-identical to float_dot. */
-  @inline private def fold(a: Array[Double], b: Array[Double]): Double = {
+  @inline private[queries] def fold(a: Array[Double], b: Array[Double]): Double = {
     var t = 0.0
     var k = 0
     while (k < a.length) { t += a(k) * b(k); k += 1 }
     t
   }
 
-  @inline private def cosOf(t: Double, na: Double, nb: Double): Double = {
+  @inline private[queries] def cosOf(t: Double, na: Double, nb: Double): Double = {
     val denom = na * nb
     if (denom == 0.0) Double.NaN else t / denom
   }

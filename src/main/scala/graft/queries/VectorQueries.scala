@@ -140,25 +140,32 @@ object VectorQueries {
     * branch-equality spec pins; recall at the default `nprobe` is the
     * audit column's job (d32).
     */
-  private[graft] def nearestTrainIvfJoin(tr: DataFrame, ev: DataFrame,
-      nprobe: Int = 3, knownTrainN: Option[Long] = None): DataFrame = {
-    // the d32 caller just counted the train side for its budget switch —
-    // don't pay a second corpus scan for the same number
-    val nTrain = knownTrainN.getOrElse(tr.count())
+  /** Deterministic IVF centroids for the nearest-train family: every
+    * `mod`-th train id (modulus ~√n like d06). Tiny corpora may have no
+    * train id on the modulus lattice (the ids divisible by mod can all
+    * sit in the eval label) — one centroid is always enough for
+    * correctness, it just degenerates to a full scan. Shared by all three
+    * IVF formulations so the index geometry cannot drift between them.
+    */
+  private[graft] def ivfCentroids(tr: DataFrame, nTrain: Long): DataFrame = {
     val mod = 200L * math.max(1L,
       math.ceil(math.sqrt(nTrain / 2000.0)).toLong)
     val cent0 = tr.filter(pmod(col("train_id"), lit(mod)) === 0)
       .select(col("train_id").as("c_id"), col("te").as("ce"),
         col("tn").as("cn"))
-    // tiny corpora may have no train id on the modulus lattice (the ids
-    // divisible by mod can all sit in the eval label) — one centroid is
-    // always enough for correctness, it just degenerates to a full scan
-    val cent =
-      if (cent0.isEmpty)
-        tr.orderBy("train_id").limit(1)
-          .select(col("train_id").as("c_id"), col("te").as("ce"),
-            col("tn").as("cn"))
-      else cent0
+    if (cent0.isEmpty)
+      tr.orderBy("train_id").limit(1)
+        .select(col("train_id").as("c_id"), col("te").as("ce"),
+          col("tn").as("cn"))
+    else cent0
+  }
+
+  private[graft] def nearestTrainIvfJoin(tr: DataFrame, ev: DataFrame,
+      nprobe: Int = 3, knownTrainN: Option[Long] = None): DataFrame = {
+    // the d32 caller just counted the train side for its budget switch —
+    // don't pay a second corpus scan for the same number
+    val nTrain = knownTrainN.getOrElse(tr.count())
+    val cent = ivfCentroids(tr, nTrain)
     val assigned = tr.crossJoin(broadcast(cent))
       .withColumn("c_cos",
         cosineWithNorms(dot(col("te"), col("ce")), col("tn"), col("cn")))
@@ -220,24 +227,23 @@ object VectorQueries {
     val s = tr.sparkSession
     import s.implicits._
     val nTrain = knownTrainN.getOrElse(tr.count())
-    val mod = 200L * math.max(1L,
-      math.ceil(math.sqrt(nTrain / 2000.0)).toLong)
-    val cent0 = tr.filter(pmod(col("train_id"), lit(mod)) === 0)
-      .select(col("train_id").as("c_id"), col("te").as("ce"),
-        col("tn").as("cn"))
-    val cent =
-      if (cent0.isEmpty)
-        tr.orderBy("train_id").limit(1)
-          .select(col("train_id").as("c_id"), col("te").as("ce"),
-            col("tn").as("cn"))
-      else cent0
+    val cent = ivfCentroids(tr, nTrain)
     val centPs = VectorKernels.collectProbes(
       VectorKernels.probeFrame(cent, col("c_id"), col("cn"), col("ce")))
     val dims = if (centPs.nSlots > 0) centPs.slotVecs(0).length else 0
     val evalN = knownEvalN.getOrElse(ev.count())
     val evProbeBytes = evalN * nprobe * (dims.toLong * 8 + 64)
-    if (centPs.estBytes + evProbeBytes > VectorKernels.MaxProbeBytes)
+    // centroids scale as ~√n and fit a broadcast far past any realistic
+    // corpus; if they somehow don't, the join formulation is the only
+    // shape left. An oversized EVAL probe set (the case that actually
+    // happens — eval grows with the corpus) keeps the broadcast centroid
+    // index and moves the within-cell scoring to the cogrouped cell
+    // kernel, which never materializes a pair row (the join formulation's
+    // pair-stream SortAggregates spilled partition-invariantly at 1000×).
+    if (centPs.estBytes > VectorKernels.MaxProbeBytes)
       return nearestTrainIvfJoin(tr, ev, nprobe, Some(nTrain))
+    if (centPs.estBytes + evProbeBytes > VectorKernels.MaxProbeBytes)
+      return nearestTrainIvfCells(tr, ev, nprobe, Some(nTrain))
     // liveness: cells that received at least one member (a centroid can
     // lose its own vector to a duplicate centroid with a smaller id, and
     // evals must never probe only empty cells)
@@ -262,6 +268,191 @@ object VectorQueries {
           col("tn").as("nrm"), col("te").as("vec")), evPs)
       .select(col("probe_id").as("eval_id"),
         col("corpus_id").as("train_id"), col("cosine"))
+  }
+
+  /** IVF nearest-train search, cogrouped-cell execution — the scale path
+    * for eval sets that outgrow [[VectorKernels.MaxProbeBytes]] (the
+    * regime the join formulation used to own). Same index semantics as
+    * [[nearestTrainIvfJoin]] (same [[ivfCentroids]], same liveness rule,
+    * same probe ranking, same within-cell argmax and tie-breaks —
+    * equality spec-pinned), but the within-cell scoring never
+    * materializes a pair row:
+    *
+    *   - cell assignment + probe ranking run through the broadcast
+    *     [[VectorKernels.assignProbes]] kernel (centroids are ~√n and
+    *     always fit — the caller routes away when they don't), so the
+    *     only shuffles are one pass of members and one of probes, both
+    *     corpus-shaped, never pair-shaped;
+    *   - DEGENERATE CELLS are re-split before the shuffle: per-cell
+    *     member counts (a ≤|centroids|-row aggregate) size a split factor
+    *     f(cell) = ⌈members/target⌉, members partition into subcells by
+    *     pmod(train_id, f), probes replicate to every subcell — the same
+    *     mechanism d12's pair-budget hatch applies to oversized labels.
+    *     `target` defaults to max(64Ki, n/(4·shufflePartitions)), so
+    *     per-task state SHRINKS as partitions grow — the join
+    *     formulation's per-cell sort state was partition-invariant
+    *     (measured: 70 GB spill at 1000× identical at 32 and 256
+    *     partitions) because a cell, however large, hashed to one task;
+    *   - within each (cell, sub) cogroup the BOUNDED member block
+    *     (≤~target rows) is buffered and widened once, probes STREAM
+    *     through register-blocked scoring (the [[VectorKernels]] 4-chain
+    *     fold, bit-identical to float_dot), and each probe emits exactly
+    *     one partial row — so task memory is O(target), independent of
+    *     both the eval-set size and the cell skew;
+    *   - partials (≤ probes·f rows, corpus-logarithmic) merge with the
+    *     same max(struct(cosine, -id)) the kernel contract pins,
+    *     including the NULL-cosine ragged-dims fallback.
+    */
+  private[graft] def nearestTrainIvfCells(tr: DataFrame, ev: DataFrame,
+      nprobe: Int = 3, knownTrainN: Option[Long] = None,
+      targetCellRows: Option[Long] = None): DataFrame = {
+    val s = tr.sparkSession
+    import s.implicits._
+    val nTrain = knownTrainN.getOrElse(tr.count())
+    val cent = ivfCentroids(tr, nTrain)
+    val centPs = VectorKernels.collectProbes(
+      VectorKernels.probeFrame(cent, col("c_id"), col("cn"), col("ce")))
+    // map-only kernel assignment over the corpus scan (recomputed once
+    // more below for the member shuffle — two light scans beat caching a
+    // corpus-sized frame on disk at the scales this path serves)
+    val assigned = VectorKernels.assignProbes(tr, centPs, "te", "tn",
+      None, "cell")
+    // per-cell member counts: ≤ |centroids| rows. Doubles as the liveness
+    // set (a cell with a count has ≥1 member by construction).
+    val counts = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("cnt")).as[(Long, Long)].collect()
+    val liveSet = counts.iterator.map(_._1).toSet
+    val livePs = VectorKernels.filterSlots(centPs, liveSet.contains)
+    val pEff = math.min(nprobe.toLong,
+      math.max(1L, livePs.nSlots.toLong)).toInt
+    val probed = VectorKernels.assignProbes(ev, livePs, "qe", "qn",
+        None, "cells", pEff, arrayOut = true)
+      .select(col("eval_id"), col("qe"), col("qn"),
+        explode(col("cells")).as("cell"))
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val target = math.max(1L, targetCellRows.getOrElse(
+      math.max(65536L, nTrain / (4L * nPart))))
+    // split factors: capped so a pathological single-cell corpus cannot
+    // explode probe replication past 1024×
+    val splits = counts.toSeq.map { case (c, n) =>
+      (c, math.min(1024L, (n + target - 1L) / target).toInt)
+    }.toDF("cell", "f")
+    val memDs = assigned.join(broadcast(splits), "cell")
+      .select(col("cell"),
+        pmod(col("train_id"), col("f")).cast("int").as("sub"),
+        col("train_id"), col("tn"), col("te"))
+      .as[(Long, Int, Long, Double, Array[Float])]
+    val prbDs = probed.join(broadcast(splits), "cell")
+      .withColumn("sub", explode(sequence(lit(0), col("f") - 1)))
+      .select(col("cell"), col("sub").cast("int"),
+        col("eval_id"), col("qn"), col("qe"))
+      .as[(Long, Int, Long, Double, Array[Float])]
+    val partials = memDs.groupByKey(t => (t._1, t._2))
+      .cogroup(prbDs.groupByKey(t => (t._1, t._2))) { case (_, ms, ps2) =>
+        // bounded member block (≤~target rows by the re-split), widened
+        // once; probes stream — nothing pair-shaped ever materializes
+        val idsB = scala.collection.mutable.ArrayBuilder.make[Long]
+        val nrmsB = scala.collection.mutable.ArrayBuilder.make[Double]
+        val vecsB = scala.collection.mutable.ArrayBuilder.make[Array[Double]]
+        var nM = 0
+        ms.foreach { m =>
+          idsB += m._3; nrmsB += m._4
+          val vf = m._5
+          val d = new Array[Double](if (vf == null) 0 else vf.length)
+          var k = 0
+          while (k < d.length) { d(k) = vf(k).toDouble; k += 1 }
+          vecsB += d
+          nM += 1
+        }
+        if (nM == 0) Iterator.empty
+        else {
+          val mIds = idsB.result(); val mNrms = nrmsB.result()
+          val mVecs = vecsB.result()
+          ps2.map { p =>
+            val pid = p._3; val qn = p._4; val vf = p._5
+            val qd = if (vf == null) 0 else vf.length
+            val qv = new Array[Double](qd)
+            var k = 0
+            while (k < qd) { qv(k) = vf(k).toDouble; k += 1 }
+            var bc0 = 0.0; var bi0 = Long.MinValue; var nb0 = Long.MaxValue
+            @inline def consider(cos: Double, id: Long): Unit = {
+              val c =
+                if (bi0 == Long.MinValue) 1
+                else VectorKernels.nanSafeCmp(cos, bc0)
+              if (c > 0 || (c == 0 && id < bi0)) { bc0 = cos; bi0 = id }
+            }
+            var uniform = qd > 0
+            var r = 0
+            while (uniform && r < nM) {
+              uniform = mVecs(r).length == qd; r += 1
+            }
+            if (uniform) {
+              // 4 independent accumulator chains hide the FP-add latency;
+              // each chain is a strict left-to-right fold over ONE pair —
+              // bit-identical to float_dot (the bestRowPerProbe blocking,
+              // transposed: one probe against the member block)
+              r = 0
+              while (r + 3 < nM) {
+                val r0 = mVecs(r); val r1 = mVecs(r + 1)
+                val r2 = mVecs(r + 2); val r3 = mVecs(r + 3)
+                var t0 = 0.0; var t1 = 0.0; var t2 = 0.0; var t3 = 0.0
+                var k2 = 0
+                while (k2 < qd) {
+                  val q = qv(k2)
+                  t0 += r0(k2) * q; t1 += r1(k2) * q
+                  t2 += r2(k2) * q; t3 += r3(k2) * q
+                  k2 += 1
+                }
+                consider(VectorKernels.cosOf(t0, mNrms(r), qn), mIds(r))
+                consider(VectorKernels.cosOf(t1, mNrms(r + 1), qn), mIds(r + 1))
+                consider(VectorKernels.cosOf(t2, mNrms(r + 2), qn), mIds(r + 2))
+                consider(VectorKernels.cosOf(t3, mNrms(r + 3), qn), mIds(r + 3))
+                r += 4
+              }
+              while (r < nM) {
+                consider(VectorKernels.cosOf(
+                  VectorKernels.fold(mVecs(r), qv), mNrms(r), qn), mIds(r))
+                r += 1
+              }
+            } else {
+              r = 0
+              while (r < nM) {
+                val rv = mVecs(r)
+                if (rv.length == qd)
+                  consider(VectorKernels.cosOf(
+                    VectorKernels.fold(rv, qv), mNrms(r), qn), mIds(r))
+                else if (mIds(r) < nb0) nb0 = mIds(r)
+                r += 1
+              }
+            }
+            if (bi0 != Long.MinValue) (pid, bi0, Option(bc0))
+            else (pid, nb0, Option.empty[Double])
+          }
+        }
+      }
+      .toDF("probe_id", "corpus_id", "cosine")
+    // same partial-merge expression as bestRowPerProbe — inherits the
+    // pinned NULL-cosine / tie-break semantics across subcells
+    partials.groupBy("probe_id")
+      .agg(max(struct(col("cosine"), (-col("corpus_id")).as("neg"))).as("b"))
+      .select(col("probe_id").as("eval_id"), (-col("b.neg")).as("train_id"),
+        col("b.cosine").as("cosine"))
+  }
+
+  /** Per-cell member counts under the shared [[ivfCentroids]] geometry —
+    * spec support for asserting the cells path's re-split actually
+    * engaged on a given corpus.
+    */
+  private[graft] def nearestTrainIvfCellsSplitProfile(
+      tr: DataFrame): Seq[(Long, Long)] = {
+    val s = tr.sparkSession
+    import s.implicits._
+    val cent = ivfCentroids(tr, tr.count())
+    val centPs = VectorKernels.collectProbes(
+      VectorKernels.probeFrame(cent, col("c_id"), col("cn"), col("ce")))
+    VectorKernels.assignProbes(tr, centPs, "te", "tn", None, "cell")
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect().toSeq
   }
 
   /** Query set: the first 10 vectors. */
