@@ -128,8 +128,17 @@ object Bench {
         if (dropped.nonEmpty)
           System.err.println(
             s"[bench] SPARK_GRAFT_SKIP excludes: ${dropped.mkString(",")}")
+        // a typo'd token must be loud (it silently "excluded" nothing),
+        // and a skip set that empties the battery must fail, not print a
+        // green-looking zero-query summary
+        val unmatched = skip.filterNot(t => included.keys.exists(_.startsWith(t)))
+        if (unmatched.nonEmpty)
+          System.err.println(s"[bench] SPARK_GRAFT_SKIP tokens matched no " +
+            s"query: ${unmatched.toSeq.sorted.mkString(",")}")
         included.filter(kv => !skip.exists(kv._1.startsWith))
       }
+    require(selected.nonEmpty,
+      "SPARK_GRAFT_ONLY/SPARK_GRAFT_SKIP left zero queries to run")
     // Steady-state warmup: run the whole battery once at the smallest
     // fixture so each query's generated code is JIT-compiled before the
     // timed loop (measured: first call of the dedup pipelines costs ~2x
@@ -239,8 +248,29 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
+    // Shared-memo builds as their own pseudo-query: the documents-pipeline
+    // memos (shingles, gram table, source mask, …) are built once per
+    // fixture and charged to whichever consumer runs first, so per-query
+    // bench deltas on shared-memo queries confounded plan regressions
+    // with build attribution (round 11: d27 read as a 1.91× regression
+    // that was really the shared hashSourceMask build landing on it).
+    // `a00_shared_builds` sorts before every real query, flows through
+    // the same timing/metrics machinery, and prints a per-memo `#shared`
+    // breakdown — real queries then time against warm shared state.
+    val warmShared = selected.keys
+      .exists(n => graft.queries.DedupQueries.sharedMemoConsumers
+        .exists(n.startsWith))
+    val sharedEntry: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      if (!warmShared) Nil
+      else Seq("a00_shared_builds" -> { (s: SparkSession, d: String) =>
+        graft.queries.DedupQueries.warmSharedMemos(s, d).foreach {
+          case (n, sec) =>
+            System.err.println(f"#shared $n%-20s sec=$sec%.3f")
+        }
+        s.range(0).toDF()
+      })
     def runPass(): Seq[(String, Double, Boolean)] =
-      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (sharedEntry ++ selected.toSeq.sortBy(_._1)).map { case (name, fn) =>
         settle(10) // drain the previous query's compile backlog (untimed)
         val m0 = metricsListener.map { l => drainBus(); l.snapshot() }
         val (jit0, gc0) =

@@ -42,7 +42,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * ranks by (score DESC NULLS LAST, tiebreak ASC) with bit-identical
   * placement to `row_number().over(orderBy(desc(score), tiebreak))` —
   * spec-pinned on NaN/±inf/±0.0/null/tied data. Doubles only; cast
-  * float/int/long scores to double first (exact and order-preserving).
+  * float/int scores to double first (exact). long→double is
+  * order-preserving but INEXACT above 2^53: distinct long scores can
+  * collapse to ties and fall to the tiebreak column — for true
+  * long-descending order negate the long directly instead.
   */
 case class DescKey(child: Expression) extends UnaryExpression {
 
@@ -50,7 +53,8 @@ case class DescKey(child: Expression) extends UnaryExpression {
     case DoubleType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"desc_key expects double, got ${other.simpleString} (cast first; " +
-        "the cast is exact and order-preserving for float/int/long)")
+        "exact for float/int; order-preserving but inexact for long " +
+        "beyond 2^53 — distinct longs may tie, prefer negating the long)")
   }
 
   override def dataType: DataType = LongType

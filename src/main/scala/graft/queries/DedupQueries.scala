@@ -193,6 +193,75 @@ object DedupQueries {
         .persist()
     }
 
+  /** d27's corpus-hash side — the distinct shingle hashes appearing in
+    * any NON-eval (≠ src0) source. Routed: in the ≤63-source regime the
+    * shared [[hashSourceMask]] index answers "h appears in some non-eval
+    * source" as a mask test against src0's bit, so d27 and d36 split ONE
+    * corpus-wide groupBy-h shuffle instead of each paying their own;
+    * past 63 sources the direct explode+distinct formulation stands.
+    * src0 absent from the index means every occupied mask is corpus (and
+    * the eval side is empty anyway). Null-source docs are outside both
+    * routes: the index drops them, and `source =!= "src0"` is
+    * null-filtering. `forceRoute` (spec knob) pins either arm —
+    * Some(true) = mask, Some(false) = direct — so the route equivalence
+    * and the otherwise-CI-dead >63 fallback are testable on any corpus.
+    */
+  private[graft] def d27CorpusHashes(s: SparkSession, dir: String,
+      forceRoute: Option[Boolean] = None): DataFrame = {
+    val srcIdx = srcIndexOf(s, dir)
+    if (forceRoute.getOrElse(srcIdx.count() <= 63)) {
+      val src0i = srcIdx.filter(col("source") === "src0")
+        .select("i").collect().headOption.map(_.getInt(0))
+      val nonEval = src0i match {
+        case Some(i) => col("mask").bitwiseAND(lit(~(1L << i))) =!= 0L
+        case None => lit(true)
+      }
+      hashSourceMask(s, dir).filter(nonEval).select("h")
+    } else docShingles(s, dir)
+      .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id")
+      .filter(col("source") =!= "src0")
+      .select(explode(col("h_arr")).as("h")).distinct()
+  }
+
+  /** Queries (name prefixes) that consume the shared documents-pipeline
+    * memos below — the bench warms [[warmSharedMemos]] as its own
+    * `a00_shared_builds` pseudo-query when any of these are selected, so
+    * shared-build cost never masquerades as a consumer's regression.
+    */
+  private[graft] val sharedMemoConsumers: Set[String] = Set(
+    "d02", "d03", "d04", "d16", "d21", "d22", "d25", "d27", "d29", "d30",
+    "d34", "d36", "d39", "d58")
+
+  /** Materialize the cross-query shared memos for `dir`, returning
+    * (memo name, build seconds) per frame — the bench's `#shared`
+    * breakdown. Warming is semantically neutral (these frames build
+    * lazily on first consumption either way); it only moves WHERE the
+    * cost lands. srcMaskCounts (a tiny re-aggregation of the mask) and
+    * the result-level memos (nearDupPairs, components — genuinely d02's/
+    * d21's own work) stay charged to their first consumer.
+    */
+  private[graft] def warmSharedMemos(s: SparkSession,
+      dir: String): Seq[(String, Double)] = {
+    def time(name: String)(df: => DataFrame): (String, Double) = {
+      val t0 = System.nanoTime()
+      df.queryExecution.toRdd
+        .foreachPartition(it => while (it.hasNext) { it.next(); () })
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
+    val base = Seq(
+      time("docShingles")(docShingles(s, dir)),
+      time("docSimhash")(docSimhash(s, dir)),
+      time("gramTable")(gramTable(s, dir)),
+      time("gramDf")(gramDf(s, dir)),
+      time("srcIndex")(srcIndexOf(s, dir)))
+    val mask =
+      if (srcIndexOf(s, dir).count() <= 63)
+        Seq(time("hashSourceMask")(hashSourceMask(s, dir)))
+      else Nil
+    base ++ mask
+  }
+
   /** Near-dup pairs at the 0.5 Jaccard threshold, persisted (tiny —
     * hundreds of rows); feeds d02 (pair report) and d21 (clustering).
     *
@@ -1248,7 +1317,9 @@ object DedupQueries {
     * rescore joins move O(output) rows, never O(pairs).
     */
   private[graft] def tilePairsQuant(s: SparkSession, v: DataFrame,
-      thr: Double, tile: Int = 1024): DataFrame = {
+      thr: Double, tile: Int = 1024,
+      maxBatchBytes: Long = VectorKernels.MaxProbeBytes,
+      maxBatches: Int = MaxRescoreBatches): DataFrame = {
     import s.implicits._
     val cnts = v.groupBy("gkey").agg(count(lit(1)).as("gn"))
     val maxabs = array_max(transform(col("embedding"),
@@ -1406,20 +1477,104 @@ object DedupQueries {
       }
       out
     }.toDF("gkey", "va", "vb")
-    // exact rescore of survivors through the SAME float_dot/comparison
-    // expressions as the plain-join reference — `v` is the caller's
-    // (persisted) member frame, so the two lookups re-read cache, and
-    // the joins move O(survivors), not O(pairs)
-    val ea = v.select(col("gkey"), col("vec_id").as("va"),
-      col("nrm").as("na"), col("embedding").as("ea"))
-    val eb = v.select(col("gkey"), col("vec_id").as("vb"),
-      col("nrm").as("nb"), col("embedding").as("eb"))
-    cand.join(ea, Seq("gkey", "va")).join(eb, Seq("gkey", "vb"))
-      .withColumn("cosine",
-        cosineWithNorms(dot(col("ea"), col("eb")), col("na"), col("nb")))
-      .filter(col("cosine") > thr)
-      .select("gkey", "va", "vb", "cosine")
+    // ---- exact rescore of survivors ----
+    // On dup-heavy corpora the survivor set is OUTPUT-sized (every true
+    // near-dup pair survives the bound by definition), so a join-back
+    // rescore would shuffle survivor×embedding rows — measured fatal at
+    // 1000× (the pair×embedding intermediate alone outweighs the fabric
+    // the quantization saved). Instead the member vectors broadcast in
+    // gkey-batches bounded by [[VectorKernels.MaxProbeBytes]] and
+    // survivors re-score IN PLACE (a narrow mapPartitions — zero
+    // pair-shaped shuffle), through the same strict left-to-right
+    // double fold as float_dot and the same NaN-greatest comparison as
+    // the reference's `cosine > thr` filter. Corpora whose member
+    // batches outgrow [[MaxRescoreBatches]] broadcasts fall back to the
+    // shuffle-join rescore (loud) — at that scale the pair×embedding
+    // fabric spreads over a cluster's aggregate disk.
+    val dim = v.select(size(col("embedding")).as("d"))
+      .filter(col("d") > 0).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val bytesPer = 4L * dim + 120L
+    val gkSizes = cnts.select(col("gkey"), col("gn"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val batches = gkSizes.foldLeft(List(List.empty[Long]) -> 0L) {
+      case ((acc, sz), (g, n)) =>
+        val b = n * bytesPer
+        if (sz + b > maxBatchBytes && acc.head.nonEmpty)
+          (List(g) :: acc, b)
+        else ((g :: acc.head) :: acc.tail, sz + b)
+    }._1.map(_.reverse).reverse.filter(_.nonEmpty)
+    if (batches.length > maxBatches) {
+      Console.err.println(s"[graft] tilePairsQuant: member corpus needs " +
+        s"${batches.length} rescore broadcasts (> $maxBatches) — " +
+        "falling back to the shuffle-join rescore")
+      val ea = v.select(col("gkey"), col("vec_id").as("va"),
+        col("nrm").as("na"), col("embedding").as("ea"))
+      val eb = v.select(col("gkey"), col("vec_id").as("vb"),
+        col("nrm").as("nb"), col("embedding").as("eb"))
+      cand.join(ea.hint("shuffle_hash"), Seq("gkey", "va"))
+        .join(eb.hint("shuffle_hash"), Seq("gkey", "vb"))
+        .withColumn("cosine",
+          cosineWithNorms(dot(col("ea"), col("eb")), col("na"), col("nb")))
+        .filter(col("cosine") > thr)
+        .select("gkey", "va", "vb", "cosine")
+    } else {
+      // multi-batch: each batch re-reads the survivor stream, so cache it
+      // (columnar-compressed, ~output-sized) instead of re-running the
+      // quantized kernel per batch
+      val candIn = if (batches.length > 1) cand.persist() else cand
+      batches.map { gs =>
+        // collect (vec_id → nrm, vec) for the batch's cells; multi-probe
+        // duplicates collapse in the map (same payload by construction)
+        val rows = v.join(broadcast(gs.toDF("gkey")), "gkey")
+          .select(col("vec_id"), col("nrm"), col("embedding"))
+          .as[(Long, Double, Array[Float])].collect()
+        val bmap = new java.util.HashMap[java.lang.Long, (Double, Array[Double])](
+          rows.length * 2)
+        rows.foreach { case (id, nr, vf) =>
+          val d = if (vf == null) null else {
+            val w = new Array[Double](vf.length)
+            var k = 0
+            while (k < vf.length) { w(k) = vf(k).toDouble; k += 1 }
+            w
+          }
+          bmap.put(id, (nr, d))
+        }
+        val bc = s.sparkContext.broadcast(bmap)
+        val gset = gs.toSet
+        candIn.filter(col("gkey").isInCollection(gset))
+          .as[(Long, Long, Long)]
+          .mapPartitions { it =>
+            val m = bc.value
+            it.flatMap { case (g, va, vb) =>
+              val a = m.get(va); val b = m.get(vb)
+              if (a == null || b == null)
+                throw new IllegalStateException(
+                  s"rescore member missing for pair ($va, $vb)")
+              val (na, ea2) = a; val (nb, eb2) = b
+              if (ea2 == null || eb2 == null || ea2.length != eb2.length)
+                None // float_dot's NULL contract: no pair
+              else {
+                val cos = VectorKernels.cosOf(
+                  VectorKernels.fold(ea2, eb2), na, nb)
+                // NaN-greatest like Spark's `cosine > thr` on doubles
+                if (java.lang.Double.compare(cos, thr) > 0)
+                  Some((g, va, vb, cos))
+                else None
+              }
+            }
+          }
+          .toDF("gkey", "va", "vb", "cosine")
+      }.reduce(_ unionByName _)
+    }
   }
+
+  /** Rescore broadcast-batch cap for [[tilePairsQuant]]: past this many
+    * [[VectorKernels.MaxProbeBytes]]-sized member broadcasts the
+    * shuffle-join rescore takes over (a cluster's aggregate disk absorbs
+    * the pair×embedding fabric that a single box cannot).
+    */
+  private[graft] val MaxRescoreBatches = 8
 
   /** Planned-pair volume past which the hatch's tile fabric quantizes to
     * int8 ([[tilePairsQuant]]): each hatched label's realized within-cell
@@ -1862,9 +2017,21 @@ object DedupQueries {
       .select(col("lab"), least(col("sa"), col("vec_id")).as("pa"),
         greatest(col("sa"), col("vec_id")).as("pb"))
       .distinct())
-    val found = exactSample.join(
-      pairs.select(col("lab"), col("va").as("pa"), col("vb").as("pb")),
-      Seq("lab", "pa", "pb"), "left_semi")
+    // found = exactSample ∩ pairs; both sides are distinct, so either
+    // semi-join direction counts the same intersection. The hatch's pair
+    // set is OUTPUT-sized (billions of rows on dup-heavy corpora at
+    // 1000×) while the exact sample is ~128·pairs-per-sample per label —
+    // when the sample fits a broadcast, probe the pairs IN PLACE instead
+    // of shuffling the whole pair set into a semi-join (measured: the
+    // pair-side shuffle was one of the disk terms that kept d12's 1000×
+    // run from fitting a single box).
+    val pairsKeyed = pairs.select(col("lab"), col("va").as("pa"),
+      col("vb").as("pb"))
+    val found =
+      if (exactSample.count() * 48L <= VectorKernels.MaxProbeBytes)
+        pairsKeyed.join(broadcast(exactSample.select("lab", "pa", "pb")),
+          Seq("lab", "pa", "pb"), "left_semi")
+      else exactSample.join(pairsKeyed, Seq("lab", "pa", "pb"), "left_semi")
     mods.map(_._1).toDF("lab")
       .join(exactSample.groupBy("lab").agg(count(lit(1)).as("n_exact")),
         Seq("lab"), "left")
@@ -2177,7 +2344,8 @@ object DedupQueries {
       componentsOf(s, nearDupPairs(s, dir).select(col("da"), col("db")))
     }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // D1 — exact dedup on a content hash.
     "d01_dedup_exact" -> { (s, dir) =>
       t(s, dir, "documents")
@@ -2385,28 +2553,7 @@ object DedupQueries {
       val evalDocs = withSrc.filter(col("source") === "src0" &&
         size(col("h_arr")) > 0)
       val evalSh = evalDocs.select(col("doc_id"), explode(col("h_arr")).as("h"))
-      // corpus hashes via the shared (h, source-mask) index when the
-      // source count fits its 63-bit regime: "h appears in some
-      // non-eval source" is a mask test against src0's bit, so d27 and
-      // d36 split ONE corpus-wide groupBy-h shuffle instead of each
-      // paying their own (the explode+distinct here shuffled the same
-      // gram universe the mask build does). src0 absent from the index
-      // means every occupied mask is corpus (and the eval side is empty
-      // anyway); the >63-source fallback keeps the direct formulation.
-      // Null-source docs are outside both routes: the index drops them,
-      // and `source =!= "src0"` is null-filtering.
-      val srcIdx = srcIndexOf(s, dir)
-      val corpusHashes =
-        if (srcIdx.count() <= 63) {
-          val src0i = srcIdx.filter(col("source") === "src0")
-            .select("i").collect().headOption.map(_.getInt(0))
-          val nonEval = src0i match {
-            case Some(i) => col("mask").bitwiseAND(lit(~(1L << i))) =!= 0L
-            case None => lit(true)
-          }
-          hashSourceMask(s, dir).filter(nonEval).select("h")
-        } else withSrc.filter(col("source") =!= "src0")
-          .select(explode(col("h_arr")).as("h")).distinct()
+      val corpusHashes = d27CorpusHashes(s, dir)
       val hits = evalSh.join(corpusHashes, Seq("h"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
       evalDocs.select(col("doc_id"), size(col("h_arr")).as("n_grams"))
@@ -2512,6 +2659,18 @@ object DedupQueries {
     // most |sources|² rows per hash, so pair blowup is bounded by the
     // (tiny, fixed) source count, never by corpus size.
     "d36_source_overlap" -> { (s, dir) =>
+      sourceOverlapOf(s, dir)
+    }) ++ queriesB
+
+  /** d36's cross-source contamination matrix — shingle-set Jaccard
+    * between every source pair. Routed on the source count (the same
+    * measured-probe pattern as componentsOf); `forceRoute` (spec knob)
+    * pins either arm — Some(true) = bitmap, Some(false) = source-set
+    * fallback — so the route equivalence and the otherwise-CI-dead
+    * >63-source fallback are testable on any corpus.
+    */
+  private[graft] def sourceOverlapOf(s: SparkSession, dir: String,
+      forceRoute: Option[Boolean] = None): DataFrame = {
       val docsSrc = t(s, dir, "documents").select("doc_id", "source")
       // the sorted-source bit index, memoized + persisted (shared with
       // d27's corpus-hash route — see srcIndexOf). >63 real sources
@@ -2520,7 +2679,7 @@ object DedupQueries {
       val totals = srcIndexOf(s, dir)
       // adaptive-path probe on a persisted ~|sources|-row frame: the same
       // measured-runtime-choice pattern as componentsOf
-      if (totals.count() <= 63) {
+      if (forceRoute.getOrElse(totals.count() <= 63)) {
         // BITMAP formulation: each hash collapses to a 64-bit source mask
         // (bit_or — one shuffle on h, partial-agg'd map-side), then the
         // mask HISTOGRAM (distinct masks × count — tiny: ≤ 2^|sources|,
@@ -2577,7 +2736,9 @@ object DedupQueries {
           .select("src_a", "src_b", "n_shared", "n_a", "n_b", "jaccard")
           .orderBy("src_a", "src_b")
       }
-    },
+  }
+
+  private lazy val queriesB: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D2l — near-dup-cluster-SAFE train/val/test split: the assignment a
     // decontaminated eval needs — near-duplicate documents must land in
     // the SAME split or train/test leakage re-enters through paraphrases.

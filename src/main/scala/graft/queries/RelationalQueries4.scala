@@ -668,10 +668,19 @@ object RelationalQueries4 {
             if (files != null) {
               // bucket id is the `_NNNNN` suffix before the `.c000`
               // write-attempt marker in bucketed part-file names
-              val bucketIds = files.toSeq
+              val partFiles = files.toSeq
                 .filter(_.getName.startsWith("part-"))
+              val bucketIds = partFiles
                 .flatMap(f => "_(\\d{5})\\.c".r
                   .findFirstMatchIn(f.getName).map(_.group(1)))
+              // every part- file must carry a bucket suffix: a
+              // NON-bucketed write (the worst violation of the
+              // outputOrdering-trust invariant) would otherwise pass
+              // this check vacuously with zero matched ids
+              require(bucketIds.length == partFiles.length,
+                s"q61 layout invariant violated: $d has " +
+                  s"${partFiles.length - bucketIds.length} part files " +
+                  "without a bucket suffix (non-bucketed write?)")
               require(bucketIds.length <= buckets &&
                   bucketIds.distinct.length == bucketIds.length,
                 s"q61 layout invariant violated: $d has " +

@@ -166,6 +166,20 @@ class Round12OpsSpec extends SparkSpec {
     } finally v.unpersist()
   }
 
+  test("quant rescore arms: multi-batch broadcast == single == join fallback") {
+    val v = quantEdgeCorpus().persist()
+    try {
+      val ex = pairBits(DedupQueries.tilePairs(spark, v, 0.0))
+      // tiny batch bound → one broadcast per gkey (multi-batch arm)
+      val multi = pairBits(DedupQueries.tilePairsQuant(spark, v, 0.0,
+        maxBatchBytes = 1L, maxBatches = 1000))
+      // tiny batch bound + tiny cap → the shuffle-join fallback arm
+      val joinArm = pairBits(DedupQueries.tilePairsQuant(spark, v, 0.0,
+        maxBatchBytes = 1L, maxBatches = 0))
+      assert(ex.nonEmpty && multi == ex && joinArm == ex)
+    } finally v.unpersist()
+  }
+
   test("quantized tile fabric == exact tile kernel on fixture embeddings") {
     graft.functions.FloatDotProduct.register(spark)
     val v = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
@@ -192,5 +206,237 @@ class Round12OpsSpec extends SparkSpec {
     val q = rows(true)
     val e = rows(false)
     assert(q.nonEmpty && q == e)
+  }
+
+  // ---- §3: d27/d36 >63-source fallback + mask≡direct equivalence ----
+
+  /** Synthetic corpus with `nSources` provenance labels: doc i belongs to
+    * source `src<i % nSources>`, with engineered shingle overlap (docs
+    * share 3-gram windows with their neighbors), a null-source doc, a
+    * null-text doc, and a <3-token doc. Written as parquet so the real
+    * queries run against it through the normal fixture-dir path.
+    */
+  private def writeSourceCorpus(nSources: Int, withSrc0: Boolean): String = {
+    val dir = freshRoot()
+    val words = (0 until 40).map(i => s"w$i")
+    val rows = (0 until (nSources * 3)).map { i =>
+      val src: String =
+        if (i == 1) null
+        else if (withSrc0) s"src${i % nSources}"
+        else s"other${i % nSources}"
+      val text: String =
+        if (i == 2) null
+        else if (i == 3) "only two"
+        // sliding 8-word windows over a shared vocabulary — neighbors
+        // overlap, so cross-source shared shingles exist by construction
+        else (0 until 8).map(k => words((i + k) % words.length)).mkString(" ")
+      (i.toLong, text, src)
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("n_chars",
+        coalesce(length(col("text")).cast("long"), lit(0L)))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Driver-side independent recomputation of d36's matrix from raw
+    * (source → distinct shingle-hash set) maps — a different formulation
+    * than both engine arms.
+    */
+  private def expectedOverlap(dir: String): Seq[(String, String, Long, Long, Long)] = {
+    val perSrc = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source").isNotNull && col("text").isNotNull)
+      .collect().toSeq
+      .groupBy(_.getAs[String]("source"))
+      .map { case (src, docs) =>
+        src -> docs.flatMap { r =>
+          val tk = r.getAs[String]("text").split(" ", -1)
+          if (tk.length >= 3)
+            (0 to tk.length - 3).map(i => s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}")
+          else Nil
+        }.toSet
+      }
+    val srcs = perSrc.keys.toSeq.sorted
+    for {
+      a <- srcs; b <- srcs if a < b
+      shared = (perSrc(a) & perSrc(b)).size.toLong if shared > 0
+    } yield (a, b, shared, perSrc(a).size.toLong, perSrc(b).size.toLong)
+  }
+
+  test("d36: >63-source corpus routes to the set fallback and matches a driver oracle") {
+    val dir = writeSourceCorpus(70, withSrc0 = true)
+    val auto = DedupQueries.sourceOverlapOf(spark, dir)
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    val expected = expectedOverlap(dir).sortBy(t => (t._1, t._2))
+    assert(auto.nonEmpty && auto == expected)
+    // the auto route IS the fallback here (70 > 63): forcing it changes
+    // nothing; the bitmap arm is undefined past 63 bits by construction
+    val forced = DedupQueries.sourceOverlapOf(spark, dir,
+        forceRoute = Some(false))
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(forced == auto)
+  }
+
+  test("d36: bitmap arm == set-fallback arm on a ≤63-source corpus") {
+    val dir = writeSourceCorpus(9, withSrc0 = true)
+    def rows(route: Option[Boolean]) =
+      DedupQueries.sourceOverlapOf(spark, dir, forceRoute = route)
+        .collect().toSeq.map(_.toString)
+    val bitmap = rows(Some(true))
+    val direct = rows(Some(false))
+    val auto = rows(None)
+    assert(bitmap.nonEmpty && bitmap == direct && auto == bitmap)
+  }
+
+  test("d27: mask route == direct route (fixture + synthetic), >63 fallback live") {
+    // fixture: both corpus-hash routes produce the same hash set
+    def hset(dir: String, route: Option[Boolean]) =
+      DedupQueries.d27CorpusHashes(spark, dir, forceRoute = route)
+        .collect().map(_.getLong(0)).toSet
+    val fm = hset("/root/testdata/sf0.01", Some(true))
+    val fd = hset("/root/testdata/sf0.01", Some(false))
+    assert(fm.nonEmpty && fm == fd)
+    // >63-source synthetic: the auto route is the direct fallback; the
+    // full d27 query still answers every src0 doc
+    val dir = writeSourceCorpus(70, withSrc0 = true)
+    assert(hset(dir, None) == hset(dir, Some(false)))
+    val out = SparkEntry.queries("d27_decontamination")(spark, dir).collect()
+    assert(out.nonEmpty)
+    // driver-side oracle for the contaminated fraction of each src0 doc
+    val docs = spark.read.parquet(s"$dir/documents.parquet").collect().toSeq
+    def shingles(t: String): Set[String] = {
+      val tk = t.split(" ", -1)
+      if (tk.length >= 3)
+        (0 to tk.length - 3).map(i => s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}").toSet
+      else Set.empty
+    }
+    val corpusSh = docs.filter(r => r.getAs[String]("source") != null &&
+        r.getAs[String]("source") != "src0" && r.getAs[String]("text") != null)
+      .flatMap(r => shingles(r.getAs[String]("text"))).toSet
+    val expected = docs.filter(r => r.getAs[String]("source") == "src0" &&
+        r.getAs[String]("text") != null)
+      .map { r =>
+        val sh = shingles(r.getAs[String]("text"))
+        (r.getAs[Long]("doc_id"), sh.size.toLong, (sh & corpusSh).size.toLong)
+      }
+      .filter(_._2 > 0).sortBy(_._1)
+    val got = out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+      r.getAs[Long]("n_contaminated"))).toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
+
+  // ---- §4: bench gauge semantics under synthetic task events ----
+
+  test("peak-task gauge: max-and-reset semantics under synthetic task ends") {
+    import org.apache.spark.scheduler.{SparkListenerTaskEnd, TaskInfo, TaskLocality}
+    val l = new TaskMetricsListener
+    def end(peak: Long, shufWrite: Long): SparkListenerTaskEnd = {
+      // TaskMetrics construction/setters are private[spark] at the Scala
+      // level but public in bytecode — reflection builds a real event
+      val cls = Class.forName("org.apache.spark.executor.TaskMetrics")
+      val ctor = cls.getDeclaredConstructor()
+      ctor.setAccessible(true)
+      val m = ctor.newInstance()
+        .asInstanceOf[org.apache.spark.executor.TaskMetrics]
+      val incPeak =
+        try cls.getMethod("incPeakExecutionMemory", classOf[Long])
+        catch { case _: NoSuchMethodException =>
+          cls.getMethod("setPeakExecutionMemory", classOf[Long]) }
+      incPeak.invoke(m, java.lang.Long.valueOf(peak))
+      val sw = cls.getMethod("shuffleWriteMetrics").invoke(m)
+      sw.getClass.getMethod("incBytesWritten", classOf[Long])
+        .invoke(sw, java.lang.Long.valueOf(shufWrite))
+      val ti = new TaskInfo(0L, 0, 0, 0, 0L, "exec", "host",
+        TaskLocality.ANY, false)
+      SparkListenerTaskEnd(1, 0, "ResultTask", org.apache.spark.Success,
+        ti, null, m)
+    }
+    // empty window: reset returns 0 and stays 0
+    assert(l.peakTaskMemSinceReset() == 0L)
+    val s0 = l.snapshot()
+    l.onTaskEnd(end(100L, 5L))
+    l.onTaskEnd(end(40L, 7L))
+    // counters are SUMS across tasks…
+    assert(l.snapshot()(1) - s0(1) == 12L)
+    assert(l.snapshot()(7) - s0(7) == 2L)
+    // …but the peak gauge is a MAX (the old sum semantics would say 140)
+    assert(l.peakTaskMemSinceReset() == 100L)
+    // and it RESETS per window — a second read is a fresh high-water mark
+    assert(l.peakTaskMemSinceReset() == 0L)
+    l.onTaskEnd(end(70L, 0L))
+    assert(l.peakTaskMemSinceReset() == 70L)
+  }
+
+  // ---- §5: desc_key property sweep against Spark's own comparator ----
+
+  test("desc_key: 10k random bit patterns order exactly like desc_nulls_last") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.functions.DescKey
+    val gen = Gen.listOfN(10000, Gen.choose(Long.MinValue, Long.MaxValue))
+    val bits = gen(Gen.Parameters.default, Seed(42L)).get
+    // raw 64-bit patterns: normals, subnormals, ±0.0, ±inf, every NaN
+    // payload class (negative-sign and signaling patterns included)
+    val doubles = bits.map(java.lang.Double.longBitsToDouble) ++ Seq(
+      0.0, -0.0, Double.PositiveInfinity, Double.NegativeInfinity,
+      Double.NaN, java.lang.Double.longBitsToDouble(0x7ff0000000000001L),
+      java.lang.Double.longBitsToDouble(0xfff8000000000123L),
+      java.lang.Double.MIN_VALUE, -java.lang.Double.MIN_VALUE,
+      Double.MaxValue, Double.MinValue)
+    // reference: Spark's own ascending double comparator (NaN greatest,
+    // -0.0 == 0.0) — desc rank(a before b) ⟺ cmp(a,b) > 0
+    val cmp = (a: Double, b: Double) =>
+      org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(a, b)
+    val keyed = doubles.map(d => (d, DescKey.key(d)))
+    // pairwise order/tie agreement on a deterministic sample of pairs
+    val n = keyed.length
+    var i = 0
+    while (i < n) {
+      val (a, ka) = keyed(i)
+      val (b, kb) = keyed((i * 2654435761L % n).toInt.abs)
+      val c = cmp(a, b)
+      assert(java.lang.Long.compare(ka, kb) == -c.sign,
+        s"order disagreement: $a (key $ka) vs $b (key $kb), cmp=$c")
+      i += 1
+    }
+    // injectivity modulo the documented canonicalizations: equal keys ⟺
+    // comparator tie (all NaNs collapse, -0.0 == 0.0, nothing else)
+    keyed.groupBy(_._2).foreach { case (_, vs) =>
+      val h = vs.head._1
+      assert(vs.forall(v => cmp(v._1, h) == 0))
+    }
+    // null sorts LAST under desc_nulls_last: its key is the maximum
+    assert(keyed.forall(_._2 < Long.MaxValue) ||
+      keyed.exists(v => cmp(v._1, Double.NaN) == 0 && v._2 < Long.MaxValue))
+    assert(keyed.map(_._2).max < Long.MaxValue)
+    // end-to-end: Spark's own sort agrees with sorting by the key
+    import spark.implicits._
+    graft.functions.DescKey.register(spark)
+    val sample = doubles.take(2000).zipWithIndex
+      .map { case (d, ix) => (ix.toLong, Option(d)) } ++
+      Seq((9001L, Option.empty[Double]), (9002L, Option.empty[Double]))
+    val df = sample.toDF("id", "x")
+    val bySpark = df.orderBy(col("x").desc_nulls_last, col("id"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val byKey = df.selectExpr("id", "desc_key(x) AS k")
+      .orderBy("k", "id").select("id").collect().map(_.getLong(0)).toSeq
+    assert(bySpark == byKey)
+  }
+
+  test("d27: src0-absent corpus — mask route's every-mask-is-corpus branch") {
+    val dir = writeSourceCorpus(7, withSrc0 = false)
+    // no src0 anywhere: the mask arm keeps every occupied mask, the
+    // direct arm keeps every non-src0 gram — identical sets — and the
+    // full query's eval side is empty
+    val m = DedupQueries.d27CorpusHashes(spark, dir, forceRoute = Some(true))
+      .collect().map(_.getLong(0)).toSet
+    val d = DedupQueries.d27CorpusHashes(spark, dir, forceRoute = Some(false))
+      .collect().map(_.getLong(0)).toSet
+    assert(m.nonEmpty && m == d)
+    val out = SparkEntry.queries("d27_decontamination")(spark, dir).collect()
+    assert(out.isEmpty)
   }
 }
