@@ -24,6 +24,21 @@ import org.apache.spark.sql.functions._
   * generations are bit-identical.
   */
 object ScaleUp {
+
+  /** The per-replica embedding transform (factored for the spec): reads
+    * `embedding` and the replica tag `__c`, applies the per-(copy,
+    * component) sign flip described at the write site. Copy 0 is
+    * verbatim; within a copy the flip is a shared isometry (dot products
+    * and norms bit-identical to copy 0); across copies ~half the signs
+    * disagree, so cosines collapse to the base distribution's random-pair
+    * tail.
+    */
+  private[graft] def replicaEmbedding: Column =
+    when(col("__c") === 0, col("embedding")).otherwise(
+      transform(col("embedding"), (x, j) =>
+        when(pmod(hash(col("__c"), j), lit(2)) === 0, x)
+          .otherwise(-x)))
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleUp <srcDir> <dstDir> [copies]")
     val src = args(0)
@@ -107,17 +122,23 @@ object ScaleUp {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("__c"), "documents", 16)
 
-    // embeddings: copy 0 verbatim; copies ≥1 get a deterministic per-
-    // (copy, vec, component) jitter in ±0.04 — direction changes, so
-    // cross-copy cosine drops below any near-dup threshold while label
-    // geometry (cluster structure within a copy) survives
+    // embeddings: copy 0 verbatim; copies ≥1 get a deterministic
+    // per-(copy, component) SIGN FLIP — an isometry, so WITHIN-copy
+    // geometry (every dot product, norm, label-cluster structure) is
+    // preserved bit-exactly, while cross-copy cosines collapse to
+    // ~N(0, 1/√d) — far below any near-dup threshold. The previous
+    // additive ±0.04 jitter failed the stated goal for copies of the
+    // SAME original vector (cos(v+j₁, v+j₂) ≈ 0.99 when |j| ≪ |v|),
+    // which squared the near-dup pair count with scale — exactly the
+    // misrepresentation this generator documents it must avoid (at 1000×
+    // that bug alone made d12's answer a billion-row clique expansion).
+    // The flip keys on (copy, component), NOT vec_id, so every vector of
+    // a copy shares one orthogonal transform and within-copy relations
+    // are untouched; ±x is exact in float, so copy semantics stay
+    // deterministic and engine-independent.
     wr(fan(rd("embeddings"))
       .withColumn("vec_id", shifted("vec_id", vecS))
-      .withColumn("embedding",
-        when(col("__c") === 0, col("embedding")).otherwise(
-          transform(col("embedding"), (x, j) =>
-            (x + (pmod(hash(col("vec_id"), col("__c"), j), lit(1000))
-              .cast("double") - 500.0) / 12800.0).cast("float"))))
+      .withColumn("embedding", replicaEmbedding)
       .drop("__c"), "embeddings", 8)
 
     println(s"[scaleup] wrote ${copies}x $src -> $dst")

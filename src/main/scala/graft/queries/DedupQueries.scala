@@ -2107,7 +2107,12 @@ object DedupQueries {
     val plans1 = hatchPlansOf(over.toSeq, probe, budget)
     val (ap1, sc1) = hatchRound(s, members, plans1, thr, tile, probe,
       cellsBound, probeRowBytes, scratch1, quant)
-    val ap1p = ap1.persist()
+    // the pair frame is OUTPUT-sized; in the quant (large-planned-volume)
+    // regime caching it costs more storage than recomputation costs CPU —
+    // the lineage's shuffle stages are reused across jobs either way, so
+    // skipping the persist only re-runs narrow stages while freeing
+    // tens of GB of block-store at 1000× (measured disk term)
+    val ap1p = if (quant) ap1 else ap1.persist()
     // audit-sample size estimate for the broadcast-vs-shuffle decision:
     // Σ n_i/mod_i sampled rows × the measured widened row size
     val estAuditBytes =
@@ -2239,7 +2244,8 @@ object DedupQueries {
       val keepX = if (keepLabsX.isEmpty) lit(false)
         else if (degen.isEmpty) lit(true)
         else !col("lab").isin(degen.toSeq: _*)
-      val app = ap.filter(keepX).persist()
+      // same output-sized-cache rationale as ap1p: skip in the quant regime
+      val app = if (quant) ap.filter(keepX) else ap.filter(keepX).persist()
       val membersOk =
         if (degen.isEmpty) membersX else membersX.filter(keepX)
       val modsX = keepLabsX.map(l => (l, modOf(l)))

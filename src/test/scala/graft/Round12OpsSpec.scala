@@ -328,6 +328,52 @@ class Round12OpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // ---- §3b: ScaleUp replica embeddings — isometry within, decorrelated across ----
+
+  test("ScaleUp replica embeddings: within-copy exact isometry, cross-copy decorrelation") {
+    graft.functions.FloatDotProduct.register(spark)
+    val base = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .limit(400)
+    val fanned = base.withColumn("__c",
+        explode(sequence(lit(0L), lit(2L))))
+      .withColumn("emb2", graft.ScaleUp.replicaEmbedding)
+      .select(col("vec_id"), col("__c"), col("embedding"), col("emb2"))
+      .collect()
+    // copy 0 verbatim
+    fanned.filter(_.getLong(1) == 0L).foreach { r =>
+      assert(r.getSeq[Float](2) == r.getSeq[Float](3))
+    }
+    def byCopy(c: Long): Map[Long, Array[Float]] =
+      fanned.filter(_.getLong(1) == c)
+        .map(r => r.getLong(0) -> r.getSeq[Float](3).toArray).toMap
+    val c0 = byCopy(0L); val c1 = byCopy(1L); val c2 = byCopy(2L)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var t = 0.0; var k = 0
+      while (k < a.length) { t += a(k).toDouble * b(k); k += 1 }
+      t
+    }
+    // WITHIN-copy isometry: every pairwise dot in copy 1 is bit-identical
+    // to the same pair's dot in copy 0 (sign² = +1 term-by-term, same
+    // fold order) — the fixture's within-copy dup/ANN structure is
+    // untouched by construction, not approximately
+    val ids = c0.keys.toSeq.sorted.take(60)
+    for (a <- ids; b <- ids if a < b) {
+      assert(java.lang.Double.doubleToLongBits(dot(c1(a), c1(b))) ==
+        java.lang.Double.doubleToLongBits(dot(c0(a), c0(b))))
+    }
+    // CROSS-copy decorrelation: the same original's replicas are NOT
+    // near-duplicates (the additive-jitter bug left them at cos ≈ 0.99)
+    val cosines = c0.keys.toSeq.sorted.map { id =>
+      val x = c1(id); val y = c2(id)
+      val n1 = math.sqrt(dot(x, x)); val n2 = math.sqrt(dot(y, y))
+      if (n1 == 0.0 || n2 == 0.0) 0.0 else dot(x, y) / (n1 * n2)
+    }
+    assert(cosines.map(math.abs).sum / cosines.length < 0.25,
+      "replica cosines are not decorrelated")
+    assert(cosines.count(_ > 0.4).toDouble / cosines.length < 0.05,
+      "same-original replicas still read as near-duplicates")
+  }
+
   // ---- §4: bench gauge semantics under synthetic task events ----
 
   test("peak-task gauge: max-and-reset semantics under synthetic task ends") {
