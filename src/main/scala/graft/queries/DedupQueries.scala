@@ -1572,9 +1572,13 @@ object DedupQueries {
   /** Rescore broadcast-batch cap for [[tilePairsQuant]]: past this many
     * [[VectorKernels.MaxProbeBytes]]-sized member broadcasts the
     * shuffle-join rescore takes over (a cluster's aggregate disk absorbs
-    * the pair×embedding fabric that a single box cannot).
+    * the pair×embedding fabric that a single box cannot). Each batch is
+    * one pass over the PERSISTED survivor frame plus one ≤256 MB member
+    * collect — cheap relative to the pair×embedding shuffle the fallback
+    * pays (measured at 1000×: a 12-batch corpus forced onto the fallback
+    * wrote 21 GB of rescore fabric; the broadcast arm writes none).
     */
-  private[graft] val MaxRescoreBatches = 8
+  private[graft] val MaxRescoreBatches = 64
 
   /** Planned-pair volume past which the hatch's tile fabric quantizes to
     * int8 ([[tilePairsQuant]]): each hatched label's realized within-cell
