@@ -155,10 +155,17 @@ object Bench {
           !sys.env.contains("SPARK_GRAFT_NO_WARM"))
         selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
           // same full-plan forcing as the timed loop, so the warmed
-          // codegen paths are the ones actually measured
-          try fn(spark, warmDir).queryExecution.toRdd
-            .foreachPartition(it => while (it.hasNext) { it.next(); () })
-          catch { case _: Throwable => () }
+          // codegen paths are the ones actually measured; same lifecycle
+          // too (scratch drain + shuffle clean), so warmup leaves no
+          // dead shuffle files or kernel broadcasts behind
+          try {
+            val r = fn(spark, warmDir).queryExecution.toRdd
+            r.foreachPartition(it => while (it.hasNext) { it.next(); () })
+            graft.queries.Q.drainScratch(spark)
+            r.cleanShuffleDependencies(blocking = false)
+          } catch { case _: Throwable =>
+            graft.queries.Q.drainScratch(spark); ()
+          }
         }
       // Warm the OS page cache for the MEASURED dir's parquet bytes (a
       // fresh container otherwise charges cold device reads to whichever
@@ -269,6 +276,19 @@ object Bench {
         }
         s.range(0).toDF()
       })
+    // Where Spark actually writes shuffle/spill scratch (for the backstop
+    // disk check): SPARK_LOCAL_DIRS env > spark.local.dir conf >
+    // java.io.tmpdir — the same precedence Utils.getConfiguredLocalDirs
+    // uses in local mode. First entry of a comma list is representative
+    // (all entries share the failure mode that matters here).
+    val shuffleScratchDir = sys.env.get("SPARK_LOCAL_DIRS")
+      .orElse(spark.conf.getOption("spark.local.dir"))
+      .map(_.split(",").head.trim)
+      .filter(_.nonEmpty)
+      .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+    var lastNudge = Long.MinValue / 2
+    var nudges = 0L
+    var scratchReleased = 0L
     def runPass(): Seq[(String, Double, Boolean)] =
       (sharedEntry ++ selected.toSeq.sortBy(_._1)).map { case (name, fn) =>
         settle(10) // drain the previous query's compile backlog (untimed)
@@ -277,9 +297,11 @@ object Bench {
           (if (jitBean != null) jitBean.getTotalCompilationTime else 0L, gcMs)
         val t0 = System.nanoTime()
         var failed: Option[String] = None
+        var rdd: Option[org.apache.spark.rdd.RDD[_]] = None
         try {
-          fn(spark, sfDir).queryExecution.toRdd
-            .foreachPartition(it => while (it.hasNext) { it.next(); () })
+          val r = fn(spark, sfDir).queryExecution.toRdd
+          rdd = Some(r)
+          r.foreachPartition(it => while (it.hasNext) { it.next(); () })
         } catch { case e: Throwable =>
           failed = Some(e.toString.takeWhile(_ != '\n'))
         }
@@ -309,16 +331,33 @@ object Bench {
             s"peakTaskMem=${l.peakTaskMemSinceReset()} " +
             s"storageUsed=$storageUsed")
         }
-        // Completed queries' shuffle files are deleted by the
-        // ContextCleaner only after their RDDs are garbage-collected; a
-        // large-heap single-app battery can fill the DISK with dead
-        // shuffle state while the heap never GCs on its own (measured at
-        // 1000×: a mid-battery ENOSPC cascade with ~50 GB of
-        // already-dead shuffle files). When scratch space runs low,
-        // nudge the collector OUTSIDE the timed window and give the
-        // async cleaner a beat — a no-op at SFs where disk never dips.
-        if (new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
-            .getUsableSpace < (32L << 30)) {
+        // Deterministic lifecycle (untimed, after the metrics snapshot):
+        // (1) release query-scoped scratch — persisted survivor caches
+        // and kernel broadcasts registered via Q.registerScratch (e.g.
+        // tilePairsQuant's rescore batches) are dead once the result is
+        // materialized; (2) delete the completed query's shuffle files
+        // via RDD.cleanShuffleDependencies — its recursion stops at
+        // persisted RDDs, so shared memos and everything beneath them
+        // survive, while the query's OWN exchanges (the files that
+        // accumulated to a mid-battery ENOSPC at 1000×, BENCH_SF1 round
+        // 12) are removed the moment they are dead instead of whenever
+        // the 48 GB heap happens to GC the references.
+        scratchReleased += graft.queries.Q.drainScratch(spark)
+        try rdd.foreach(_.cleanShuffleDependencies(blocking = true))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] shuffle clean failed for $name: $e")
+        }
+        // Backstop for anything the deterministic path can't reach
+        // (construction-time collect shuffles, evicted-memo remnants):
+        // rate-limited GC nudge, watching the ACTUAL shuffle scratch
+        // volume — Spark resolves local dirs as SPARK_LOCAL_DIRS >
+        // spark.local.dir > java.io.tmpdir, so monitor the same path.
+        // The per-pass `nudges=` count on stderr is the inertness
+        // evidence: with the lifecycle above it should stay 0.
+        if (new java.io.File(shuffleScratchDir).getUsableSpace < (32L << 30)
+            && System.nanoTime() - lastNudge > 60000000000L) {
+          lastNudge = System.nanoTime()
+          nudges += 1
           System.gc()
           Thread.sleep(2000)
         }
@@ -341,7 +380,8 @@ object Bench {
       if (p > 1) graft.queries.Q.reset(spark)
       val r = runPass()
       System.err.println(
-        f"#pass $p/$passes total=${r.map(_._2).sum}%.3fs")
+        f"#pass $p/$passes total=${r.map(_._2).sum}%.3fs " +
+          s"scratch=$scratchReleased nudges=$nudges")
       r
     }
     val results = minOverPasses(passResults)

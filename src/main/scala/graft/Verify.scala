@@ -26,7 +26,12 @@ object Verify {
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
-      dumpOne(spark, sfDir, outDir, name, fn); ()
+      dumpOne(spark, sfDir, outDir, name, fn)
+      // release query-scoped scratch (persisted caches, kernel
+      // broadcasts) now that the result is on disk — same lifecycle
+      // contract as Bench's per-query drain
+      graft.queries.Q.drainScratch(spark)
+      ()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1321,7 +1321,13 @@ object DedupQueries {
       maxBatchBytes: Long = VectorKernels.MaxProbeBytes,
       maxBatches: Int = MaxRescoreBatches): DataFrame = {
     import s.implicits._
-    val cnts = v.groupBy("gkey").agg(count(lit(1)).as("gn"))
+    // gdim (sum of real per-member dims) rides the count aggregate for
+    // free: the rescore batching below sizes each gkey's broadcast from
+    // MEASURED bytes, so a ragged corpus whose later vectors are much
+    // wider cannot overshoot a batch past maxBatchBytes the way a
+    // one-sampled-dim estimate could
+    val cnts = v.groupBy("gkey").agg(count(lit(1)).as("gn"),
+      sum(coalesce(size(col("embedding")), lit(0)).cast("long")).as("gdim"))
     val maxabs = array_max(transform(col("embedding"),
       x => abs(x.cast("double"))))
     val hasNull = exists(col("embedding"), x => x.isNull)
@@ -1405,18 +1411,9 @@ object DedupQueries {
         val a = ta.ids(i); val b = tb.ids(j)
         out += ((ta.gkey, math.min(a, b), math.max(a, b)))
       }
-      @inline def check(i: Int, j: Int, q: Long, d: Int): Unit = {
-        val sa = ta.scls(i); val sb = tb.scls(j)
-        if (sa == 0.0 || sb == 0.0) emitC(i, j)
-        else {
-          val den = sa * sb * ta.nrms(i) * tb.nrms(j)
-          if (!(den > 0.0 && den < Double.PositiveInfinity)) emitC(i, j)
-          else {
-            val err = 0.500001 * (l1A(i) + l1B(j)) + 0.250001 * d
-            if ((q + err) / den + 1e-7 > thr) emitC(i, j)
-          }
-        }
-      }
+      @inline def check(i: Int, j: Int, q: Long, d: Int): Unit =
+        if (quantCandidate(q, l1A(i), l1B(j), d, ta.scls(i), tb.scls(j),
+            ta.nrms(i), tb.nrms(j), thr)) emitC(i, j)
       val d0 = if (ta.dims.nonEmpty) ta.dims(0) else 0
       val uniform = d0 > 0 &&
         ta.dims.forall(_ == d0) && tb.dims.forall(_ == d0)
@@ -1491,20 +1488,18 @@ object DedupQueries {
     // batches outgrow [[MaxRescoreBatches]] broadcasts fall back to the
     // shuffle-join rescore (loud) — at that scale the pair×embedding
     // fabric spreads over a cluster's aggregate disk.
-    val dim = v.select(size(col("embedding")).as("d"))
-      .filter(col("d") > 0).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
-    val bytesPer = 4L * dim + 120L
-    val gkSizes = cnts.select(col("gkey"), col("gn"))
-      .as[(Long, Long)].collect().sortBy(_._1)
-    val batches = gkSizes.foldLeft(List(List.empty[Long]) -> 0L) {
-      case ((acc, sz), (g, n)) =>
-        val b = n * bytesPer
-        if (sz + b > maxBatchBytes && acc.head.nonEmpty)
-          (List(g) :: acc, b)
-        else ((g :: acc.head) :: acc.tail, sz + b)
-    }._1.map(_.reverse).reverse.filter(_.nonEmpty)
-    if (batches.length > maxBatches) {
+    // per-gkey MEASURED member bytes: 4 B per real component (gdim sums
+    // actual sizes, so mixed-width corpora size correctly) + per-row
+    // overhead (boxed id/norm/array headers in the driver HashMap)
+    val gkSizes = cnts.select(col("gkey"), col("gn"), col("gdim"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+      .map { case (g, n, sd) => (g, 4L * sd + 120L * n) }
+    val batches = rescoreBatches(gkSizes, maxBatchBytes)
+    if (batches.isEmpty) {
+      // empty member frame ⇒ no survivors possible: degrade like the
+      // exact kernel (an empty frame, not an empty .reduce throw)
+      cand.withColumn("cosine", lit(null).cast("double")).limit(0)
+    } else if (batches.length > maxBatches) {
       Console.err.println(s"[graft] tilePairsQuant: member corpus needs " +
         s"${batches.length} rescore broadcasts (> $maxBatches) — " +
         "falling back to the shuffle-join rescore")
@@ -1521,8 +1516,18 @@ object DedupQueries {
     } else {
       // multi-batch: each batch re-reads the survivor stream, so cache it
       // (columnar-compressed, ~output-sized) instead of re-running the
-      // quantized kernel per batch
-      val candIn = if (batches.length > 1) cand.persist() else cand
+      // quantized kernel per batch. The persist (and each batch's member
+      // broadcast below) outlives this function — the returned plan
+      // references them lazily — so their release registers with the
+      // scratch queue: the harness drains it after the consuming query
+      // materializes, instead of leaving ~output-sized cache plus up to
+      // maxBatches × maxBatchBytes of broadcast blocks to the
+      // ContextCleaner's GC timing.
+      val candIn = if (batches.length > 1) {
+        val p = cand.persist()
+        Q.registerScratch(s, "tilePairsQuant.candIn")(p.unpersist(false))
+        p
+      } else cand
       batches.map { gs =>
         // collect (vec_id → nrm, vec) for the batch's cells; multi-probe
         // duplicates collapse in the map (same payload by construction)
@@ -1541,6 +1546,7 @@ object DedupQueries {
           bmap.put(id, (nr, d))
         }
         val bc = s.sparkContext.broadcast(bmap)
+        Q.registerScratch(s, "tilePairsQuant.rescoreBroadcast")(bc.destroy())
         val gset = gs.toSet
         candIn.filter(col("gkey").isInCollection(gset))
           .as[(Long, Long, Long)]
@@ -1568,6 +1574,51 @@ object DedupQueries {
       }.reduce(_ unionByName _)
     }
   }
+
+  /** The [[tilePairsQuant]] per-pair CANDIDATE decision, factored pure so
+    * the no-false-negative contract is property-testable on its own
+    * (Round13OpsSpec sweeps it against exact cosines over random/
+    * adversarial corpora; a weakened slack constant fails the sweep).
+    *
+    * Inputs: `q` = Σ qₓq_y over the int8 codes, `l1a`/`l1b` = Σ|q| per
+    * member, `d` = shared dim, `sa`/`sb` = quantization scales (0 marks
+    * an UNSAFE member), `na`/`nb` = exact norms. Derivation (expanded
+    * around the integer codes, VERDICT r12 re-derived): with
+    * qᵢ = ⌊xᵢs + ½⌋ and eᵢ = qᵢ − xᵢs ∈ (−½, ½],
+    * dot·sₐs_b = Q − Σqₓe_y − Σq_ye_x + Σe_xe_y, so
+    * |dot·sₐs_b − Q| ≤ ½(L1ₐ+L1_b) + ¼d. The 0.500001/0.250001 slacks
+    * absorb the bound arithmetic's own FP rounding; the 1e-7 absorbs the
+    * division's. A pair whose scales or denominator are untrustworthy is
+    * ALWAYS a candidate — the exact rescore, not the bound, decides it.
+    */
+  private[graft] def quantCandidate(q: Long, l1a: Int, l1b: Int, d: Int,
+      sa: Double, sb: Double, na: Double, nb: Double, thr: Double): Boolean =
+    if (sa == 0.0 || sb == 0.0) true
+    else {
+      val den = sa * sb * na * nb
+      if (!(den > 0.0 && den < Double.PositiveInfinity)) true
+      else {
+        val err = 0.500001 * (l1a + l1b) + 0.250001 * d
+        (q + err) / den + 1e-7 > thr
+      }
+    }
+
+  /** Greedy gkey batching for [[tilePairsQuant]]'s broadcast rescore, by
+    * MEASURED bytes: consecutive (gkey-sorted) groups pack into a batch
+    * while the running byte sum stays ≤ `maxBatchBytes`. Invariant
+    * (spec-pinned): no batch of ≥2 gkeys exceeds the bound — only a
+    * SINGLE gkey already larger than the bound forms an oversized batch
+    * (it cannot be split: the rescore needs both pair members resident),
+    * and a corpus full of those trips the [[MaxRescoreBatches]] fallback.
+    */
+  private[graft] def rescoreBatches(sizes: Seq[(Long, Long)],
+      maxBatchBytes: Long): List[List[Long]] =
+    sizes.foldLeft(List(List.empty[Long]) -> 0L) {
+      case ((acc, sz), (g, b)) =>
+        if (sz + b > maxBatchBytes && acc.head.nonEmpty)
+          (List(g) :: acc, b)
+        else ((g :: acc.head) :: acc.tail, sz + b)
+    }._1.map(_.reverse).reverse.filter(_.nonEmpty)
 
   /** Rescore broadcast-batch cap for [[tilePairsQuant]]: past this many
     * [[VectorKernels.MaxProbeBytes]]-sized member broadcasts the

@@ -53,7 +53,11 @@ object Q {
 
   /** Drop a stopped session's cached handles (frees the session pin). */
   def clear(spark: SparkSession): Unit =
-    planCache.synchronized { planCache.remove(spark); touchCache.remove(spark) }
+    planCache.synchronized {
+      planCache.remove(spark); touchCache.remove(spark)
+      scratchQueues.synchronized { scratchQueues.remove(spark) }
+      ()
+    }
 
   /** Unpersist every memoized intermediate and drop ALL cached handles for
     * a LIVE session — restores the cold-start state a fresh process would
@@ -61,14 +65,70 @@ object Q {
     * each pass charges shared-table builds to the same queries a
     * single-pass run would.
     */
-  def reset(spark: SparkSession): Unit = planCache.synchronized {
-    Option(planCache.get(spark)).foreach { m =>
-      m.keys.filter(_._2.startsWith("#")).toSeq
-        .foreach(k => m.remove(k).foreach(_.unpersist(blocking = true)))
+  def reset(spark: SparkSession): Unit = {
+    drainScratch(spark)
+    planCache.synchronized {
+      Option(planCache.get(spark)).foreach { m =>
+        m.keys.filter(_._2.startsWith("#")).toSeq
+          .foreach(k => m.remove(k).foreach(_.unpersist(blocking = true)))
+      }
+      planCache.remove(spark)
+      touchCache.remove(spark)
+      ()
     }
-    planCache.remove(spark)
-    touchCache.remove(spark)
+  }
+
+  // ---- query-scoped scratch lifecycle -----------------------------------
+  // Kernels that persist() a frame or sparkContext.broadcast() a map whose
+  // lifetime must outlive the function that built it (the returned plan
+  // references it lazily — e.g. tilePairsQuant's survivor cache and its
+  // per-batch rescore broadcasts) register a named cleanup here. The
+  // harness (Bench/Verify) drains the queue AFTER each query's result is
+  // fully materialized: deterministic release of cached and broadcast
+  // blocks instead of waiting for a large heap to GC the dead references
+  // (the sf100 dead-shuffle/ENOSPC mechanism, BENCH_SF1 round 12). A
+  // caller that never drains degrades exactly to the old
+  // ContextCleaner-eventually behavior — the queue holds cleanup thunks,
+  // not data, and is bounded by registrations per un-drained query.
+  private val scratchQueues =
+    new java.util.IdentityHashMap[SparkSession,
+      java.util.concurrent.ConcurrentLinkedQueue[(String, () => Unit)]]()
+
+  private[graft] def registerScratch(spark: SparkSession, name: String)(
+      cleanup: => Unit): Unit = {
+    val q = scratchQueues.synchronized {
+      Option(scratchQueues.get(spark)).getOrElse {
+        val nq =
+          new java.util.concurrent.ConcurrentLinkedQueue[(String, () => Unit)]()
+        scratchQueues.put(spark, nq)
+        nq
+      }
+    }
+    q.add((name, () => cleanup))
     ()
+  }
+
+  /** Run and clear every registered scratch cleanup for the session. Only
+    * call AFTER the consuming query's result is materialized — the
+    * cleanups unpersist frames and destroy broadcasts an un-executed plan
+    * would still need. Returns the number of cleanups run. Each thunk runs
+    * under its own try/catch: a failed release must not mask the query's
+    * own result.
+    */
+  private[graft] def drainScratch(spark: SparkSession): Int = {
+    val q = scratchQueues.synchronized { Option(scratchQueues.get(spark)) }
+    q.fold(0) { queue =>
+      var n = 0
+      var e = queue.poll()
+      while (e != null) {
+        try e._2() catch { case ex: Throwable =>
+          Console.err.println(s"[graft] scratch release ${e._1} failed: $ex")
+        }
+        n += 1
+        e = queue.poll()
+      }
+      n
+    }
   }
 
   // LRU clocks for memoized entries (per session, same lifecycle as

@@ -100,14 +100,14 @@ object VectorKernels {
   }
 
   /** Strict left-to-right double fold — bit-identical to float_dot. */
-  @inline private[queries] def fold(a: Array[Double], b: Array[Double]): Double = {
+  @inline private[graft] def fold(a: Array[Double], b: Array[Double]): Double = {
     var t = 0.0
     var k = 0
     while (k < a.length) { t += a(k) * b(k); k += 1 }
     t
   }
 
-  @inline private[queries] def cosOf(t: Double, na: Double, nb: Double): Double = {
+  @inline private[graft] def cosOf(t: Double, na: Double, nb: Double): Double = {
     val denom = na * nb
     if (denom == 0.0) Double.NaN else t / denom
   }

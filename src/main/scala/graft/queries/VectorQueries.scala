@@ -302,7 +302,27 @@ object VectorQueries {
     *   - partials (≤ probes·f rows, corpus-logarithmic) merge with the
     *     same max(struct(cosine, -id)) the kernel contract pins,
     *     including the NULL-cosine ragged-dims fallback.
+    *
+    * Probe-replication bound: the probe-side shuffle moves ≤
+    * |ev| · nprobe · fmax · rowBytes, where fmax = min([[MaxCellSplit]],
+    * ⌈maxCellMembers / target⌉) and rowBytes ≈ 4·dim + ~50. With the
+    * default target = max(64Ki, n/(4·partitions)), fmax ≤ 4·partitions
+    * on any hash-balanced corpus, so replication stays within a small
+    * constant of the eval set. The [[MaxCellSplit]] cap only binds on a
+    * PATHOLOGICAL corpus (≥ cap·target members in ONE cell — e.g.
+    * all-identical embeddings): there per-task member state is
+    * n_cell/cap and probe bytes are |ev|·nprobe·cap·rowBytes — both
+    * linear in their own input, neither pair-shaped (spec-pinned with a
+    * task-metrics measurement on the degenerate corpus,
+    * Round13OpsSpec).
     */
+  /** Degenerate-cell re-split cap for [[nearestTrainIvfCells]]: the
+    * largest factor one cell may split into. Caps probe replication at
+    * cap× (probes copy to every subcell) while per-task member state
+    * degrades to n_cell/cap — the trade the scaladoc bound quantifies.
+    */
+  private[graft] val MaxCellSplit = 1024L
+
   private[graft] def nearestTrainIvfCells(tr: DataFrame, ev: DataFrame,
       nprobe: Int = 3, knownTrainN: Option[Long] = None,
       targetCellRows: Option[Long] = None): DataFrame = {
@@ -332,10 +352,10 @@ object VectorQueries {
     val nPart = s.sessionState.conf.numShufflePartitions
     val target = math.max(1L, targetCellRows.getOrElse(
       math.max(65536L, nTrain / (4L * nPart))))
-    // split factors: capped so a pathological single-cell corpus cannot
-    // explode probe replication past 1024×
+    // split factors: capped at MaxCellSplit so a pathological single-cell
+    // corpus cannot explode probe replication (see the scaladoc bound)
     val splits = counts.toSeq.map { case (c, n) =>
-      (c, math.min(1024L, (n + target - 1L) / target).toInt)
+      (c, math.min(MaxCellSplit, (n + target - 1L) / target).toInt)
     }.toDF("cell", "f")
     val memDs = assigned.join(broadcast(splits), "cell")
       .select(col("cell"),
