@@ -49,6 +49,18 @@ object ScaleUp {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // The source fixture is a handful of parquet row groups; at the
+      // default 128 MB split the `copies`-way explode runs on 1-2 cores
+      // (measured: sf30's lineitem fan spent 40+ min single-threaded).
+      // 8 MB splits give every core a map task — the fan is CPU-bound,
+      // not IO-bound, so small splits are pure win here.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      // Large single-JVM fan-outs can starve the driver-executor
+      // heartbeat thread for >120 s under full-box load (observed: the
+      // heartbeat receiver killed the local executor mid-write); the
+      // generator has no liveness concern worth dying for.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       // If events.ts is parquet TIMESTAMP(NANOS) (older fixture
       // generations), Spark 4 rejects it by default; nanosAsLong surfaces
       // it as epoch-nano longs — exactly how Q.t reads it, so the
@@ -61,21 +73,33 @@ object ScaleUp {
 
     def rd(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
-    def wr(df: DataFrame, name: String, parts: Int): Unit = {
-      df.repartition(parts).write.mode("overwrite")
-        .parquet(s"$dst/$name.parquet")
+    def wr(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scaleup] $name done")
     }
-    /** Fan each row out to `copies` replicas tagged 0..copies-1. */
-    def fan(df: DataFrame): DataFrame =
-      df.withColumn("__c", explode(sequence(lit(0L), lit(copies - 1L))))
+    /** Fan each row out to `copies` replicas tagged 0..copies-1.
+      *
+      * The SOURCE repartitions to `parts` BEFORE the explode — two
+      * measured pathologies in the old post-fan `repartition(parts)`:
+      * (1) parquet splits cannot cut inside a row group, so map
+      * parallelism was the source's row-group count (1-2 cores exploding
+      * 180M+ rows — sf30's lineitem fan ran 40+ min single-threaded);
+      * (2) the repartition shuffled the FULL exploded output (~copies ×
+      * source bytes) just to set the output file count. Shuffling the
+      * small source instead distributes the explode across `parts` tasks
+      * and each task streams its replicas straight into its own output
+      * file — zero post-fan shuffle at any scale.
+      */
+    def fan(df: DataFrame, parts: Int): DataFrame =
+      df.repartition(parts)
+        .withColumn("__c", explode(sequence(lit(0L), lit(copies - 1L))))
     def stride(name: String, key: String): Long =
       rd(name).agg(max(col(key))).head.getLong(0) + 1L
     def shifted(c: String, s: Long): Column = col(c) + col("__c") * s
 
     // fixed dims
-    wr(rd("region"), "region", 1)
-    wr(rd("nation"), "nation", 1)
+    wr(rd("region").coalesce(1), "region")
+    wr(rd("nation").coalesce(1), "nation")
 
     val custS = stride("customer", "c_custkey")
     val suppS = stride("supplier", "s_suppkey")
@@ -86,41 +110,41 @@ object ScaleUp {
     val docS = stride("documents", "doc_id")
     val vecS = stride("embeddings", "vec_id")
 
-    wr(fan(rd("customer"))
+    wr(fan(rd("customer"), 8)
       .withColumn("c_custkey", shifted("c_custkey", custS))
-      .drop("__c"), "customer", 8)
-    wr(fan(rd("supplier"))
+      .drop("__c"), "customer")
+    wr(fan(rd("supplier"), 2)
       .withColumn("s_suppkey", shifted("s_suppkey", suppS))
-      .drop("__c"), "supplier", 2)
-    wr(fan(rd("part"))
+      .drop("__c"), "supplier")
+    wr(fan(rd("part"), 8)
       .withColumn("p_partkey", shifted("p_partkey", partS))
-      .drop("__c"), "part", 8)
-    wr(fan(rd("orders"))
+      .drop("__c"), "part")
+    wr(fan(rd("orders"), 16)
       .withColumn("o_orderkey", shifted("o_orderkey", orderS))
       .withColumn("o_custkey", shifted("o_custkey", custS))
-      .drop("__c"), "orders", 16)
-    wr(fan(rd("lineitem"))
+      .drop("__c"), "orders")
+    wr(fan(rd("lineitem"), 32)
       .withColumn("l_orderkey", shifted("l_orderkey", orderS))
       .withColumn("l_partkey", shifted("l_partkey", partS))
       .withColumn("l_suppkey", shifted("l_suppkey", suppS))
-      .drop("__c"), "lineitem", 32)
-    wr(fan(rd("events"))
+      .drop("__c"), "lineitem")
+    wr(fan(rd("events"), 16)
       .withColumn("event_id", shifted("event_id", eventS))
       .withColumn("user_id", shifted("user_id", userS))
-      .drop("__c"), "events", 16)
+      .drop("__c"), "events")
 
     // documents: copy 0 verbatim; copies ≥1 prefix every TOKEN with "c<i>"
     // — token counts and within-copy shingle relationships are unchanged,
     // but no shingle matches across copies (cross-copy Jaccard/SimHash/
     // containment all go to zero, like real independently-collected data)
-    wr(fan(rd("documents"))
+    wr(fan(rd("documents"), 16)
       .withColumn("doc_id", shifted("doc_id", docS))
       .withColumn("text",
         when(col("__c") === 0, col("text")).otherwise(
           concat_ws(" ", transform(split(col("text"), " ", -1),
             x => concat(format_string("c%d", col("__c")), x)))))
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .drop("__c"), "documents", 16)
+      .drop("__c"), "documents")
 
     // embeddings: copy 0 verbatim; copies ≥1 get a deterministic
     // per-(copy, component) SIGN FLIP — an isometry, so WITHIN-copy
@@ -136,10 +160,10 @@ object ScaleUp {
     // a copy shares one orthogonal transform and within-copy relations
     // are untouched; ±x is exact in float, so copy semantics stay
     // deterministic and engine-independent.
-    wr(fan(rd("embeddings"))
+    wr(fan(rd("embeddings"), 8)
       .withColumn("vec_id", shifted("vec_id", vecS))
       .withColumn("embedding", replicaEmbedding)
-      .drop("__c"), "embeddings", 8)
+      .drop("__c"), "embeddings")
 
     println(s"[scaleup] wrote ${copies}x $src -> $dst")
     spark.stop()
