@@ -70,11 +70,36 @@ object Q {
     planCache.synchronized {
       Option(planCache.get(spark)).foreach { m =>
         m.keys.filter(_._2.startsWith("#")).toSeq
-          .foreach(k => m.remove(k).foreach(_.unpersist(blocking = true)))
+          .foreach(k => m.remove(k).foreach(releaseMemo))
       }
       planCache.remove(spark)
       touchCache.remove(spark)
       ()
+    }
+  }
+
+  /** Fully release a memoized intermediate that no consumer will rebuild
+    * FROM again: unpersist the cache, then delete its BUILD shuffles.
+    *
+    * Why the second step: per-query shuffle cleanup (Bench/Verify call
+    * `cleanShuffleDependencies` on each query's executed RDD) deliberately
+    * stops at persisted RDDs, so the exchanges BENEATH a shared memo — the
+    * gram/shingle build shuffles, tens of GB at 1000× — are never reached
+    * while the memo lives (correct: they are its eviction-recompute path).
+    * The moment the HANDLE is dropped (LRU eviction in [[pruneLru]], pass
+    * reset) those files are dead forever — a later consumer rebuilds a
+    * fresh frame with fresh shuffles — yet they previously sat on disk
+    * until the ContextCleaner happened to GC the references (the residue
+    * the bench's low-disk nudge existed for). Unpersist FIRST: once the
+    * storage level is NONE the clean recurses through what was the cache
+    * boundary; any persisted ancestor (nested memo still held by the map)
+    * still stops the recursion and keeps ITS files.
+    */
+  private def releaseMemo(df: DataFrame): Unit = {
+    df.unpersist(blocking = true)
+    try df.queryExecution.toRdd.cleanShuffleDependencies(blocking = false)
+    catch { case e: Throwable =>
+      Console.err.println(s"[graft] memo shuffle clean failed: $e")
     }
   }
 
@@ -177,7 +202,7 @@ object Q {
     while (candidates.nonEmpty && storagePressure(spark)) {
       val k = candidates.head
       candidates = candidates.tail
-      m.remove(k).foreach(_.unpersist(blocking = true))
+      m.remove(k).foreach(releaseMemo)
       touches.remove(k)
     }
   }

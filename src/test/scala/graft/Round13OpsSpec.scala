@@ -317,6 +317,22 @@ class Round13OpsSpec extends SparkSpec {
       .collect().length >= 0)
   }
 
+  test("memo release: reset cleans build shuffles; a fresh consumer rebuilds identically") {
+    val dir = "/root/testdata/sf0.001"
+    // d34's answer flows through the persisted gram-table memo; capture it
+    // with the memo warm, then reset (which now unpersists AND deletes the
+    // memo's build shuffles — the residue the low-disk nudge existed for),
+    // then rebuild from cold: same rows, and the rebuild must not trip on
+    // the cleaned shuffle state (fresh frames register fresh shuffles).
+    val warm = SparkEntry.queries("d34_ngram_coverage")(spark, dir)
+      .collect().toSeq.map(_.toString).sorted
+    assert(warm.nonEmpty)
+    Q.reset(spark)
+    val cold = SparkEntry.queries("d34_ngram_coverage")(spark, dir)
+      .collect().toSeq.map(_.toString).sorted
+    assert(cold == warm)
+  }
+
   // ---- §4: IVF re-split cap on a degenerate corpus -----------------------
 
   private def nnRows(df: DataFrame): Seq[(Long, Long, Option[Double])] =
