@@ -139,13 +139,41 @@ object Bench {
       }
     require(selected.nonEmpty,
       "SPARK_GRAFT_ONLY/SPARK_GRAFT_SKIP left zero queries to run")
+    // SPARK_GRAFT_PARTS="d51=256,d02=256" (prefix match): per-query
+    // shuffle-partition override, applied only while that query plans and
+    // runs and restored afterwards. This is the lever the d51/d02 1000×
+    // solos proved (BENCH_SF1 round 12: pair-term spill responds to the
+    // partition count) made usable IN-battery, without re-sizing the
+    // other 120 queries' shuffles. On a real cluster this is per-job
+    // `spark.sql.shuffle.partitions` sizing — workload-proportional
+    // partitioning, not a global constant.
+    val partsOverride: Seq[(String, Int)] = sys.env.get("SPARK_GRAFT_PARTS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { tok =>
+        val i = tok.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_PARTS token not name=N: $tok")
+        (tok.substring(0, i), tok.substring(i + 1).toInt)
+      }).getOrElse(Seq.empty)
+    partsOverride.foreach { case (pfx, n) =>
+      if (!selected.keys.exists(_.startsWith(pfx)))
+        System.err.println(s"[bench] SPARK_GRAFT_PARTS token matched no query: $pfx")
+      else System.err.println(s"[bench] SPARK_GRAFT_PARTS: $pfx* at $n partitions")
+    }
     // Steady-state warmup: run the whole battery once at the smallest
     // fixture so each query's generated code is JIT-compiled before the
     // timed loop (measured: first call of the dedup pipelines costs ~2x
     // their steady state purely in codegen/JIT). Plan-handle memos are
     // keyed by dir, so nothing computed here leaks into the measured sf.
     locally {
-      val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+      // Default warm fixture is sf0.01, not sf0.001: at the tiny fixture
+      // AQE plans every join as a broadcast, so the generated code the
+      // warmup JIT-compiles is NOT the SMJ/shuffle-agg code the measured
+      // run executes at sf1+. Measured (round 13, sf10, slow boot):
+      // sf0.001 warm → pass 1 947 s (d51 169 s, d07 72 s — first-execution
+      // interpreted/C1 cost on the at-scale codegen classes); sf0.01 warm
+      // → pass 1 771 s, min-of-2 423 → 351 s. The bigger warm fixture
+      // exercises the same plan FAMILY the measured scale uses and costs
+      // ~1 min untimed.
+      val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
       // never warm with the measured dir itself: Q.memo keys by dir, so a
       // same-dir warmup would prebuild every persisted intermediate and
       // the timed loop would measure cache hits
@@ -298,13 +326,20 @@ object Bench {
         val t0 = System.nanoTime()
         var failed: Option[String] = None
         var rdd: Option[org.apache.spark.rdd.RDD[_]] = None
+        // Per-query partition override: set BEFORE planning (the conf is
+        // read at plan time) and always restored, so one query's sizing
+        // can never leak into the next.
+        val partsKey = "spark.sql.shuffle.partitions"
+        val priorParts = spark.conf.get(partsKey)
+        partsOverride.collectFirst { case (pfx, n) if name.startsWith(pfx) => n }
+          .foreach(n => spark.conf.set(partsKey, n))
         try {
           val r = fn(spark, sfDir).queryExecution.toRdd
           rdd = Some(r)
           r.foreachPartition(it => while (it.hasNext) { it.next(); () })
         } catch { case e: Throwable =>
           failed = Some(e.toString.takeWhile(_ != '\n'))
-        }
+        } finally spark.conf.set(partsKey, priorParts)
         val sec = (System.nanoTime() - t0) / 1e9
         // a failed query must be LOUD (round 6: analysis-broken queries
         // "ran" in 3-100ms and the regression hid in a green-looking total)

@@ -430,8 +430,19 @@ class StreamingSourcesSpec extends SparkSpec {
     val o = src.getOffset
     spark.sparkContext.clearJobGroup()
     assert(o.map(x => graft.streaming.CursorOffset.parse(x.json).value) == Some("7"))
-    Thread.sleep(500) // listener-bus delivery is async
+    // Listener-bus delivery is async; a fixed sleep flakes under full-suite
+    // load. The bus is FIFO, so run a SENTINEL job after the probe window:
+    // once the sentinel's job event is visible, every event the probe could
+    // have emitted (enqueued earlier) has been delivered.
+    spark.sparkContext.setJobGroup("poll-sentinel", "sentinel")
+    spark.range(1).count()
+    spark.sparkContext.clearJobGroup()
     val tracker = spark.sparkContext.statusTracker
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (tracker.getJobIdsForGroup("poll-sentinel").isEmpty &&
+           System.nanoTime() < deadline) Thread.sleep(50)
+    assert(tracker.getJobIdsForGroup("poll-sentinel").nonEmpty,
+      "sentinel job never became visible — listener bus stalled >30s")
     assert(tracker.getJobIdsForGroup("poll-control").nonEmpty)
     assert(tracker.getJobIdsForGroup("poll-probe").isEmpty,
       "a poll of a committed version must be a manifest lookup, not a scan")
