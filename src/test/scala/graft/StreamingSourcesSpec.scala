@@ -516,6 +516,14 @@ class StreamingSourcesSpec extends SparkSpec {
         high += 200L
         if (round % 5 == 0) t.compact()
         if (round == 12) {
+          // drain BEFORE the reset: the cursor contract covers rows the
+          // poll has observed — rows committed and wiped by reset before
+          // ANY poll are unrecoverable by a value cursor (same as any
+          // CDC-style poller), so delivery of this round's band must not
+          // ride on the background trigger racing into the sub-ms window
+          // between the upsert's manifest commit and the reset's (the
+          // under-load flake this replaced)
+          q.processAllAvailable()
           t.reset()
           // rows re-introduced BELOW the high water after the reset are
           // behind the cursor — delivered already, must not re-emit
