@@ -108,10 +108,15 @@ object DedupQueries {
   private[graft] def docSimhash(s: SparkSession, dir: String): DataFrame =
     Q.memo(s, dir, "docSimhash") {
       import s.implicits._
-      t(s, dir, "documents").select(col("doc_id"), col("text"))
-        // single-file fixture => 1 input partition; spread rows BEFORE
-        // the vote loop so it runs on every core (same as docShingles)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      // conditional spread (round 13): no downstream consumer joins
+      // docSimhash by doc_id (d04 broadcasts a 1-row ref, d58 bands the
+      // signature), so unlike docShingles the doc_id exchange serves no
+      // later stage — on a wide scan (real deployment, ScaleUp dirs) the
+      // unconditional repartition this replaces shuffled the full text
+      // for nothing; on the single-row-group fixture the floor still
+      // spreads the vote loop across every core
+      Q.spread(t(s, dir, "documents").select(col("doc_id"), col("text")),
+          col("doc_id"))
         .as[(Long, String)]
         .mapPartitions { it =>
           // one digest per partition, reset per token — getInstance in
@@ -979,8 +984,13 @@ object DedupQueries {
         size(tokens(col("text"))) >= 5)
       .select(concat_ws(" ", slice(tokens(col("text")), 1, 5)).as("needle"))
       .distinct()
-    val train = docs.filter(col("source") =!= "src0")
-      .select("doc_id", "source", "text")
+    // spread: all three hit arms run a per-row char scan over train (the
+    // broadcast arm's contains probe, the automaton scan, the gram
+    // explode) — on the single-split fixture that work sat on one core
+    // (round-13 metrics: d48 1.2 s wall / 0.8 s CPU, 12 tasks). No-op on
+    // wide scans, so the 100 TB path gains no exchange.
+    val train = Q.spread(docs.filter(col("source") =!= "src0")
+      .select("doc_id", "source", "text"), col("doc_id"))
     (train, needles)
   }
 
@@ -2566,8 +2576,13 @@ object DedupQueries {
     // corpus squared.
     "d22_incremental_dedup" -> { (s, dir) =>
       val base = docShingles(s, dir)
-      val docs = t(s, dir, "documents").select(col("doc_id"),
-        sha2(col("text"), 256).as("content_hash"))
+      // no parallelism floor here (round-13 A/B, min-of-4): docs feeds
+      // TWO plan branches, so a Q.spread repartition executes twice and
+      // the pair of text exchanges cost more than the single-core sha2
+      // they parallelize (1.23 s → 1.48 s) — the sha2 pass is ~100 ms,
+      // under the exchange+scheduling floor
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
       val incoming = docs.filter(col("doc_id") % 10 === 0)
       val existing = docs.filter(col("doc_id") % 10 =!= 0)
       val exact = incoming.join(
@@ -2583,6 +2598,15 @@ object DedupQueries {
         .select(col("doc_id").as("db"), size(col("h_arr")).as("nb"),
           explode(col("h_arr")).as("sh_h"))
       val near = shIn.hint("shuffle_hash").join(shEx, "sh_h")
+        // size-ratio prune BEFORE the (da, db) aggregation shuffle —
+        // d02's PPJoin length filter applied to the incremental join:
+        // J = shared/(na+nb−shared) ≤ min/max, so J ≥ 0.5 forces the set
+        // sizes within 2× of each other; pairs outside the band are
+        // dropped from the candidate stream before the exchange ever
+        // sees them (guide §2.3). Result-preserving by the same argument
+        // as nearDupPairsJoin (non-strict bound: max = 2·min can still
+        // reach exactly 0.5).
+        .filter(col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2)
         .groupBy("da", "db").agg(count(lit(1)).as("shared"),
           first("na").as("na"), first("nb").as("nb"))
         .filter(col("shared").cast("double") /

@@ -286,6 +286,27 @@ object Q {
           "extend Q.epochUs for this fixture generation")
     }
 
+  /** Parallelism FLOOR for kernel/encode stages fed by a narrow scan: the
+    * bench fixtures are single-row-group parquet files, so a plain scan
+    * plans ONE task and every map-side kernel downstream (sha2, tokenize,
+    * contains-probe, file encode) runs on one core of local[32]. Shuffle
+    * the rows across `defaultParallelism` partitions ONLY when the input
+    * is narrower than that — on a real deployment (or the ScaleUp multi-
+    * file fixtures) the scan already carries ≥ cores splits and this is a
+    * NO-OP, so no 100 TB run ever pays an extra full-payload exchange
+    * (guide §2.4: don't add shuffles the data doesn't need). Keyed by a
+    * caller-chosen (usually unique) column: keyless round-robin
+    * repartition would pay its sortBeforeRepartition local sort
+    * (SPARK-23207) on every row.
+    *
+    * `df.rdd.getNumPartitions` only PLANS the frame (no job): for the
+    * parquet scans this is a footer-cached bin-packing count.
+    */
+  private[queries] def spread(df: DataFrame, key: Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
+  }
+
   /** Id-range DECILE bucket: floor(id·10 / (max+1)) against a broadcast
     * 1-row max — map-side integer math, no global row_number, so the
     * bucketing never serializes the frame through one partition. Shared

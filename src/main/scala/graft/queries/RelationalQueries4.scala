@@ -516,6 +516,11 @@ object RelationalQueries4 {
           col("o_totalprice"), to_date(col("o_orderdate")).as("o_date"),
           col("o_orderpriority"))
       val out = roundTripDir(s, dir, "q57")
+      // no parallelism floor before the write (round-13 A/B, min-of-4:
+      // flat on q57, +0.34 s on q58, +0.45 s on q60): the repartition
+      // exchange plus the readback's extra per-file open cost more than
+      // the single-task encode it parallelizes at fixture scale; at real
+      // scale the write inherits the scan's splits anyway
       base.write.mode("overwrite").option("header", "true").csv(out)
       graft.sources.Sources.csv(s, out, Some(base.schema.toDDL))
         .groupBy("o_orderstatus")

@@ -28,7 +28,14 @@ object TextQueries {
     */
   private[graft] def docTf(s: SparkSession, dir: String): DataFrame =
     Q.memo(s, dir, "docTf") {
-      t(s, dir, "documents")
+      // spread BEFORE the tokenize+aggregate (single-row-group fixture
+      // scans plan one task — round-13 measurement: the whole corpus
+      // tokenized on one core, charged to d31 as first consumer). The
+      // doc_id hash partitioning also SATISFIES the (doc_id, tok) group
+      // clustering and d31's doc_id window distribution, so the exchange
+      // that used to sit after the partial agg disappears rather than
+      // moves. No-op when the scan is already ≥ cores splits.
+      Q.spread(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         .persist()
@@ -321,6 +328,9 @@ object TextQueries {
     // pass rate (d08's gate), language spread. Two hash aggs (corpus-wide
     // dup counts, then per-source rollup) — no pairwise anything.
     "d33_corpus_report" -> { (s, dir) =>
+      // no parallelism floor (round-13 A/B, min-of-4: 0.68 s → 0.91 s):
+      // docs feeds two branches, so the floor's repartition would run
+      // twice and both exchanges outweigh the ~100 ms map pass
       val docs = t(s, dir, "documents")
       val hashes = docs
         .groupBy(sha2(col("text"), 256).as("content_hash"))
@@ -487,7 +497,11 @@ object TextQueries {
     // string with partial aggregation, then TakeOrdered(20). At 100 TB
     // the agg key space is vocab², bounded and skew-free.
     "d44_bpe_pairs" -> { (s, dir) =>
-      t(s, dir, "documents")
+      // spread: single-split fixture scan ran the ngram explode + partial
+      // agg on one core (round-13 metrics: 6 tasks, 1.2 s CPU serialized);
+      // doc_id partitioning satisfies the (pair, doc_id) clustering so the
+      // first agg needs no further exchange. No-op on wide scans.
+      Q.spread(t(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"),
           explode(tokenNgrams(col("text"), 2, 1)).as("pair"))
         // DECOMPOSED count + count-distinct (the q18 pattern): the fused
