@@ -213,8 +213,12 @@ object DedupQueries {
   private[queries] def gramIndex(s: SparkSession, dir: String): DataFrame =
     Q.memo(s, dir, "gramIndex") {
       val g = gramTable(s, dir)
+      // synthetic spec corpora can lack `source` entirely — the old
+      // standalone gramDf never touched it, so the merged pass must not
+      // either: no source column (or >63 sources) means no mask
+      val hasSource = t(s, dir, "documents").columns.contains("source")
       val withB =
-        if (srcCount(s, dir) <= 63)
+        if (hasSource && srcCount(s, dir) <= 63)
           g.join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
             // LEFT so null-source docs keep contributing to df/first_doc
             // exactly as the plain gramTable agg did; their b is NULL and
