@@ -28,14 +28,21 @@ object TextQueries {
     */
   private[graft] def docTf(s: SparkSession, dir: String): DataFrame =
     Q.memo(s, dir, "docTf") {
-      // spread BEFORE the tokenize+aggregate (single-row-group fixture
-      // scans plan one task — round-13 measurement: the whole corpus
-      // tokenized on one core, charged to d31 as first consumer). The
-      // doc_id hash partitioning also SATISFIES the (doc_id, tok) group
-      // clustering and d31's doc_id window distribution, so the exchange
-      // that used to sit after the partial agg disappears rather than
-      // moves. No-op when the scan is already ≥ cores splits.
-      Q.spread(t(s, dir, "documents"), col("doc_id"))
+      // UNCONDITIONAL repartition by doc_id BEFORE the tokenize+aggregate
+      // (the docShingles placement, round-13 measured rationale): the agg
+      // needs ONE exchange either way — raw text by doc_id (whose hash
+      // partitioning satisfies the (doc_id, tok) group clustering, so no
+      // further exchange exists), or the exploded (doc_id, tok) partial
+      // rows after map-side combine. A doc is one input row, so partial
+      // aggregation collapses duplicates exactly as well as the full agg
+      // does — the exchanged-bytes comparison is text vs per-doc distinct
+      // token STRINGS, and the text is ~3.4x smaller on this corpus
+      // (d44's identical trade, measured at sf1: 14.8 MB text vs 50.1 MB
+      // pair rows; at sf10 the pair form shuffled 583 MB). The
+      // repartition also floors parallelism on the single-row-group
+      // bench fixtures, where a plain scan plans one task.
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         .persist()
@@ -497,11 +504,16 @@ object TextQueries {
     // string with partial aggregation, then TakeOrdered(20). At 100 TB
     // the agg key space is vocab², bounded and skew-free.
     "d44_bpe_pairs" -> { (s, dir) =>
-      // spread: single-split fixture scan ran the ngram explode + partial
-      // agg on one core (round-13 metrics: 6 tasks, 1.2 s CPU serialized);
-      // doc_id partitioning satisfies the (pair, doc_id) clustering so the
-      // first agg needs no further exchange. No-op on wide scans.
-      Q.spread(t(s, dir, "documents"), col("doc_id"))
+      // UNCONDITIONAL repartition by doc_id before the ngram explode
+      // (docTf's rationale, measured HERE): the (pair, doc_id) agg needs
+      // one exchange either way, and the raw text is the cheaper payload
+      // — sf1: 14.8 MB text vs 50.1 MB exploded pair partials (3.4x);
+      // sf10: the pair form shuffled 537.7 MB. doc_id partitioning
+      // satisfies the first agg's clustering, so no second exchange
+      // appears; it also floors fixture parallelism (the old one-task
+      // explode ran 1.2 s CPU serialized).
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           explode(tokenNgrams(col("text"), 2, 1)).as("pair"))
         // DECOMPOSED count + count-distinct (the q18 pattern): the fused
