@@ -333,13 +333,19 @@ object Bench {
         val priorParts = spark.conf.get(partsKey)
         partsOverride.collectFirst { case (pfx, n) if name.startsWith(pfx) => n }
           .foreach(n => spark.conf.set(partsKey, n))
+        // label the query's jobs (guide §1.5) so event-log/UI stages
+        // attribute to their query — no effect on the timed work itself
+        spark.sparkContext.setJobDescription(name)
         try {
           val r = fn(spark, sfDir).queryExecution.toRdd
           rdd = Some(r)
           r.foreachPartition(it => while (it.hasNext) { it.next(); () })
         } catch { case e: Throwable =>
           failed = Some(e.toString.takeWhile(_ != '\n'))
-        } finally spark.conf.set(partsKey, priorParts)
+        } finally {
+          spark.conf.set(partsKey, priorParts)
+          spark.sparkContext.setJobDescription(null)
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         // a failed query must be LOUD (round 6: analysis-broken queries
         // "ran" in 3-100ms and the regression hid in a green-looking total)
