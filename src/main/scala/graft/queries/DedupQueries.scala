@@ -58,8 +58,10 @@ object DedupQueries {
     import s.implicits._
     t(s, dir, "documents")
       // single-file fixture => 1 input partition; spread rows BEFORE the
-      // expensive shingling work so it runs on every core
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      // expensive shingling work so it runs on every core. Width follows
+      // the session's shuffle-partition sizing (Q.exchangeWidth), not
+      // core count — per-task payload stays operator-sizable at scale
+      .repartition(Q.exchangeWidth(s), col("doc_id"))
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -354,8 +356,11 @@ object DedupQueries {
   private[graft] def nearDupPairsJoin(
       s: SparkSession, dir: String): DataFrame = {
       val docsSh = docShingles(s, dir)
-      val sh = docsSh.select(col("doc_id"), size(col("h_arr")).as("n_sh"),
-        explode(col("h_arr")).as("sh_h"))
+      // candidate-stream-sized self-join width (see pairJoinWidth); a
+      // no-op below the session width, i.e. on every local fixture
+      val sh = sizePairJoin(s, dir,
+        docsSh.select(col("doc_id"), size(col("h_arr")).as("n_sh"),
+          explode(col("h_arr")).as("sh_h")), col("sh_h"))
       sh.select(col("doc_id").as("da"), col("n_sh").as("na_r"), col("sh_h"))
         .join(sh.select(col("doc_id").as("db"), col("n_sh").as("nb_r"), col("sh_h")), "sh_h")
         .filter(col("da") < col("db"))
@@ -380,8 +385,11 @@ object DedupQueries {
     * [[containmentPairsPrefix]].
     */
   private[graft] def containmentPairsJoin(s: SparkSession, dir: String): DataFrame = {
-    val g = gramTable(s, dir)
-    val cnt = g.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val g0 = gramTable(s, dir)
+    val cnt = g0.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // candidate-stream-sized self-join width (see pairJoinWidth); a no-op
+    // below the session width, i.e. on every local fixture
+    val g = sizePairJoin(s, dir, g0, col("h"))
     val shared = g.select(col("doc_id").as("da"), col("h"))
       .join(g.select(col("doc_id").as("db"), col("h")), "h")
       .filter(col("da") < col("db"))
@@ -729,6 +737,36 @@ object DedupQueries {
     if (routeDfOrderedPrefix(st)) PrefixArm
     else if (cluster) BucketArm
     else CountJoinArm
+
+  /** Width of the count-join arms' inverted-index self-join exchange,
+    * derived from the MEASURED candidate stream instead of the global
+    * default (guide §2.2: size the shuffle from the bytes it will carry).
+    * `gramDfStats.coPairs` is the EXACT number of candidate rows the
+    * self-join streams into the (da, db) partial aggregation, and that
+    * per-task partial-agg hash state + SMJ sort buffer is what spilled at
+    * sf1+ (BENCH_SF1 rounds 11/12: 256 partitions cut d02/d51 spill
+    * −70/−81%; that lever was env-only — this makes the sizing engine
+    * logic). Replacing the join's ENSURE_REQUIREMENTS h-exchange with an
+    * explicit same-key repartition moves the SAME rows once either way —
+    * it only sets the width — and the partial aggregation above the join
+    * is untouched. ~500k candidates/task keeps the agg state ~25 MB;
+    * capped (a 100 TB corpus is run with a cluster-sized
+    * spark.sql.shuffle.partitions anyway, which the floor honors via
+    * Q.exchangeWidth). None — plan untouched — when the session width
+    * already suffices: every local fixture at sf≤0.1 (coPairs ≈ 1.3 M).
+    */
+  private[graft] def pairJoinWidth(s: SparkSession, st: GramDfStats): Option[Int] = {
+    val base = Q.exchangeWidth(s)
+    val need = math.ceil(st.coPairs / 500000.0)
+    val capped = math.min(need, 65536.0).toInt
+    if (capped > base) Some(capped) else None
+  }
+
+  /** Apply [[pairJoinWidth]] to a pre-join exploded-index frame. */
+  private def sizePairJoin(s: SparkSession, dir: String,
+      index: DataFrame, key: Column): DataFrame =
+    pairJoinWidth(s, gramDfStats(s, dir))
+      .fold(index)(n => index.repartition(n, key))
 
   /** Containment pairs via RAREST-FIRST (df-ordered) prefix filtering —
     * the Zipf-corpus arm of [[containmentPairs]]. Identical output to

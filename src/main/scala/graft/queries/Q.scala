@@ -304,7 +304,27 @@ object Q {
     */
   private[queries] def spread(df: DataFrame, key: Column): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
+    if (df.rdd.getNumPartitions < p) df.repartition(exchangeWidth(df.sparkSession), key) else df
+  }
+
+  /** Width for the engine's explicit keyed exchanges (spread floors, the
+    * text-first doc_id repartitions): the session's shuffle-partition
+    * sizing — the documented cluster lever, which the bench's per-query
+    * `SPARK_GRAFT_PARTS` override also sets — floored at
+    * `defaultParallelism` so the single-row-group bench fixtures still
+    * spread kernels across every core. A width pinned to core count alone
+    * makes per-task payload = corpus/cores, which grows without bound at
+    * 100 TB and is invisible to the one sizing knob the repo documents
+    * (`repartition(N, col)` ignores `spark.sql.shuffle.partitions`);
+    * deriving it from the conf keeps the exchange operator-sizable. Local
+    * default is unchanged: Bench/Verify set shuffle.partitions = cpus, so
+    * max(cores, conf) = cores there.
+    */
+  private[queries] def exchangeWidth(s: SparkSession): Int = {
+    val p = s.sparkContext.defaultParallelism
+    val conf = scala.util.Try(
+      s.conf.get("spark.sql.shuffle.partitions").trim.toInt).getOrElse(p)
+    math.max(p, conf)
   }
 
   /** Id-range DECILE bucket: floor(id·10 / (max+1)) against a broadcast

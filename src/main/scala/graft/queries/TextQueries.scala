@@ -40,9 +40,12 @@ object TextQueries {
       // (d44's identical trade, measured at sf1: 14.8 MB text vs 50.1 MB
       // pair rows; at sf10 the pair form shuffled 583 MB). The
       // repartition also floors parallelism on the single-row-group
-      // bench fixtures, where a plain scan plans one task.
+      // bench fixtures, where a plain scan plans one task. Width follows
+      // the session's shuffle-partition sizing (Q.exchangeWidth) — core
+      // count alone pinned per-task payload to corpus/cores, unbounded at
+      // scale and invisible to the documented sizing lever.
       t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .repartition(Q.exchangeWidth(s), col("doc_id"))
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         .persist()
@@ -511,9 +514,11 @@ object TextQueries {
       // sf10: the pair form shuffled 537.7 MB. doc_id partitioning
       // satisfies the first agg's clustering, so no second exchange
       // appears; it also floors fixture parallelism (the old one-task
-      // explode ran 1.2 s CPU serialized).
+      // explode ran 1.2 s CPU serialized). Width follows the session's
+      // shuffle-partition sizing (Q.exchangeWidth), not core count — see
+      // docTf.
       t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .repartition(Q.exchangeWidth(s), col("doc_id"))
         .select(col("doc_id"),
           explode(tokenNgrams(col("text"), 2, 1)).as("pair"))
         // DECOMPOSED count + count-distinct (the q18 pattern): the fused
