@@ -38,9 +38,76 @@ object Prof {
       case "d43" => profD43(spark, dir, force, timeF)
       case "d51" => profD51(spark, dir, force, timeF)
       case "d58" => profD58(spark, dir, timeF)
+      case "stats" => println("PROF " + graft.queries.ProfKit.statsLine(spark, dir))
+      case "pairw" => profPairWidths(spark, dir, force, timeF,
+        args.drop(1).map(_.toInt))
+      case "d22ab" => profD22AB(spark, dir, force, timeF)
+      case "q49" => profQ49(spark, dir, force, timeF)
       case _     => profQ01(spark, dir, force, timeF)
     }
     spark.stop()
+  }
+
+  /** Same-boot width A/B of the d02/d51 count-join self-join exchange:
+    * w=0 is the stock ENSURE_REQUIREMENTS shape at the session default,
+    * anything else an explicit same-key repartition at that width.
+    */
+  private def profPairWidths(spark: SparkSession, dir: String,
+      force: org.apache.spark.sql.DataFrame => Long,
+      time: (String, () => Long) => Unit, widths: Array[Int]): Unit = {
+    val ws = if (widths.nonEmpty) widths else Array(0, 64, 128, 256)
+    println("PROF " + graft.queries.ProfKit.statsLine(spark, dir))
+    for (round <- 1 to 2; w <- ws) {
+      time(s"r$round d51_w$w", () => force(
+        graft.queries.ProfKit.containmentJoinAtWidth(spark, dir, w)))
+      time(s"r$round d02_w$w", () => force(
+        graft.queries.ProfKit.jaccardJoinAtWidth(spark, dir, w)))
+    }
+  }
+
+  /** Same-boot A/B of d22 with vs without the round-13 size-ratio prune. */
+  private def profD22AB(spark: SparkSession, dir: String,
+      force: org.apache.spark.sql.DataFrame => Long,
+      time: (String, () => Long) => Unit): Unit = {
+    for (round <- 1 to 4) {
+      time(s"r$round d22_pruned", () => force(
+        graft.SparkEntry.queries("d22_incremental_dedup")(spark, dir)))
+      time(s"r$round d22_noprune", () => force(
+        graft.queries.ProfKit.d22NoPrune(spark, dir)))
+    }
+  }
+
+  /** q49 framework-cost profile: wall time vs in-job time (gap = driver-side
+    * per-step planning/submission), with AQE on vs off on the parent session
+    * (the isolated q49 session clones the parent conf at build time).
+    */
+  private def profQ49(spark: SparkSession, dir: String,
+      force: org.apache.spark.sql.DataFrame => Long,
+      time: (String, () => Long) => Unit): Unit = {
+    @volatile var jobs = 0
+    @volatile var jobNanos = 0L
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts.put(e.jobId, System.nanoTime())
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val s0 = starts.remove(e.jobId)
+        if (s0 != null) { jobs += 1; jobNanos += System.nanoTime() - s0 }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    for (round <- 1 to 3; aqe <- Seq(true, false)) {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      jobs = 0; jobNanos = 0L
+      val t0 = System.nanoTime()
+      force(graft.SparkEntry.queries("q49_recursive_cte")(spark, dir))
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200) // listener-bus drain before reading the counters
+      println(f"PROF r$round q49 aqe=$aqe wall=$wall%.3f s jobs=$jobs " +
+        f"inJob=${jobNanos / 1e9}%.3f s gap=${wall - jobNanos / 1e9}%.3f s")
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", true)
+    spark.sparkContext.removeSparkListener(l)
   }
 
   /** Stage decomposition of d32's IVF escape-hatch path. */
