@@ -43,6 +43,7 @@ object Prof {
         args.drop(1).map(_.toInt))
       case "d22ab" => profD22AB(spark, dir, force, timeF)
       case "q49" => profQ49(spark, dir, force, timeF)
+      case "pairplan" => profPairPlan(spark, dir)
       case _     => profQ01(spark, dir, force, timeF)
     }
     spark.stop()
@@ -62,6 +63,44 @@ object Prof {
         graft.queries.ProfKit.containmentJoinAtWidth(spark, dir, w)))
       time(s"r$round d02_w$w", () => force(
         graft.queries.ProfKit.jaccardJoinAtWidth(spark, dir, w)))
+    }
+  }
+
+  /** Execute the real d51/d02 count-join arms and print the AQE-final
+    * plans (exchange count / reuse / join strategy / spill attribution).
+    */
+  private def profPairPlan(spark: SparkSession, dir: String): Unit = {
+    for (q <- Seq("d51", "d02")) {
+      val df = if (q == "d51")
+        graft.queries.DedupQueries.containmentPairsJoin(spark, dir)
+      else graft.queries.DedupQueries.nearDupPairsJoin(spark, dir)
+      val t0 = System.nanoTime()
+      df.queryExecution.toRdd
+        .foreachPartition(it => while (it.hasNext) { it.next(); () })
+      println(f"PROF $q wall=${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(s"=== $q AQE-final executed plan ===")
+      println(df.queryExecution.executedPlan.toString)
+      println(s"=== $q per-operator metrics (nonzero spill/bytes/rows) ===")
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        val interesting = p.metrics.filter { case (k, m) =>
+          (k.contains("spill") || k.contains("Spill") || k == "numOutputRows" ||
+            k.contains("dataSize") || k.contains("shuffleBytesWritten") ||
+            k.contains("peakMemory")) && m.value != 0
+        }
+        if (interesting.nonEmpty)
+          println(s"  ${p.nodeName}[${p.id}]: " + interesting.map {
+            case (k, m) => s"$k=${m.value}"
+          }.mkString(", "))
+        p.children.foreach(walk)
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+          case _ =>
+        }
+      }
+      walk(df.queryExecution.executedPlan)
     }
   }
 

@@ -361,14 +361,15 @@ object DedupQueries {
       val sh = sizePairJoin(s, dir,
         docsSh.select(col("doc_id"), size(col("h_arr")).as("n_sh"),
           explode(col("h_arr")).as("sh_h")), col("sh_h"))
-      sh.select(col("doc_id").as("da"), col("n_sh").as("na_r"), col("sh_h"))
+      sizePairAgg(s, dir,
+        sh.select(col("doc_id").as("da"), col("n_sh").as("na_r"), col("sh_h"))
         .join(sh.select(col("doc_id").as("db"), col("n_sh").as("nb_r"), col("sh_h")), "sh_h")
         .filter(col("da") < col("db"))
         // size-ratio pruning (PPJoin's length filter): J(a,b) ≤ min/max,
         // so a pair can reach the 0.5 threshold only when the set sizes
         // are within 2× of each other — a codegen'd comparison that drops
         // pairs BEFORE the (da, db) aggregation shuffle ever sees them.
-        .filter(col("na_r") <= col("nb_r") * 2 && col("nb_r") <= col("na_r") * 2)
+        .filter(col("na_r") <= col("nb_r") * 2 && col("nb_r") <= col("na_r") * 2))
         // long na/nb so both route arms share one schema (size() is int)
         .groupBy("da", "db").agg(count(lit(1)).as("shared"),
           first(col("na_r").cast("long")).as("na"),
@@ -385,20 +386,28 @@ object DedupQueries {
     * [[containmentPairsPrefix]].
     */
   private[graft] def containmentPairsJoin(s: SparkSession, dir: String): DataFrame = {
-    val g0 = gramTable(s, dir)
-    val cnt = g0.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // n_sh rides the index row (d02's shape — round 14): gramTable rows
+    // are the per-doc DISTINCT hashes, so the old post-agg `cnt` join keys
+    // carried exactly size(h_arr); attaching it map-side to the exploded
+    // index deletes the two post-aggregation joins that re-shuffled and
+    // re-sorted the CANDIDATE-PAIR stream on da then db (guide §2.4) —
+    // measured at sf10: once `cnt` (600 k docs) outgrew the broadcast
+    // threshold those two joins were Exchange+Sort over ~100 M shared
+    // rows at the session width, ~2/3 of d51's CPU. first() over a
+    // per-pair-constant is exact; long cast keeps the route-arm schema.
+    val docsSh = docShingles(s, dir)
     // candidate-stream-sized self-join width (see pairJoinWidth); a no-op
     // below the session width, i.e. on every local fixture
-    val g = sizePairJoin(s, dir, g0, col("h"))
-    val shared = g.select(col("doc_id").as("da"), col("h"))
-      .join(g.select(col("doc_id").as("db"), col("h")), "h")
-      .filter(col("da") < col("db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("shared"))
-    // no broadcast hint on cnt: it's per-doc cardinality (corpus-sized
-    // at 100 TB) — AQE broadcasts it on its own at fixture scale
-    shared
-      .join(cnt.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
-      .join(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
+    val sh = sizePairJoin(s, dir,
+      docsSh.select(col("doc_id"), size(col("h_arr")).as("n_sh"),
+        explode(col("h_arr")).as("h")), col("h"))
+    sizePairAgg(s, dir,
+      sh.select(col("doc_id").as("da"), col("n_sh").as("na_r"), col("h"))
+      .join(sh.select(col("doc_id").as("db"), col("n_sh").as("nb_r"), col("h")), "h")
+      .filter(col("da") < col("db")))
+      .groupBy("da", "db").agg(count(lit(1)).as("shared"),
+        first(col("na_r").cast("long")).as("na"),
+        first(col("nb_r").cast("long")).as("nb"))
       .withColumn("containment",
         col("shared").cast("double") / least(col("na"), col("nb")))
       .filter(col("containment") >= 0.9)
@@ -432,48 +441,44 @@ object DedupQueries {
   private[graft] def containmentPairsBucketed(
       s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val g = gramTable(s, dir)
-    val shared = bucketCoPairs(s, g).toDF("da", "db")
-      .groupBy("da", "db").agg(count(lit(1)).as("shared"))
-    val cnt = g.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    shared
-      .join(cnt.select(col("doc_id").as("da"), col("n_sh").as("na")), "da")
-      .join(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb")), "db")
-      .withColumn("containment",
-        col("shared").cast("double") / least(col("na"), col("nb")))
-      .filter(col("containment") >= 0.9)
-      .select("da", "db", "shared", "na", "nb", "containment")
-  }
-
-  /** The bucket pair stream shared by [[containmentPairsBucketed]]: group
-    * the (doc_id, h) inverted index by hash and emit each bucket's sorted
-    * i<j doc pairs lazily. Doc ids within a bucket are distinct (h_arr is
-    * a per-doc SET), so sorting gives da < db without a comparison pass.
-    */
-  private def bucketCoPairs(
-      s: SparkSession, g: DataFrame): Dataset[(Long, Long)] = {
-    import s.implicits._
-    g.groupBy("h").agg(collect_list(col("doc_id")).as("m"))
-      .select(col("m")).as[Seq[Long]]
+    // n_sh rides the bucket member (nearDupPairsBucketed's shape — round
+    // 14): deletes the same two post-agg candidate-stream joins as the
+    // count-join arm; the member struct grows 4 bytes/row while the
+    // avoided joins re-shuffled the whole pair stream twice.
+    val sh = docShingles(s, dir)
+      .select(col("doc_id"), size(col("h_arr")).as("n_sh"),
+        explode(col("h_arr")).as("h"))
+    sh.groupBy("h")
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("m"))
+      .select(col("m")).as[Seq[(Long, Int)]]
       .flatMap { m =>
         val n = m.size
         if (n < 2) Iterator.empty
         else {
-          val a = m.toArray
-          java.util.Arrays.sort(a)
-          new Iterator[(Long, Long)] {
+          val a = m.sortBy(_._1).toArray
+          new Iterator[(Long, Long, Int, Int)] {
             private var i = 0
             private var j = 1
             def hasNext: Boolean = i < n - 1
-            def next(): (Long, Long) = {
-              val r = (a(i), a(j))
+            def next(): (Long, Long, Int, Int) = {
+              val (da, na) = a(i)
+              val (db, nb) = a(j)
               j += 1
               if (j == n) { i += 1; j = i + 1 }
-              r
+              (da, db, na, nb)
             }
           }
         }
       }
+      .toDF("da", "db", "na_r", "nb_r")
+      .transform(sizePairAgg(s, dir, _))
+      .groupBy("da", "db").agg(count(lit(1)).as("shared"),
+        first(col("na_r").cast("long")).as("na"),
+        first(col("nb_r").cast("long")).as("nb"))
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= 0.9)
+      .select("da", "db", "shared", "na", "nb", "containment")
   }
 
   /** Bucket-kernel execution of [[nearDupPairsJoin]] — same trade as
@@ -519,6 +524,7 @@ object DedupQueries {
         }
       }
       .toDF("da", "db", "na_r", "nb_r")
+      .transform(sizePairAgg(s, dir, _))
       .groupBy("da", "db").agg(count(lit(1)).as("shared"),
         first(col("na_r").cast("long")).as("na"),
         first(col("nb_r").cast("long")).as("nb"))
@@ -749,17 +755,29 @@ object DedupQueries {
     * logic). Replacing the join's ENSURE_REQUIREMENTS h-exchange with an
     * explicit same-key repartition moves the SAME rows once either way —
     * it only sets the width — and the partial aggregation above the join
-    * is untouched. ~500k candidates/task keeps the agg state ~25 MB;
-    * capped (a 100 TB corpus is run with a cluster-sized
-    * spark.sql.shuffle.partitions anyway, which the floor honors via
-    * Q.exchangeWidth). None — plan untouched — when the session width
-    * already suffices: every local fixture at sf≤0.1 (coPairs ≈ 1.3 M).
+    * is untouched. ~250k candidates/task keeps the per-task partial-agg
+    * state comfortably under the per-task execution-memory share even
+    * with battery-scale storage pressure (measured at sf10, coPairs =
+    * 126.6 M: 254-wide tasks tipped the d51 partial agg into a 30 GB
+    * sort-spill in-battery while 507-wide stayed at zero; solo the
+    * 500k–250k band is a flat plateau for both d02 and d51, below 165k
+    * scheduling overhead creeps back in). Capped (a 100 TB corpus is run
+    * with a cluster-sized spark.sql.shuffle.partitions anyway, which the
+    * floor honors via Q.exchangeWidth). None — plan untouched — unless
+    * the stream needs MORE THAN TWICE the session width (hysteresis,
+    * measured at sf1: need = 51 vs width 32 fired and cost d02/d51
+    * ~+1.4 s each against an ENSURE default that was already spill-free
+    * — inside 2× the default width, AQE-coalesced ENSURE exchanges
+    * handle the stream and an explicit repartition only adds overhead).
+    * The bench fixture at sf0.1 sits at coPairs ≈ 1.27 M (need = 6), so
+    * driver-visible plans are unchanged; the ladder engages it from
+    * sf10 up (507 / ~1520 / ~5070 at 100×/300×/1000×).
     */
   private[graft] def pairJoinWidth(s: SparkSession, st: GramDfStats): Option[Int] = {
     val base = Q.exchangeWidth(s)
-    val need = math.ceil(st.coPairs / 500000.0)
+    val need = math.ceil(st.coPairs / 250000.0)
     val capped = math.min(need, 65536.0).toInt
-    if (capped > base) Some(capped) else None
+    if (capped > 2 * base) Some(capped) else None
   }
 
   /** Apply [[pairJoinWidth]] to a pre-join exploded-index frame. */
@@ -767,6 +785,26 @@ object DedupQueries {
       index: DataFrame, key: Column): DataFrame =
     pairJoinWidth(s, gramDfStats(s, dir))
       .fold(index)(n => index.repartition(n, key))
+
+  /** Apply [[pairJoinWidth]] to the candidate-pair stream feeding the
+    * (da, db) aggregation. The pair stream is near-DISTINCT by (da, db) —
+    * pairs sharing multiple grams are the rare exception, measured at
+    * sf10: 126.58 M candidates → 126.48 M partial-agg output rows — so
+    * map-side combining buys ~nothing while its first()-state rows are
+    * WIDER than the raw candidates (8.09 vs ~5 GB in-memory for the same
+    * stream), and the final aggregation at the session width held 3.5 M
+    * groups/task and sort-spilled 14.6 GB (width-invariant in the JOIN
+    * width — the agg exchange was the one still at the default). An
+    * explicit same-width (da, db) repartition moves the narrower raw rows
+    * once (replacing the ENSURE exchange, same exchange count), skips the
+    * no-op partial pass, and scales the aggregation state with the
+    * measured stream. No-op — plan untouched — whenever [[pairJoinWidth]]
+    * is: every local fixture at sf0.1.
+    */
+  private def sizePairAgg(s: SparkSession, dir: String,
+      cand: DataFrame): DataFrame =
+    pairJoinWidth(s, gramDfStats(s, dir))
+      .fold(cand)(n => cand.repartition(n, col("da"), col("db")))
 
   /** Containment pairs via RAREST-FIRST (df-ordered) prefix filtering —
     * the Zipf-corpus arm of [[containmentPairs]]. Identical output to
